@@ -1,0 +1,83 @@
+"""Field-extraction kernels (reference parsers re-derived).
+
+Upstream anchors (capability, not code): ``src/parsers/parse-ip.c``
+(Parse_IP — Nth IP-looking token), ``src/parsers/parse-port.c``,
+``src/parsers/parse-hash.c`` (first hex token of the right length),
+``src/liblognormalize.c`` (template → named fields). All re-expressed
+as batch kernels over Arrow string arrays.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+IPV4_RE = re.compile(r"(?<![\d.])((?:\d{1,3}\.){3}\d{1,3})(?![\d.])")
+PORT_RE = re.compile(r"(?:\d{1,3}\.){3}\d{1,3}:(\d{1,5})|port\s+(\d{1,5})", re.I)
+HASH_RES = {
+    "md5": re.compile(r"\b[0-9a-fA-F]{32}\b"),
+    "sha1": re.compile(r"\b[0-9a-fA-F]{40}\b"),
+    "sha256": re.compile(r"\b[0-9a-fA-F]{64}\b"),
+}
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(url: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Extract the host component of a URL column (vectorized RE2)."""
+    s = pc.extract_regex(url, HOST_RE)
+    return pc.struct_field(s, [0])
+
+
+def nth_ip(texts: list[str | None], n: int = 1) -> list[str | None]:
+    """Nth IPv4-looking token per text (1-based), None if absent."""
+    out: list[str | None] = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        found = IPV4_RE.findall(t)
+        out.append(found[n - 1] if len(found) >= n else None)
+    return out
+
+
+def first_port(texts: list[str | None]) -> list[int | None]:
+    out: list[int | None] = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        m = PORT_RE.search(t)
+        out.append(int(m.group(1) or m.group(2)) if m else None)
+    return out
+
+
+def first_hash(texts: list[str | None], kind: str) -> list[str | None]:
+    rx = HASH_RES[kind]
+    out: list[str | None] = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        m = rx.search(t)
+        out.append(m.group(0).lower() if m else None)
+    return out
+
+
+def extract_named(texts: pa.Array | pa.ChunkedArray, pattern: str) -> pa.Array:
+    """Named-group regex -> struct column (vectorized via Arrow RE2 when
+    possible, Python fallback otherwise). Null struct fields on no-match."""
+    try:
+        return pc.extract_regex(texts, pattern)
+    except pa.ArrowInvalid:
+        rx = re.compile(pattern)
+        names = list(rx.groupindex.keys())
+        cols: dict[str, list] = {g: [] for g in names}
+        for t in texts.to_pylist():
+            m = rx.search(t) if t is not None else None
+            for g in names:
+                cols[g].append(m.group(g) if m else None)
+        return pa.StructArray.from_arrays(
+            [pa.array(cols[g], type=pa.string()) for g in names], names
+        )

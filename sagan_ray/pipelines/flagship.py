@@ -1,0 +1,131 @@
+"""The flagship parse → match → enrich → correlate → route pipeline.
+
+Ray-Data restatement of the reference daemon's steady-state path
+(upstream ``src/sagan.c`` main loop → ``src/processor.c`` worker batches
+→ ``src/processors/engine.c`` predicate sequence → ``src/output.c``
+fan-out; see SURVEY.md §3.1):
+
+    read_parquet → map_batches(parse) → map_batches(match, rules)
+      → [map_batches(Enrich actor pool)]
+      → groupby((sid, ckey, bucket)).map_groups(threshold/after)
+      → xbits two-pass join → write_parquet(partition_cols=[classification])
+      → manifest.json
+
+Two-stage checkpointed variant (:func:`run_flagship`): stage A
+(parse+match — the expensive scan) checkpoints alerts per input-file
+partition with lineage records; stage B (correlate+route — orders of
+magnitude smaller) re-runs from checkpoints. A killed run resumes by
+replaying only partitions without a lineage record.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from ..rules import Rule, load_rules_file
+from ..sources.webpages import derive_batch
+from ..stages.correlate import apply_correlation, apply_xbits
+from ..stages.enrich import default_lookups, enrich_stage
+from ..stages.match import match_alerts
+from ..stages.route import route_alerts, sink_manifest
+from ..state import lineage
+
+DEFAULT_RULES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "rules",
+    "web.rules",
+)
+
+
+def load_default_rules() -> list[Rule]:
+    return load_rules_file(DEFAULT_RULES)
+
+
+def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
+                    concurrency: int = 4):
+    """webpages Dataset -> routed-ready alerts Dataset (lazy)."""
+    if enrich:
+        geo, bl, intel = default_lookups()
+        webpages_ds = enrich_stage(webpages_ds, geo, bl, intel,
+                                   concurrency=concurrency)
+    alerts = match_alerts(webpages_ds, rules)
+    alerts = apply_correlation(alerts, rules)
+    alerts = apply_xbits(alerts, rules)
+    return alerts
+
+
+def run_flagship(
+    input_files: list[str],
+    run_dir: str,
+    rules: list[Rule] | None = None,
+    derive_from_documents: bool = True,
+    fail_after_partitions: int | None = None,
+) -> dict:
+    """Checkpointed end-to-end run over parquet input files.
+
+    ``fail_after_partitions`` is test-only fault injection: raise after
+    checkpointing that many partitions (the resume test kills at ~50%).
+    Returns the sink manifest.
+    """
+    import ray.data as rd
+
+    rules = rules or load_default_rules()
+    os.makedirs(run_dir, exist_ok=True)
+
+    done = lineage.completed_partitions(run_dir)
+    todo = [(lineage.partition_id(f), f) for f in sorted(input_files)
+            if lineage.partition_id(f) not in done]
+
+    # ---- stage A: parse + match, per partition, checkpointed ----
+    n_done = 0
+    for pid, f in todo:
+        lineage.clear_stale_partition(run_dir, pid)
+        ds = rd.read_parquet(f)
+        rows_in = pq.read_metadata(f).num_rows
+        if derive_from_documents:
+            ds = ds.map_batches(derive_batch, batch_format="pyarrow")
+        alerts = match_alerts(ds, rules)
+        ckpt = os.path.join(run_dir, "ckpt", f"part_id={pid}")
+        os.makedirs(ckpt, exist_ok=True)
+        alerts.write_parquet(ckpt)
+        n_alerts = sum(
+            pq.read_metadata(os.path.join(ckpt, p)).num_rows
+            for p in os.listdir(ckpt) if p.endswith(".parquet")
+        )
+        lineage.record_partition(
+            run_dir,
+            {
+                "partition_id": pid,
+                "input_file": os.path.basename(f),
+                "rows_in": rows_in,
+                "alerts": n_alerts,
+                "status": "done",
+            },
+        )
+        n_done += 1
+        if fail_after_partitions is not None and n_done >= fail_after_partitions:
+            raise RuntimeError(f"injected failure after {n_done} partitions")
+
+    # ---- stage B: correlate + route over all checkpointed alerts ----
+    ckpt_root = os.path.join(run_dir, "ckpt")
+    alerts = rd.read_parquet(ckpt_root)
+    alerts = apply_correlation(alerts, rules)
+    alerts = apply_xbits(alerts, rules)
+    import shutil
+
+    sink_dir = os.path.join(run_dir, "sinks")
+    if os.path.isdir(sink_dir):
+        shutil.rmtree(sink_dir)  # stage B is cheap and always rebuilt
+    return route_alerts(alerts, run_dir)
+
+
+def run_streaming(webpages_ds, rules: list[Rule], out_dir: str,
+                  enrich: bool = False) -> dict:
+    """Single-pass streaming variant (no checkpoint): used by bench —
+    one Dataset execution end-to-end, sinks partitioned by classification."""
+    alerts = alerts_pipeline(webpages_ds, rules, enrich=enrich)
+    return route_alerts(alerts, out_dir)

@@ -1,0 +1,487 @@
+"""Rule DSL compiler — Sagan/Snort-flavored rules → immutable Python IR.
+
+Re-derives the public rule-option surface of the reference (upstream
+``src/rules.c`` Load_Rules compiles ``.rules`` text into a global
+``rulestruct[]`` array; option semantics documented in the Sagan User
+Guide and the Snort/Suricata rule-language docs it deliberately mirrors).
+Pure Python, no Ray: rules are compiled ONCE on the driver and broadcast
+to workers (closure capture / actor ctor args), mirroring the
+reference's load-once-then-read-only array.
+
+Supported options (SURVEY.md §2.2–2.7):
+  msg, sid, rev, classtype, priority, program, facility, level,
+  content (+ nocase / offset / depth / distance / within / negation),
+  pcre, meta_content (+ meta_nocase, var lists), json_content, json_pcre,
+  event_id, normalize (named-group regex), parse_src_ip, parse_port,
+  parse_hash, alert_time, threshold (limit|suppress), after, xbits,
+  country_code, blacklist, noalert.
+
+Semantics notes (frozen here because /root/reference is empty — these are
+OUR documented definitions, tested in tests/test_rules.py):
+  * content position chain: an absolute content must START in
+    ``[offset, offset+depth)`` (depth=∞ if absent); a relative content
+    (distance/within present) must START in
+    ``[prev_end+distance, prev_end+distance+within)``.
+  * hex escapes ``|0A 0D|`` decode to the corresponding latin-1 chars.
+  * meta_content fires if ANY value of the var list matches (OR-list).
+  * header nets map to host allowlists via the var table (``$HOME_NET``).
+"""
+
+from __future__ import annotations
+
+import re as _stdre
+from dataclasses import dataclass, field
+
+try:  # the `regex` module (PCRE-ish) if present; stdlib re otherwise
+    import regex as _re
+except ImportError:  # pragma: no cover
+    _re = _stdre
+
+# ---------------------------------------------------------------------------
+# IR dataclasses
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Content:
+    pattern: str
+    nocase: bool = False
+    negated: bool = False
+    offset: int | None = None
+    depth: int | None = None
+    distance: int | None = None
+    within: int | None = None
+
+    @property
+    def relative(self) -> bool:
+        return self.distance is not None or self.within is not None
+
+    @property
+    def constrained(self) -> bool:
+        return (
+            self.offset is not None
+            or self.depth is not None
+            or self.relative
+        )
+
+
+@dataclass(frozen=True)
+class Pcre:
+    pattern: str
+    flags: int  # python re flags
+    raw: str  # original /re/flags text (for oracle generation)
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class MetaContent:
+    template: str  # contains %sagan%
+    values: tuple[str, ...]
+    nocase: bool = False
+
+    def literals(self) -> tuple[str, ...]:
+        return tuple(self.template.replace("%sagan%", v) for v in self.values)
+
+
+@dataclass(frozen=True)
+class Threshold:
+    ttype: str  # "limit" | "suppress"
+    track: str  # "by_host" | "by_lang" | "by_src" (alias of by_host)
+    count: int
+    seconds: int
+
+
+@dataclass(frozen=True)
+class After:
+    track: str
+    count: int
+    seconds: int
+
+
+@dataclass(frozen=True)
+class Xbits:
+    action: str  # set | unset | isset | isnotset
+    name: str
+    track: str  # by_host | by_lang
+    expire: int | None = None  # seconds
+
+
+@dataclass(frozen=True)
+class AlertTime:
+    days: frozenset[int]  # 0=Monday … 6=Sunday (ISO, matches DuckDB dayofweek-1)
+    start_hour: int
+    end_hour: int  # window is [start_hour, end_hour) in hours of day
+
+
+@dataclass(frozen=True)
+class CountryCode:
+    track: str
+    op: str  # "is" | "isnot"
+    codes: tuple[str, ...]
+
+
+@dataclass
+class Rule:
+    sid: int
+    rev: int = 1
+    msg: str = ""
+    classtype: str = "unknown"
+    priority: int = 3
+    action: str = "alert"
+    # gates (cheap prefilters, evaluated first — reference engine order)
+    programs: tuple[str, ...] = ()  # host glob patterns, |-separated in DSL
+    facility: str | None = None  # → lang column
+    level: str | None = None  # → source-like column
+    # matchers
+    contents: tuple[Content, ...] = ()
+    pcres: tuple[Pcre, ...] = ()
+    meta_contents: tuple[MetaContent, ...] = ()
+    json_contents: tuple[tuple[str, str], ...] = ()  # (json key path, value)
+    json_pcres: tuple[tuple[str, Pcre], ...] = ()
+    event_ids: tuple[int, ...] = ()
+    # extraction
+    normalize: str | None = None  # named-group regex
+    parse_src_ip: int | None = None
+    parse_port: bool = False
+    parse_hash: str | None = None
+    # predicates
+    alert_time: AlertTime | None = None
+    country_code: CountryCode | None = None
+    blacklist: str | None = None  # track
+    # correlation
+    threshold: Threshold | None = None
+    after: After | None = None
+    xbits: tuple[Xbits, ...] = ()
+    noalert: bool = False
+    # compiled artifacts (filled by compile_rule)
+    _pcre_compiled: tuple = field(default=(), repr=False)
+    _normalize_compiled: object = field(default=None, repr=False)
+    _program_re: object = field(default=None, repr=False)
+
+    @property
+    def gate_literal(self) -> str | None:
+        """Cheapest vectorizable prefilter literal: the longest positive
+        unconstrained-or-not content (Arrow match_substring is cheap)."""
+        pos = [c for c in self.contents if not c.negated]
+        if not pos:
+            return None
+        best = max(pos, key=lambda c: len(c.pattern))
+        return best.pattern
+
+    @property
+    def gate_nocase(self) -> bool:
+        pos = [c for c in self.contents if not c.negated]
+        if not pos:
+            return False
+        best = max(pos, key=lambda c: len(c.pattern))
+        return best.nocase
+
+
+# default classification map (reference: classification.config shipped with
+# the rule corpus; name -> priority)
+CLASSIFICATIONS: dict[str, int] = {
+    "not-suspicious": 3,
+    "unknown": 3,
+    "bad-unknown": 2,
+    "attempted-recon": 2,
+    "web-application-activity": 2,
+    "web-application-attack": 1,
+    "attempted-admin": 1,
+    "policy-violation": 1,
+    "suspicious-traffic": 2,
+    "correlated-attack": 1,
+    "misc-activity": 3,
+}
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+_HEX_RE = _stdre.compile(r"\|([0-9A-Fa-f ]+)\|")
+
+
+def _decode_hex(pattern: str) -> str:
+    """Decode Snort-style |0A 0D| hex escapes to latin-1 chars."""
+
+    def sub(m: _stdre.Match) -> str:
+        hx = m.group(1).replace(" ", "")
+        return bytes.fromhex(hx).decode("latin-1")
+
+    return _HEX_RE.sub(sub, pattern)
+
+
+def _split_options(body: str) -> list[str]:
+    """Split an option body on ';' respecting double quotes and backslash."""
+    parts, cur, in_q, esc = [], [], False, False
+    for ch in body:
+        if esc:
+            cur.append(ch)
+            esc = False
+            continue
+        if ch == "\\":
+            cur.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_q = not in_q
+            cur.append(ch)
+            continue
+        if ch == ";" and not in_q:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        v = v[1:-1]
+    return v
+
+
+_PCRE_FLAG_MAP = {"i": _stdre.I, "s": _stdre.S, "m": _stdre.M, "x": _stdre.X}
+
+
+def _parse_pcre(raw: str) -> Pcre:
+    raw = _unquote(raw)
+    negated = raw.startswith("!")
+    if negated:
+        raw = _unquote(raw[1:])
+    if not (raw.startswith("/") and "/" in raw[1:]):
+        raise ValueError(f"bad pcre: {raw!r}")
+    end = raw.rfind("/")
+    pat, flag_s = raw[1:end], raw[end + 1 :]
+    flags = 0
+    for f in flag_s:
+        flags |= _PCRE_FLAG_MAP.get(f, 0)
+    return Pcre(pattern=pat, flags=flags, raw=raw, negated=negated)
+
+
+def _parse_kv_list(val: str) -> dict[str, str]:
+    """'type limit, track by_host, count 3, seconds 3600' -> dict."""
+    out: dict[str, str] = {}
+    for piece in val.split(","):
+        toks = piece.strip().split(None, 1)
+        if len(toks) == 2:
+            out[toks[0]] = toks[1].strip()
+        elif len(toks) == 1 and toks[0]:
+            out[toks[0]] = ""
+    return out
+
+
+def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule:
+    """Parse one 'alert ... ( options )' line into a Rule."""
+    var_table = var_table or {}
+    m = _stdre.match(r"^\s*(alert|drop|pass)\b([^(]*)\((.*)\)\s*$", line, _stdre.S)
+    if not m:
+        raise ValueError(f"unparseable rule: {line[:120]!r}")
+    action, _header, body = m.group(1), m.group(2), m.group(3)
+
+    r = Rule(sid=0, action=action)
+    contents: list[Content] = []
+    pcres: list[Pcre] = []
+    metas: list[MetaContent] = []
+    xbits: list[Xbits] = []
+    jsonc: list[tuple[str, str]] = []
+    jsonp: list[tuple[str, Pcre]] = []
+    pending_meta_nocase = False
+
+    for opt in _split_options(body):
+        if ":" in opt:
+            key, val = opt.split(":", 1)
+        else:
+            key, val = opt, ""
+        key = key.strip()
+        val = val.strip()
+
+        if key == "msg":
+            r.msg = _unquote(val)
+        elif key == "sid":
+            r.sid = int(val)
+        elif key == "rev":
+            r.rev = int(val)
+        elif key == "classtype":
+            r.classtype = val
+            r.priority = CLASSIFICATIONS.get(val, 3)
+        elif key == "priority":
+            r.priority = int(val)
+        elif key == "program":
+            pats = _unquote(val)
+            r.programs = tuple(p.strip() for p in pats.split("|") if p.strip())
+        elif key == "facility":
+            r.facility = _unquote(val)
+        elif key == "level":
+            r.level = _unquote(val)
+        elif key == "content":
+            raw = _unquote(val)
+            negated = raw.startswith("!")
+            if negated:
+                raw = _unquote(raw[1:])
+            contents.append(Content(pattern=_decode_hex(raw), negated=negated))
+        elif key == "nocase":
+            contents[-1] = Content(**{**contents[-1].__dict__, "nocase": True})
+        elif key in ("offset", "depth", "distance", "within"):
+            if not contents:
+                raise ValueError(f"{key} without content")
+            contents[-1] = Content(**{**contents[-1].__dict__, key: int(val)})
+        elif key == "pcre":
+            pcres.append(_parse_pcre(val))
+        elif key == "meta_content":
+            # meta_content:"tpl_%sagan%", $VAR;   or inline list a|b|c
+            parts = val.split(",", 1)
+            tpl = _unquote(parts[0])
+            if len(parts) < 2:
+                raise ValueError("meta_content needs a value list")
+            ref = parts[1].strip()
+            if ref.startswith("$"):
+                values = tuple(var_table.get(ref[1:], ()))
+                if not values:
+                    raise ValueError(f"undefined var {ref}")
+            else:
+                values = tuple(_unquote(ref).split("|"))
+            metas.append(MetaContent(template=_decode_hex(tpl), values=values))
+        elif key == "meta_nocase":
+            if metas:
+                last = metas[-1]
+                metas[-1] = MetaContent(last.template, last.values, nocase=True)
+            else:
+                pending_meta_nocase = True
+        elif key == "json_content":
+            path, jv = val.split(",", 1)
+            jsonc.append((_unquote(path), _unquote(jv)))
+        elif key == "json_pcre":
+            path, jv = val.split(",", 1)
+            jsonp.append((_unquote(path), _parse_pcre(jv)))
+        elif key == "event_id":
+            r.event_ids = tuple(int(x) for x in _unquote(val).split(",") if x.strip())
+        elif key == "normalize":
+            r.normalize = _unquote(val) if val else None
+        elif key == "parse_src_ip":
+            r.parse_src_ip = int(val) if val else 1
+        elif key == "parse_port":
+            r.parse_port = True
+        elif key == "parse_hash":
+            r.parse_hash = _unquote(val)
+        elif key == "alert_time":
+            kv = _parse_kv_list(_unquote(val))
+            days = frozenset(int(c) for c in kv.get("days", "0123456"))
+            hrs = kv.get("hours", "0000-2400")
+            a, b = hrs.split("-")
+            r.alert_time = AlertTime(days=days, start_hour=int(a) // 100, end_hour=int(b) // 100)
+        elif key == "threshold":
+            kv = _parse_kv_list(val)
+            r.threshold = Threshold(
+                ttype=kv.get("type", "limit"),
+                track=kv.get("track", "by_host"),
+                count=int(kv.get("count", "1")),
+                seconds=int(kv.get("seconds", "3600")),
+            )
+        elif key == "after":
+            kv = _parse_kv_list(val)
+            r.after = After(
+                track=kv.get("track", "by_host"),
+                count=int(kv.get("count", "1")),
+                seconds=int(kv.get("seconds", "3600")),
+            )
+        elif key == "xbits":
+            toks = [t.strip() for t in val.split(",")]
+            action_x, name = toks[0], toks[1]
+            track = "by_host"
+            expire = None
+            for t in toks[2:]:
+                if t.startswith("track"):
+                    track = t.split(None, 1)[1].strip()
+                elif t.startswith("expire"):
+                    expire = int(t.split(None, 1)[1])
+            xbits.append(Xbits(action=action_x, name=name, track=track, expire=expire))
+        elif key == "country_code":
+            kv = _parse_kv_list(val)
+            if "is" in kv:
+                op, codes_s = "is", kv["is"]
+            else:
+                op, codes_s = "isnot", kv.get("isnot", "")
+            codes = tuple(
+                c.strip() for c in codes_s.strip("[]").split(",") if c.strip()
+            )
+            r.country_code = CountryCode(track=kv.get("track", "by_host"), op=op, codes=codes)
+        elif key == "blacklist":
+            r.blacklist = val or "by_host"
+        elif key == "noalert":
+            r.noalert = True
+        elif key in ("reference", "metadata", "flowbits_noalert"):
+            pass  # informational
+        else:
+            raise ValueError(f"unknown rule option {key!r} (sid-in-progress {r.sid})")
+
+    if pending_meta_nocase and metas:
+        last = metas[-1]
+        metas[-1] = MetaContent(last.template, last.values, nocase=True)
+
+    r.contents = tuple(contents)
+    r.pcres = tuple(pcres)
+    r.meta_contents = tuple(metas)
+    r.xbits = tuple(xbits)
+    r.json_contents = tuple(jsonc)
+    r.json_pcres = tuple(jsonp)
+    if r.sid == 0:
+        raise ValueError("rule missing sid")
+    return compile_rule(r)
+
+
+def compile_rule(r: Rule) -> Rule:
+    """Precompile regexes (once, driver-side — reference compiles PCRE at
+    rule load in Load_Rules)."""
+    r._pcre_compiled = tuple(_re.compile(p.pattern, p.flags) for p in r.pcres)
+    if r.normalize:
+        r._normalize_compiled = _re.compile(r.normalize)
+    if r.programs:
+        alts = []
+        for g in r.programs:
+            alts.append(
+                "^" + _stdre.escape(g).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            )
+        r._program_re = _stdre.compile("|".join(alts))
+    return r
+
+
+def parse_rules(
+    text: str, var_table: dict[str, list[str]] | None = None
+) -> tuple[list[Rule], dict[str, list[str]]]:
+    """Parse a rules file: ``var NAME [a, b, c]`` lines + rule lines.
+
+    Returns (rules, var_table). Lines may be continued with a trailing
+    backslash; '#' comments and blanks ignored.
+    """
+    var_table = dict(var_table or {})
+    rules: list[Rule] = []
+    logical: list[str] = []
+    pending = ""
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.endswith("\\"):
+            pending += line[:-1] + " "
+            continue
+        logical.append(pending + line)
+        pending = ""
+    for line in logical:
+        if line.startswith("var "):
+            _, name, val = line.split(None, 2)
+            vals = [v.strip() for v in val.strip("[]").split(",") if v.strip()]
+            var_table[name] = vals
+        else:
+            rules.append(parse_rule(line, var_table))
+    return rules, var_table
+
+
+def load_rules_file(path: str, var_table: dict[str, list[str]] | None = None) -> list[Rule]:
+    with open(path) as f:
+        rules, _ = parse_rules(f.read(), var_table)
+    return rules

@@ -1,0 +1,98 @@
+"""Stateful enrichment actor pool.
+
+Reference: per-thread handles / in-memory tables probed per event —
+GeoIP2 (``src/geoip2.c`` GeoIP2_Lookup_Country), IP/host blacklist
+(``src/processors/blacklist.c``), Zeek intel sets
+(``src/processors/zeek-intel.c``), DNS cache (``src/dns.c``).
+
+Here: ONE actor-pool ``map_batches`` stage. The small sides are placed
+in the object store once via ``ray.put`` on the driver; each actor
+fetches them in ``__init__`` (zero-copy shared read on a node — the
+broadcast-join pattern), builds numpy-friendly lookup structures, and
+every ``__call__`` is a vectorized probe. No shuffle ever.
+
+Adds columns: ``country`` (geo by host, lang fallback), ``blacklisted``
+(bool), ``intel_hit`` (bool, any intel indicator substring present in
+text — the zeek-intel analogue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class Enrich:
+    def __init__(self, geo_ref, blacklist_ref, intel_ref):
+        import ray
+
+        # refs may be ObjectRefs (production) or plain dicts (unit tests)
+        def _get(x):
+            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+        self.geo: dict[str, str] = _get(geo_ref) or {}
+        self.blacklist: frozenset[str] = frozenset(_get(blacklist_ref) or ())
+        self.intel: tuple[str, ...] = tuple(_get(intel_ref) or ())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        geo = self.geo
+        country = [geo.get(h) or geo.get(l) or "ZZ" for h, l in zip(hosts, langs)]
+        bl = self.blacklist
+        blacklisted = np.array([h in bl for h in hosts], dtype=bool)
+        if self.intel:
+            hit = np.zeros(batch.num_rows, dtype=bool)
+            for lit in self.intel:
+                hit |= np.asarray(
+                    pc.match_substring(batch["text"], lit).combine_chunks().fill_null(False),
+                    dtype=bool,
+                )
+        else:
+            hit = np.zeros(batch.num_rows, dtype=bool)
+        return (
+            batch.append_column("country", pa.array(country, type=pa.string()))
+            .append_column("blacklisted", pa.array(blacklisted))
+            .append_column("intel_hit", pa.array(hit))
+        )
+
+
+def enrich_stage(ds, geo: dict, blacklist: set, intel: list, concurrency: int = 4):
+    """Attach the enrichment actor pool to a Dataset."""
+    import ray
+
+    geo_ref = ray.put(geo)
+    bl_ref = ray.put(set(blacklist))
+    intel_ref = ray.put(list(intel))
+    return ds.map_batches(
+        Enrich,
+        fn_constructor_args=(geo_ref, bl_ref, intel_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def default_lookups(hosts: list[str] | None = None):
+    """Deterministic fixture lookup tables (FIXTURES.md §3): every Nth
+    host maps to a country / blacklist so join hit-rates are known.
+
+    For the documents-derived webpages the hosts are src{i}.example.com;
+    geo assigns country by i % 5, blacklist takes i % 7 == 0.
+    """
+    countries = ["US", "DE", "FR", "CN", "RU"]
+    geo: dict[str, str] = {}
+    blacklist: set[str] = set()
+    if hosts is None:
+        hosts = [f"src{i}.example.com" for i in range(20)]
+    for h in hosts:
+        import re
+
+        m = re.search(r"(\d+)", h)
+        i = int(m.group(1)) if m else 0
+        geo[h] = countries[i % 5]
+        if i % 7 == 0:
+            blacklist.add(h)
+    intel = ["needle-alpha"]
+    return geo, blacklist, intel

@@ -1,0 +1,256 @@
+"""Vectorized multi-rule matcher — the engine core.
+
+Re-derives the reference's per-event predicate sequence (upstream
+``src/processors/engine.c`` Sagan_Engine: program/facility/level gates →
+content → pcre → meta_content → alert_time) as a per-BATCH evaluation:
+
+* gates and unconstrained content/meta_content run as ``pyarrow.compute``
+  kernels over the whole batch (the SSE2 ``Sagan_strstr`` analogue is
+  Arrow's vectorized ``match_substring``),
+* position-chained contents (offset/depth/distance/within) and
+  non-RE2-compilable pcre fall back to a Python re-check over the (few)
+  candidate rows that survived the vectorized prefilter — the
+  Hyperscan-style literal-prefilter-then-verify pattern from the north
+  star,
+* each matched rule contributes alert rows (url, …, sid, rev, msg,
+  classification, priority); ``text`` is carried through BYTE-IDENTICAL
+  (we only filter rows and append constant columns — never rewrite).
+
+Stateless: the compiled rule list is captured by closure and broadcast
+with the task definition (rules are small). Use as
+``ds.map_batches(make_matcher(rules), batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..rules import Content, Rule
+from ..schema import ALERTS_SCHEMA
+
+# ---------------------------------------------------------------------------
+# scalar chain semantics (candidates only — documented in rules.py)
+# ---------------------------------------------------------------------------
+
+
+def check_content_chain(text: str, contents: tuple[Content, ...]) -> bool:
+    prev_end = 0
+    for c in contents:
+        hay, pat = (text.lower(), c.pattern.lower()) if c.nocase else (text, c.pattern)
+        if c.relative:
+            start = prev_end + (c.distance or 0)
+            stop = start + c.within if c.within is not None else len(text)
+        else:
+            start = c.offset or 0
+            stop = start + c.depth if c.depth is not None else len(text)
+        idx = hay.find(pat, max(start, 0))
+        found = idx != -1 and idx < stop
+        if c.negated:
+            if found:
+                return False
+        else:
+            if not found:
+                return False
+            prev_end = idx + len(pat)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# vectorized helpers
+# ---------------------------------------------------------------------------
+
+
+def _to_np_bool(arr) -> np.ndarray:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return np.asarray(a.fill_null(False), dtype=bool)
+
+
+def _arrow_regex_pattern(p) -> str | None:
+    """Python-flagged pattern -> RE2 pattern with inline flags, or None if
+    RE2 can't compile it (checked once at first use, cached on the rule)."""
+    import re as _stdre
+
+    flag_chars = ""
+    if p.flags & _stdre.I:
+        flag_chars += "i"
+    if p.flags & _stdre.S:
+        flag_chars += "s"
+    if p.flags & _stdre.M:
+        flag_chars += "m"
+    pat = f"(?{flag_chars})" + p.pattern if flag_chars else p.pattern
+    try:
+        pc.match_substring_regex(pa.array([""], type=pa.string()), pat)
+        return pat
+    except pa.ArrowInvalid:
+        return None
+
+
+_ARROW_PCRE_CACHE: dict[tuple[str, int], str | None] = {}
+
+
+def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray:
+    """Boolean keep-mask for one rule over one Arrow batch."""
+    n = batch.num_rows
+    mask = np.ones(n, dtype=bool)
+    text = batch[text_col]
+
+    # --- gates (cheapest first; reference engine order) ---
+    if rule.programs and "host" in batch.column_names:
+        mask &= _to_np_bool(
+            pc.match_substring_regex(batch["host"], rule._program_re.pattern)
+        )
+        if not mask.any():
+            return mask
+    if rule.facility is not None and "lang" in batch.column_names:
+        mask &= _to_np_bool(pc.equal(batch["lang"], rule.facility))
+        if not mask.any():
+            return mask
+    if rule.level is not None and "source" in batch.column_names:
+        mask &= _to_np_bool(pc.equal(batch["source"], rule.level))
+        if not mask.any():
+            return mask
+    if rule.event_ids and "event_id" in batch.column_names:
+        mask &= _to_np_bool(
+            pc.is_in(batch["event_id"], value_set=pa.array(list(rule.event_ids)))
+        )
+        if not mask.any():
+            return mask
+
+    # --- alert_time (vectorized temporal predicate; aetas analogue) ---
+    if rule.alert_time is not None and "warc_ts" in batch.column_names:
+        ts = batch["warc_ts"]
+        hour = np.asarray(pc.hour(ts).combine_chunks()
+                          if isinstance(pc.hour(ts), pa.ChunkedArray) else pc.hour(ts))
+        at = rule.alert_time
+        hmask = (hour >= at.start_hour) & (hour < at.end_hour)
+        if len(at.days) < 7:
+            dow = pc.day_of_week(ts)  # 0=Monday
+            dow = np.asarray(dow.combine_chunks() if isinstance(dow, pa.ChunkedArray) else dow)
+            dmask = np.isin(dow, list(at.days))
+            hmask &= dmask
+        mask &= hmask
+        if not mask.any():
+            return mask
+
+    # --- contents: vectorized for the unconstrained, prefilter+verify else ---
+    needs_chain = any(c.constrained for c in rule.contents)
+    for c in rule.contents:
+        if c.constrained:
+            continue  # verified in the chain pass (position-free contents
+            # are chain-safe to vectorize: find from 0 — only when NO
+            # content is constrained; else the whole chain runs scalar)
+        if needs_chain and not c.negated:
+            # still useful as prefilter even when chain re-checks
+            mask &= _to_np_bool(pc.match_substring(text, c.pattern, ignore_case=c.nocase))
+        elif not needs_chain:
+            hit = _to_np_bool(pc.match_substring(text, c.pattern, ignore_case=c.nocase))
+            mask &= ~hit if c.negated else hit
+        if not mask.any():
+            return mask
+    if needs_chain and mask.any():
+        texts = text.to_pylist()
+        idxs = np.flatnonzero(mask)
+        for i in idxs:
+            if not check_content_chain(texts[i] or "", rule.contents):
+                mask[i] = False
+        if not mask.any():
+            return mask
+
+    # --- meta_content: OR over the expanded literal list ---
+    for mc in rule.meta_contents:
+        any_hit = np.zeros(n, dtype=bool)
+        for lit in mc.literals():
+            any_hit |= _to_np_bool(pc.match_substring(text, lit, ignore_case=mc.nocase))
+        mask &= any_hit
+        if not mask.any():
+            return mask
+
+    # --- pcre: Arrow RE2 when compilable, Python regex re-check otherwise ---
+    for p, crx in zip(rule.pcres, rule._pcre_compiled):
+        key = (p.pattern, p.flags)
+        if key not in _ARROW_PCRE_CACHE:
+            _ARROW_PCRE_CACHE[key] = _arrow_regex_pattern(p)
+        arrow_pat = _ARROW_PCRE_CACHE[key]
+        if arrow_pat is not None:
+            hit = _to_np_bool(pc.match_substring_regex(text, arrow_pat))
+        else:
+            hit = np.zeros(n, dtype=bool)
+            texts = text.to_pylist()
+            for i in np.flatnonzero(mask):
+                if crx.search(texts[i] or ""):
+                    hit[i] = True
+        mask &= ~hit if p.negated else hit
+        if not mask.any():
+            return mask
+
+    # --- json matchers (flat {"k": v} payload column `props`) ---
+    if (rule.json_contents or rule.json_pcres) and "props" in batch.column_names:
+        props = batch["props"].to_pylist()
+        decoded = [json.loads(s) if s else {} for s in props]
+        for path, val in rule.json_contents:
+            key = path.lstrip(".")
+            jm = np.array([str(d.get(key)) == val for d in decoded], dtype=bool)
+            mask &= jm
+        for path, p in rule.json_pcres:
+            key = path.lstrip(".")
+            import re as _stdre
+
+            rx = _stdre.compile(p.pattern, p.flags)
+            jm = np.array(
+                [bool(rx.search(str(d.get(key, "")))) for d in decoded], dtype=bool
+            )
+            mask &= ~jm if p.negated else jm
+    return mask
+
+
+_EMPTY_ALERTS = ALERTS_SCHEMA.empty_table()
+
+
+def make_matcher(rules: list[Rule], text_col: str = "text"):
+    """Closure for ``map_batches``: webpages batch -> alerts batch."""
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_ALERTS
+        out: list[pa.Table] = []
+        for rule in rules:
+            mask = rule_mask(batch, rule, text_col=text_col)
+            if not mask.any():
+                continue
+            sub = batch.filter(pa.array(mask))
+            m = sub.num_rows
+            sub = pa.table(
+                {
+                    "url": sub["url"],
+                    "warc_ts": sub["warc_ts"],
+                    "host": sub["host"],
+                    "lang": sub["lang"],
+                    "text": sub["text"],
+                    "sid": pa.array(np.full(m, rule.sid, dtype=np.int64)),
+                    "rev": pa.array(np.full(m, rule.rev, dtype=np.int32)),
+                    "msg": pa.array([rule.msg] * m, type=pa.string()),
+                    "classification": pa.array([rule.classtype] * m, type=pa.string()),
+                    "priority": pa.array(np.full(m, rule.priority, dtype=np.int32)),
+                }
+            )
+            out.append(sub)
+        if not out:
+            return _EMPTY_ALERTS
+        return pa.concat_tables(out)
+
+    return match_batch
+
+
+def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
+    """webpages Dataset -> alerts Dataset (project html away first:
+    only alert columns should ever reach a shuffle)."""
+    keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
+                        "event_id", "props"] if c in ds.schema().names]
+    ds = ds.select_columns(keep)
+    return ds.map_batches(make_matcher(rules, text_col=text_col),
+                          batch_format="pyarrow")
