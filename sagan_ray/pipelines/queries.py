@@ -1,0 +1,528 @@
+"""Driver-facing query registry: one entry per implemented operator.
+
+Each ``QUERIES[name]`` is a callable ``(sf_dir) -> Dataset | DataFrame``;
+``ORACLES[name]`` is the equivalent DuckDB SQL over the pre-registered
+views (region nation customer supplier part orders lineitem events
+documents embeddings). Column names match EXACTLY between both sides
+(the driver sorts columns by name and value-hashes).
+
+Float discipline: any column produced by summing many doubles is
+ROUND()ed identically on both sides so distributed-vs-serial addition
+order can't flip the hash; pure-integer aggregates stay exact.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.webpages import WEBPAGES_SQL, webpages_from_documents
+from ..stages.correlate import apply_correlation, apply_xbits
+from ..stages.enrich import default_lookups, enrich_stage
+from ..stages.match import match_alerts
+from .flagship import load_default_rules
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _rename(ds, mapping: dict[str, str]):
+    return ds.map_batches(
+        lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def _wp_alerts(sf_dir: str, sids: set[int], correlate: bool = False):
+    rules = [r for r in load_default_rules() if r.sid in sids]
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    alerts = match_alerts(ds, rules)
+    if correlate:
+        alerts = apply_correlation(alerts, rules)
+        alerts = apply_xbits(alerts, rules)
+    return alerts
+
+
+def _wp_urls(sf_dir: str, sids: set[int], correlate: bool = False):
+    return _wp_alerts(sf_dir, sids, correlate).select_columns(["url"])
+
+
+# The derivation CTE, shared by every wp_* oracle.
+_W = f"WITH w AS ({WEBPAGES_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# webpages / rule-engine family
+# ---------------------------------------------------------------------------
+
+
+def q_wp_parse(sf_dir):
+    return webpages_from_documents(sf_dir)
+
+
+def q_wp_content_match(sf_dir):
+    return _wp_alerts(sf_dir, {1000001}).select_columns(["url", "text", "classification"])
+
+
+def q_wp_nocase_neg(sf_dir):
+    return _wp_urls(sf_dir, {1000002})
+
+
+def q_wp_pcre_match(sf_dir):
+    return _wp_urls(sf_dir, {1000003})
+
+
+def q_wp_meta_content(sf_dir):
+    return _wp_urls(sf_dir, {1000004})
+
+
+def q_wp_program_gate(sf_dir):
+    return _wp_urls(sf_dir, {1000005})
+
+
+def q_wp_facility_gate(sf_dir):
+    return _wp_urls(sf_dir, {1000006})
+
+
+def q_wp_threshold_limit(sf_dir):
+    return _wp_urls(sf_dir, {1000007}, correlate=True)
+
+
+def q_wp_after(sf_dir):
+    return _wp_urls(sf_dir, {1000008}, correlate=True)
+
+
+def q_wp_alert_time(sf_dir):
+    return _wp_urls(sf_dir, {1000009})
+
+
+def q_wp_xbits(sf_dir):
+    return _wp_urls(sf_dir, {1000010, 1000011}, correlate=True)
+
+
+def q_wp_content_chain(sf_dir):
+    return _wp_urls(sf_dir, {1000012})
+
+
+def q_wp_route_counts(sf_dir):
+    rules = load_default_rules()
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    alerts = match_alerts(ds, rules)
+    alerts = apply_correlation(alerts, rules)
+    alerts = apply_xbits(alerts, rules)
+    out = alerts.groupby("classification").count()
+    return _rename(out, {"count()": "n"})
+
+
+def q_wp_extract(sf_dir):
+    """normalize-analogue: named-group extraction into a new column."""
+    ds = webpages_from_documents(sf_dir, include_html=False)
+
+    def ex(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["text"], r"(?P<scan_prey>\w+) scan")
+        prey = pc.struct_field(s, [0])
+        out = pa.table({"doc_id": t["doc_id"], "scan_prey": prey})
+        return out.filter(pc.is_valid(out["scan_prey"]))
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def q_wp_enrich_geo(sf_dir):
+    geo, bl, intel = default_lookups()
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    ds = enrich_stage(ds, geo, bl, intel, concurrency=2)
+    return ds.select_columns(["url", "country"])
+
+
+def q_wp_blacklist_semi(sf_dir):
+    geo, bl, intel = default_lookups()
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    ds = enrich_stage(ds, geo, bl, intel, concurrency=2)
+    ds = ds.map_batches(
+        lambda t: t.filter(t["blacklisted"]), batch_format="pyarrow"
+    )
+    return ds.select_columns(["url"])
+
+
+def q_wp_topk_hosts(sf_dir):
+    rules = load_default_rules()
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    alerts = match_alerts(ds, rules)
+    out = alerts.groupby("host").count()
+    out = _rename(out, {"count()": "n"})
+    return out.sort(["n", "host"], descending=[True, False]).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# events family (json decode, windowed correlation on a true event stream)
+# ---------------------------------------------------------------------------
+
+
+def q_ev_json_decode(sf_dir):
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def dec(t: pa.Table) -> pa.Table:
+        ks = [json.loads(s)["k"] if s else None for s in t["props"].to_pylist()]
+        return pa.table({"event_id": t["event_id"], "k": pa.array(ks, type=pa.int64())})
+
+    return ds.map_batches(dec, batch_format="pyarrow")
+
+
+def q_ev_agg(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _ev_windowed(sf_dir, event_type: str, count: int, mode: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], event_type))
+        ts_us = pc.cast(t["ts"], pa.int64())
+        bucket = pc.divide(pc.divide(ts_us, 1_000_000), 86400)
+        return t.append_column("bucket", pc.cast(bucket, pa.int64()))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g.iloc[:count] if mode == "limit" else g.iloc[count:]
+
+    out = ds.groupby(["user_id", "bucket"]).map_groups(gate, batch_format="pandas")
+    return out.select_columns(["event_id"])
+
+
+def q_ev_threshold(sf_dir):
+    return _ev_windowed(sf_dir, "error", 3, "limit")
+
+
+def q_ev_after(sf_dir):
+    return _ev_windowed(sf_dir, "click", 2, "after")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family (joins, aggregates, top-k, set ops)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base"),
+        Count(alias_name="n"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_base"), "sum_base", pc.round(t["sum_base"], 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_join_agg(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_price"), "sum_price", pc.round(t["sum_price"], 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_topk(sf_dir):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _order_custkeys(sf_dir) -> set[int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return set(t["o_custkey"].to_pylist())
+
+
+def q_tpch_semi(sf_dir):
+    """Semi join via broadcast key set (blacklist-keep pattern; at scale
+    the build side becomes a Bloom filter or Dataset.join)."""
+    keys = _order_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ks = pa.array(sorted(keys), type=pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ks)),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_anti(sf_dir):
+    """Anti join (ignore-list drop pattern): customers with no big order.
+    The build side is value-filtered so the result is non-empty at every
+    scale factor."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = set(
+        t.filter(pc.greater(t["o_totalprice"], 400000.0))["o_custkey"].to_pylist()
+    )
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ks = pa.array(sorted(keys), type=pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["c_custkey"], value_set=ks).combine_chunks())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_multi_join(sf_dir):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation → count per nation.
+
+    Big-big sides use the native hash join; the tiny nation dim is a
+    broadcast dict (the reference's only join shape — small-side probe)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nref = ray.put(nmap)
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        names = [nm.get(k) for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, type=pa.string())})
+
+    out = j.map_batches(add_nation, batch_format="pyarrow").groupby("n_name").count()
+    return _rename(out, {"count()": "n"})
+
+
+def q_tpch_sort(sf_dir):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(20)
+
+
+def q_tpch_distinct(sf_dir):
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).count()
+    return out.select_columns(["l_returnflag", "l_linestatus"])
+
+
+def q_tpch_union(sf_dir):
+    r = _rename(_read(sf_dir, "region", columns=["r_name"]), {"r_name": "name"})
+    n = _rename(_read(sf_dir, "nation", columns=["n_name"]), {"n_name": "name"})
+    return r.union(n)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "wp_parse": q_wp_parse,
+    "wp_content_match": q_wp_content_match,
+    "wp_nocase_neg": q_wp_nocase_neg,
+    "wp_pcre_match": q_wp_pcre_match,
+    "wp_meta_content": q_wp_meta_content,
+    "wp_program_gate": q_wp_program_gate,
+    "wp_facility_gate": q_wp_facility_gate,
+    "wp_threshold_limit": q_wp_threshold_limit,
+    "wp_after": q_wp_after,
+    "wp_alert_time": q_wp_alert_time,
+    "wp_xbits": q_wp_xbits,
+    "wp_content_chain": q_wp_content_chain,
+    "wp_route_counts": q_wp_route_counts,
+    "wp_extract": q_wp_extract,
+    "wp_enrich_geo": q_wp_enrich_geo,
+    "wp_blacklist_semi": q_wp_blacklist_semi,
+    "wp_topk_hosts": q_wp_topk_hosts,
+    "ev_json_decode": q_ev_json_decode,
+    "ev_agg": q_ev_agg,
+    "ev_threshold": q_ev_threshold,
+    "ev_after": q_ev_after,
+    "tpch_q1": q_tpch_q1,
+    "tpch_join_agg": q_tpch_join_agg,
+    "tpch_topk": q_tpch_topk,
+    "tpch_semi": q_tpch_semi,
+    "tpch_anti": q_tpch_anti,
+    "tpch_multi_join": q_tpch_multi_join,
+    "tpch_sort": q_tpch_sort,
+    "tpch_distinct": q_tpch_distinct,
+    "tpch_union": q_tpch_union,
+}
+
+ORACLES = {
+    "wp_parse": f"{_W} SELECT * FROM w",
+    "wp_content_match": f"{_W} SELECT url, text, 'web-application-activity' AS classification FROM w WHERE contains(text,'spark')",
+    "wp_nocase_neg": f"{_W} SELECT url FROM w WHERE contains(lower(text),'merge') AND NOT contains(text,'stream')",
+    "wp_pcre_match": _W + r" SELECT url FROM w WHERE regexp_matches(text,'\b(slow|fast) scan\b')",
+    "wp_meta_content": f"{_W} SELECT url FROM w WHERE contains(text,'customer') OR contains(text,'supplier') OR contains(text,'window')",
+    "wp_program_gate": f"{_W} SELECT url FROM w WHERE (host='src1.example.com' OR host LIKE 'h00%') AND contains(text,'batch')",
+    "wp_facility_gate": f"{_W} SELECT url FROM w WHERE lang='en' AND contains(text,'query')",
+    "wp_threshold_limit": f"""{_W}
+        SELECT url FROM (
+          SELECT url, row_number() OVER (
+            PARTITION BY host, CAST(floor(epoch(warc_ts)/3600) AS BIGINT)
+            ORDER BY warc_ts, url) AS rn
+          FROM w WHERE contains(text,'hash')) WHERE rn <= 2""",
+    "wp_after": f"""{_W}
+        SELECT url FROM (
+          SELECT url, row_number() OVER (
+            PARTITION BY host, CAST(floor(epoch(warc_ts)/7200) AS BIGINT)
+            ORDER BY warc_ts, url) AS rn
+          FROM w WHERE contains(text,'join')) WHERE rn > 1""",
+    "wp_alert_time": f"{_W} SELECT url FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6",
+    "wp_xbits": f"""{_W}
+        SELECT d.url FROM w d WHERE contains(d.text,'group') AND EXISTS (
+          SELECT 1 FROM w s WHERE s.host = d.host AND contains(s.text,'order')
+            AND s.warc_ts <= d.warc_ts
+            AND d.warc_ts < s.warc_ts + INTERVAL 7200 SECOND)""",
+    "wp_content_chain": f"""{_W}
+        SELECT url FROM (SELECT url, text, strpos(text,'key') AS k FROM w)
+        WHERE k > 0 AND k-1 < 200
+          AND strpos(substr(text, k+4), 'value') > 0
+          AND strpos(substr(text, k+4), 'value') - 1 < 120""",
+    "wp_route_counts": f"""{_W},
+        m1 AS (SELECT url,'web-application-activity' c FROM w WHERE contains(text,'spark')),
+        m2 AS (SELECT url,'misc-activity' c FROM w WHERE contains(lower(text),'merge') AND NOT contains(text,'stream')),
+        m3 AS (SELECT url,'attempted-recon' c FROM w WHERE regexp_matches(text,'\\b(slow|fast) scan\\b')),
+        m4 AS (SELECT url,'bad-unknown' c FROM w WHERE contains(text,'customer') OR contains(text,'supplier') OR contains(text,'window')),
+        m5 AS (SELECT url,'policy-violation' c FROM w WHERE (host='src1.example.com' OR host LIKE 'h00%') AND contains(text,'batch')),
+        m6 AS (SELECT url,'web-application-activity' c FROM w WHERE lang='en' AND contains(text,'query')),
+        m7 AS (SELECT url,'suspicious-traffic' c FROM (
+            SELECT url, row_number() OVER (PARTITION BY host, CAST(floor(epoch(warc_ts)/3600) AS BIGINT) ORDER BY warc_ts, url) rn
+            FROM w WHERE contains(text,'hash')) WHERE rn <= 2),
+        m8 AS (SELECT url,'correlated-attack' c FROM (
+            SELECT url, row_number() OVER (PARTITION BY host, CAST(floor(epoch(warc_ts)/7200) AS BIGINT) ORDER BY warc_ts, url) rn
+            FROM w WHERE contains(text,'join')) WHERE rn > 1),
+        m9 AS (SELECT url,'policy-violation' c FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6),
+        m11 AS (SELECT d.url,'correlated-attack' c FROM w d WHERE contains(d.text,'group') AND EXISTS (
+            SELECT 1 FROM w s WHERE s.host=d.host AND contains(s.text,'order')
+              AND s.warc_ts <= d.warc_ts AND d.warc_ts < s.warc_ts + INTERVAL 7200 SECOND)),
+        m12 AS (SELECT url,'misc-activity' c FROM (SELECT url, strpos(text,'key') k, text FROM w)
+            WHERE k > 0 AND k-1 < 200
+              AND strpos(substr(text, k+4), 'value') > 0
+              AND strpos(substr(text, k+4), 'value') - 1 < 120),
+        allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+          UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5 UNION ALL SELECT * FROM m6
+          UNION ALL SELECT * FROM m7 UNION ALL SELECT * FROM m8 UNION ALL SELECT * FROM m9
+          UNION ALL SELECT * FROM m11 UNION ALL SELECT * FROM m12)
+        SELECT c AS classification, count(*) AS n FROM allm GROUP BY c""",
+    "wp_extract": _W + r" SELECT doc_id, regexp_extract(text, '(\w+) scan', 1) AS scan_prey FROM w WHERE regexp_matches(text, '(\w+) scan')",
+    "wp_enrich_geo": f"""{_W}
+        SELECT url, (['US','DE','FR','CN','RU'])[(CAST(substr(host, 4, strpos(host,'.')-4) AS INT) % 5) + 1] AS country FROM w""",
+    "wp_blacklist_semi": f"""{_W}
+        SELECT url FROM w WHERE CAST(substr(host, 4, strpos(host,'.')-4) AS INT) % 7 = 0""",
+    "wp_topk_hosts": f"""{_W},
+        m1 AS (SELECT host FROM w WHERE contains(text,'spark')),
+        m2 AS (SELECT host FROM w WHERE contains(lower(text),'merge') AND NOT contains(text,'stream')),
+        m3 AS (SELECT host FROM w WHERE regexp_matches(text,'\\b(slow|fast) scan\\b')),
+        m4 AS (SELECT host FROM w WHERE contains(text,'customer') OR contains(text,'supplier') OR contains(text,'window')),
+        m5 AS (SELECT host FROM w WHERE (host='src1.example.com' OR host LIKE 'h00%') AND contains(text,'batch')),
+        m6 AS (SELECT host FROM w WHERE lang='en' AND contains(text,'query')),
+        m7 AS (SELECT host FROM w WHERE contains(text,'hash')),
+        m8 AS (SELECT host FROM w WHERE contains(text,'join')),
+        m9 AS (SELECT host FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6),
+        m10 AS (SELECT host FROM w WHERE contains(text,'order')),
+        m11 AS (SELECT host FROM w WHERE contains(text,'group')),
+        m12 AS (SELECT host FROM (SELECT host, strpos(text,'key') k, text FROM w)
+            WHERE k > 0 AND k-1 < 200
+              AND strpos(substr(text, k+4), 'value') > 0
+              AND strpos(substr(text, k+4), 'value') - 1 < 120),
+        allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+          UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5 UNION ALL SELECT * FROM m6
+          UNION ALL SELECT * FROM m7 UNION ALL SELECT * FROM m8 UNION ALL SELECT * FROM m9
+          UNION ALL SELECT * FROM m10 UNION ALL SELECT * FROM m11 UNION ALL SELECT * FROM m12)
+        SELECT host, count(*) AS n FROM allm GROUP BY host ORDER BY n DESC, host LIMIT 5""",
+    "ev_json_decode": "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events",
+    "ev_agg": "SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value FROM events GROUP BY event_type",
+    "ev_threshold": """
+        SELECT event_id FROM (
+          SELECT event_id, row_number() OVER (
+            PARTITION BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
+            ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type='error') WHERE rn <= 3""",
+    "ev_after": """
+        SELECT event_id FROM (
+          SELECT event_id, row_number() OVER (
+            PARTITION BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
+            ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type='click') WHERE rn > 2""",
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice),0) AS sum_base, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus""",
+    "tpch_join_agg": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice),0) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "tpch_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "tpch_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "tpch_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "tpch_multi_join": """
+        SELECT n_name, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "tpch_sort": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "tpch_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "tpch_union": "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+}
