@@ -361,6 +361,154 @@ def q_tpch_union(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def _documents_with_mutations(sf_dir):
+    """documents ∪ near-duplicate mutated copies (doc_id+1000000, first
+    two words dropped) — deterministic input for the near-dup operators."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_ids = list(ids) + [i + 1_000_000 for i in ids]
+        out_texts = list(texts) + [" ".join((x or "").split()[2:]) for x in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(mutate, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir):
+    from ..stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_dedup_minhash(sf_dir):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents_with_mutations(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir):
+    from ..stages.dedup import simhash_pairs
+
+    return simhash_pairs(_documents_with_mutations(sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding(sf_dir):
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        out_ids = list(ids) + [i + 1_000_000 for i in ids]
+        out_vecs = list(vecs) + [
+            [x * 1.001 + (0.001 if j == 0 else 0.0) for j, x in enumerate(v)] for v in vecs
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+                "embedding": pa.array(out_vecs, type=pa.list_(pa.float32())),
+            }
+        )
+
+    return embedding_dup_pairs(
+        ds.map_batches(perturb, batch_format="pyarrow"), threshold=0.999
+    )
+
+
+def q_doc_token_count(sf_dir):
+    from ..stages.text import token_count_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_quality(sf_dir):
+    from ..stages.text import quality_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_langid(sf_dir):
+    from ..stages.text import LangId
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+
+def q_doc_fingerprint(sf_dir):
+    from ..stages.text import fingerprint_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _query_vectors(sf_dir, n: int = 3):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n))
+    ids = t["vec_id"].to_pylist()
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return vecs, ids
+
+
+def q_emb_ann_topk(sf_dir):
+    from ..stages.similarity import brute_force_topk
+
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, vecs, ids, k=10)
+
+
+def q_emb_ann_ivf(sf_dir):
+    from ..stages.similarity import ivf_topk
+
+    vecs, ids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, vecs, ids, k=10)
+
+
+def q_mm_payload_stats(sf_dir):
+    from ..stages.multimodal import DecodeImageStub, decode_stage
+
+    ds = webpages_from_documents(sf_dir)
+    out = decode_stage(ds, DecodeImageStub, batch_size=256, concurrency=2)
+    return out.select_columns(["url", "n_bytes"])
+
+
+def q_mm_decode(sf_dir):
+    from ..stages.multimodal import DecodeImageStub, decode_stage
+
+    ds = webpages_from_documents(sf_dir)
+    return decode_stage(ds, DecodeImageStub, batch_size=256, concurrency=2)
+
+
+def q_mm_frame_sample(sf_dir):
+    from ..stages.multimodal import FrameSampleStub, decode_stage
+
+    ds = webpages_from_documents(sf_dir)
+    out = decode_stage(ds, FrameSampleStub, batch_size=256, concurrency=2)
+    return out.select_columns(["url", "frame_id"])
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -395,6 +543,19 @@ QUERIES = {
     "tpch_sort": q_tpch_sort,
     "tpch_distinct": q_tpch_distinct,
     "tpch_union": q_tpch_union,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "emb_ann_topk": q_emb_ann_topk,
+    "emb_ann_ivf": q_emb_ann_ivf,
+    "mm_payload_stats": q_mm_payload_stats,
+    "mm_decode": q_mm_decode,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 ORACLES = {
@@ -525,4 +686,29 @@ ORACLES = {
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
     "tpch_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "tpch_union": "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY md5(text)""",
+    "doc_token_count": r"SELECT doc_id, CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "doc_quality": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop
+        FROM documents""",
+    "emb_ann_topk": """
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id) AS BIGINT) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 3
+        QUALIFY rank <= 10""",
+    "mm_payload_stats": f"{_W} SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes FROM w",
+    # dedup_minhash / dedup_simhash / dedup_embedding / doc_langid /
+    # doc_fingerprint / emb_ann_ivf / mm_decode / mm_frame_sample:
+    # intentionally no SQL oracle (sketch/heuristic ops) — driver records
+    # rows-only; exactness is covered by pytest property/golden tests.
 }

@@ -69,7 +69,10 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
     host = batch["host"].to_pylist()
     lang = batch["lang"].to_pylist()
     ts_us = np.asarray(
-        pc.cast(batch["warc_ts"], pa.int64()).combine_chunks(), dtype=np.int64
+        pc.cast(
+            pc.cast(batch["warc_ts"], pa.timestamp("us")), pa.int64()
+        ).combine_chunks(),
+        dtype=np.int64,
     )
     n = batch.num_rows
     ckey = [""] * n

@@ -1,0 +1,340 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash functions are explicitly seeded/derandomized (blake2b, fixed
+linear-congruential permutations) so every run — and every replayed
+partition — produces identical results (resume idempotence).
+
+Scale shapes:
+* exact:     hash-partition on content digest → per-group first.
+             One shuffle of (digest, doc_id) pairs only.
+* MinHash+LSH: per-batch shingle→minhash (vectorized numpy), explode to
+             (band_id, band_hash, doc_id) rows → groupby bands → candidate
+             pairs → exact-Jaccard verify on the (small) candidate set.
+             Shuffles only band keys + doc ids, never the text.
+* SimHash:   64-bit signature; Hamming ≤ d via pigeonhole segment
+             blocking (d+1 segments) → groupby segment value → verify.
+* embedding: cosine ≥ t via random-hyperplane LSH bucketing → verify
+             with exact dot products (brute-force per bucket).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def md5_hex(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (text_md5, keeper_doc_id, n): one row per distinct content."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_md5": pa.array(md5_hex(t[text_col].to_pylist())),
+                id_col: t[id_col],
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = hashed.groupby("text_md5").aggregate(
+        Min(id_col, alias_name="keeper_doc_id"), Count(alias_name="n")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash (vectorized, seeded)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_LSH_BANDS = 16  # 16 bands x 4 rows
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Stable 61-bit hashes of word k-shingles."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+        ) % _MERSENNE
+    return out
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    sh = shingle_hashes(text, k)
+    # (P, S) permuted values -> min over shingles, vectorized
+    vals = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)  # (_N_PERM,) uint64
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingle_hashes(a, k).tolist()), set(shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Near-duplicate pairs (doc_id_a < doc_id_b, jaccard >= threshold).
+
+    Pipeline: map_batches(minhash+bands) → explode (band, band_hash, id)
+    → groupby band key → candidate pairs → broadcast candidate texts →
+    exact-Jaccard verify. Returns a Dataset with columns
+    (doc_id_a, doc_id_b, jaccard:double rounded to 4).
+    """
+    import ray
+    import ray.data as rd
+
+    rows_per_band = _N_PERM // _LSH_BANDS
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        band_ids, band_hashes, out_ids = [], [], []
+        for i, txt in enumerate(texts):
+            sig = minhash_signature(txt or "", k)
+            for b in range(_LSH_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                band_ids.append(b)
+                band_hashes.append(h)
+                out_ids.append(ids[i])
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.string()),
+                id_col: pa.array(out_ids, type=pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(bands, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        a, b = zip(*itertools.combinations(ids, 2))
+        return pd.DataFrame({"doc_id_a": list(a), "doc_id_b": list(b)})
+
+    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands (small shuffle: id pairs only)
+    cand = cand.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # verify: broadcast texts of candidate ids (candidate set << corpus)
+    cand_tbl = cand.to_pandas()
+    if cand_tbl.empty:
+        return rd.from_items([]).map_batches(
+            lambda t: pa.table(
+                {"doc_id_a": pa.array([], type=pa.int64()),
+                 "doc_id_b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    need = set(cand_tbl["doc_id_a"]) | set(cand_tbl["doc_id_b"])
+    texts_df = (
+        ds.map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_col], value_set=pa.array(sorted(need)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    text_by_id = dict(zip(texts_df[id_col].astype(int), texts_df[text_col]))
+    ref = ray.put(text_by_id)
+    cand_ds = rd.from_pandas(cand_tbl)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        aa = t["doc_id_a"].to_pylist()
+        bb = t["doc_id_b"].to_pylist()
+        js = [round(exact_jaccard(lookup[int(x)], lookup[int(y)], k), 4)
+              for x, y in zip(aa, bb)]
+        out = pa.table(
+            {
+                "doc_id_a": pa.array([int(x) for x in aa], type=pa.int64()),
+                "doc_id_b": pa.array([int(x) for x in bb], type=pa.int64()),
+                "jaccard": pa.array(js, type=pa.float64()),
+            }
+        )
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (stable blake2b feature hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via pigeonhole
+    blocking on (max_hamming+1) signature segments."""
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        rows_seg, rows_val, rows_id, rows_sig = [], [], [], []
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            s = simhash64(txt or "")
+            for seg in range(n_seg):
+                lo = seg * seg_bits
+                width = seg_bits if seg < n_seg - 1 else 64 - lo
+                val = (s >> lo) & ((1 << width) - 1)
+                rows_seg.append(seg)
+                rows_val.append(val)
+                rows_id.append(ids[i])
+                rows_sig.append(s)
+        return pa.table(
+            {
+                "seg": pa.array(rows_seg, type=pa.int32()),
+                "seg_val": pa.array(rows_val, type=pa.int64()),
+                id_col: pa.array(rows_id, type=pa.int64()),
+                "sig": pa.array([x - (1 << 64) if x >= (1 << 63) else x for x in rows_sig],
+                                type=pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "hamming": []})
+        recs = sorted(zip(g[id_col].astype(int), g["sig"].astype(np.int64)))
+        out_a, out_b, out_h = [], [], []
+        for (ia, sa), (ib, sb) in itertools.combinations(recs, 2):
+            if ia == ib:
+                continue
+            h = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_h.append(h)
+        return pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b, "hamming": out_h})
+
+    found = exploded.groupby(["seg", "seg_val"]).map_groups(pairs, batch_format="pandas")
+    return found.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (random hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        seed: int = 42):
+    """Pairs with cosine >= threshold. Bucket by sign pattern of
+    `n_planes` random hyperplanes, verify exactly inside each bucket.
+    High-cosine pairs collide with high probability; exact verify keeps
+    precision at 1.0."""
+
+    def bucketize_factory(dim: int):
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            signs = (unit @ planes.T) >= 0  # (n, P)
+            keys = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys.astype(np.int64)),
+                    id_col: t[id_col],
+                    vec_col: t[vec_col],
+                }
+            )
+
+        return bucketize
+
+    import pyarrow.parquet  # noqa: F401
+
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    bucketed = ds.map_batches(bucketize_factory(dim), batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].astype(int).to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    found = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return found.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis stages: token counting, quality scoring, language ID,
+document fingerprinting (winnowing).
+
+All run as vectorized ``map_batches``; LangId is a callable class (actor
+pool) because it holds compiled tables — the model-load-once pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token count + quality (SQL-oracle-able integer features)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("a", "the")
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    n_tok = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+    return pa.table(
+        {"doc_id": t["doc_id"], "n_tokens": pc.cast(n_tok, pa.int64())}
+    )
+
+
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality features: n_chars_calc, n_tokens, n_stop."""
+    texts = t[text_col]
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    toks = pc.split_pattern(texts, " ")
+    n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
+    # stopword count: flatten + is_in + per-row sum via list offsets
+    flat = pc.list_flatten(toks)
+    hit = pc.cast(pc.is_in(flat, value_set=pa.array(list(STOPWORDS))), pa.int8())
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    hits_np = hit.to_numpy(zero_copy_only=False)
+    idx = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=idx[1:])
+    n_stop = np.add.reduceat(hits_np, idx[:-1]).astype(np.int64) if len(lengths) else np.array([], dtype=np.int64)
+    n_stop[lengths == 0] = 0
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tok,
+            "n_stop": pa.array(n_stop),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stateful heuristic — actor pool)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is that it for".split()),
+    "de": frozenset("der die das und ist ein eine nicht mit von".split()),
+    "fr": frozenset("le la les et est une des que pour dans".split()),
+    "es": frozenset("el la los y es una que de para con".split()),
+}
+
+
+class LangId:
+    """Stopword-voting language identifier (n-gram-heuristic analogue).
+
+    CJK detection by codepoint range; otherwise argmax of stopword hits
+    with deterministic tiebreak on language code. Loaded once per actor.
+    """
+
+    def __init__(self):
+        self.tables = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.order = sorted(self.tables)
+
+    def predict(self, text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        words = text.lower().split()
+        best, best_score = "en", -1
+        for lang in self.order:
+            score = sum(1 for w in words if w in self.tables[lang])
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self.predict(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, type=pa.string())}
+        )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> list[int]:
+    """Standard winnowing: k-gram hashes, per-window minimum (rightmost
+    min kept), deduplicated in order. Deterministic (blake2b)."""
+    if len(text) < k:
+        grams = [text]
+    else:
+        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hs = [
+        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
+        for g in grams
+    ]
+    if len(hs) <= window:
+        return [min(hs)] if hs else []
+    out: list[int] = []
+    last = -1
+    for i in range(len(hs) - window + 1):
+        w = hs[i : i + window]
+        m = min(w)
+        j = i + max(idx for idx, v in enumerate(w) if v == m)
+        if j != last:
+            out.append(hs[j - i + i])
+            last = j
+    # keep order, drop consecutive duplicates only (standard winnowing)
+    return out
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [winnow_fingerprints(x or "") for x in t[text_col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_fp": pa.array([len(f) for f in fps], type=pa.int64()),
+            "min_fp": pa.array([min(f) if f else 0 for f in fps], type=pa.int64()),
+        }
+    )
