@@ -1,0 +1,175 @@
+"""Benchmark harness (driver-run each round; see BASELINE.md).
+
+Headline: the flagship parse → match → enrich → correlate → route
+pipeline over a seed-deterministic synthetic webpages table (Zipf-hot
+hosts, planted pattern rates — synth.py) sized to the scale factor of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1). The table is
+materialized to parquet ONCE under /tmp and reused (we benchmark the
+pipeline, not the generator); one untimed read warms the page cache.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows": R, "rows_per_sec": ...}
+
+``--scaling``: reruns this script in fresh processes at num_cpus=8 and
+32 on the identical input and reports throughput at both plus
+efficiency = (thr_32/thr_8)/(32/8); appended to BENCH/BASELINE.md by
+tools/record_baseline.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/sagan_bench_cache"
+
+# rows of synthetic webpages per sf (sf read from the dir name).
+# sf0.1 uses 8M rows: measured fixed overhead is ~3.3 s/run, so the
+# headline must run >40 s at 8 CPUs for the 8→32 scaling ratio to
+# reflect compute (not session startup); see BASELINE.md.
+_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 8_000_000}
+
+
+def bench_rows() -> int:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    return _ROWS_BY_SF.get(name, 2_000_000)
+
+
+_SYNTH_VERSION = 3  # bump when synth.py changes planted rates/vocab
+
+
+def ensure_input(n_rows: int) -> str:
+    path = os.path.join(CACHE_ROOT, f"webpages_v{_SYNTH_VERSION}_{n_rows}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    from sagan_ray.synth import generate_webpages
+
+    generate_webpages(n_rows).write_parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import load_default_rules, run_streaming
+    from sagan_ray.sources.webpages import webpages_from_documents
+
+    n_rows = bench_rows()
+    inp = ensure_input(n_rows)
+    rules = load_default_rules()
+
+    # warm the page cache (untimed)
+    rd.read_parquet(inp).count()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: full flagship over the synthetic webpages ----
+    # best of 2 (the executor's first run pays worker-pool warmup; the
+    # second measures steady-state — what a long-running job sees)
+    headline = float("inf")
+    for _ in range(2):
+        out_dir = "/tmp/sagan_bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(
+            inp, columns=["url", "warc_ts", "text", "lang", "host", "doc_id"]
+        )
+        manifest = run_streaming(ds, rules, out_dir, enrich=False)
+        headline = min(headline, time.perf_counter() - t0)
+    timings["flagship_parse_route"] = round(headline, 3)
+
+    # ---- representative per-operator queries over $GRAFT_SF_DIR ----
+    from sagan_ray.pipelines import queries as Q
+
+    def timeit(name: str, fn) -> None:
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazily-built Datasets fully (count() drives execution)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timeit("wp_route_counts", Q.q_wp_route_counts)
+    timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
+    timeit("tpch_q1", Q.q_tpch_q1)
+    timeit("tpch_join_agg", Q.q_tpch_join_agg)
+    timeit("dedup_exact", Q.q_dedup_exact)
+    timeit("doc_quality", Q.q_doc_quality)
+    timeit("emb_ann_topk", Q.q_emb_ann_topk)
+
+    result = {
+        "metric": "flagship parse->match->correlate->route wall time (synthetic webpages)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / headline, 1),
+        "alerts_routed": manifest["total"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    thr_lo = r_lo["rows_per_sec"]
+    thr_hi = r_hi["rows_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh processes, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "rows_per_sec_8": thr_lo,
+        "rows_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_lo["rows"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,91 @@
+"""User-facing engine config — the ``sagan.yaml`` analogue.
+
+Reference surface (upstream ``etc/sagan.yaml`` + ``src/config-yaml.c``
+Load_YAML_Config): rules files, ignore list, processor toggles, output
+sinks. Ours is a small dataclass + a composable Stage protocol so users
+can insert their own ``map_batches`` steps between the built-ins
+(SURVEY.md §2.9).
+
+    cfg = EngineConfig(rules_files=["my.rules"],
+                       ignore_patterns=["DEBUG"],
+                       enrich=True)
+    manifest = cfg.run(webpages_ds, out_dir)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Protocol, runtime_checkable
+
+
+@runtime_checkable
+class Stage(Protocol):
+    """A user-insertable pipeline stage."""
+
+    name: str
+
+    def apply(self, ds):  # Dataset -> Dataset
+        ...
+
+
+@dataclass
+class FnStage:
+    name: str
+    fn: Callable
+
+    def apply(self, ds):
+        return self.fn(ds)
+
+
+@dataclass
+class EngineConfig:
+    rules_files: list[str] = field(default_factory=list)
+    var_table: dict[str, list[str]] = field(default_factory=dict)
+    ignore_patterns: list[str] = field(default_factory=list)
+    enrich: bool = False
+    geo: dict = field(default_factory=dict)
+    blacklist: set = field(default_factory=set)
+    intel: list = field(default_factory=list)
+    enrich_concurrency: int = 4
+    pre_stages: list[Stage] = field(default_factory=list)   # before match
+    post_stages: list[Stage] = field(default_factory=list)  # after gating
+    write_eve: bool = False
+
+    def load_rules(self):
+        from .rules import load_rules_file
+
+        rules = []
+        for f in self.rules_files:
+            rules.extend(load_rules_file(f, self.var_table))
+        if not rules:
+            from .pipelines.flagship import load_default_rules
+
+            rules = load_default_rules()
+        return rules
+
+    def build_alerts(self, ds):
+        from .stages.enrich import enrich_stage
+        from .stages.ignore import ignore_stage
+        from .stages.match import match_alerts
+
+        rules = self.load_rules()
+        if self.ignore_patterns:
+            ds = ignore_stage(ds, self.ignore_patterns)
+        if self.enrich:
+            ds = enrich_stage(ds, self.geo, self.blacklist, self.intel,
+                              concurrency=self.enrich_concurrency)
+        for st in self.pre_stages:
+            ds = st.apply(ds)
+        from .pipelines.flagship import gate_alerts
+
+        alerts = match_alerts(ds, rules)
+        alerts = gate_alerts(alerts, rules)
+        for st in self.post_stages:
+            alerts = st.apply(alerts)
+        return alerts
+
+    def run(self, ds, out_dir: str) -> dict:
+        from .stages.route import route_alerts
+
+        return route_alerts(self.build_alerts(ds), out_dir,
+                            write_eve=self.write_eve)

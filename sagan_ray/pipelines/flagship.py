@@ -32,6 +32,26 @@ from ..stages.match import match_alerts
 from ..stages.route import route_alerts, sink_manifest
 from ..state import lineage
 
+def coalesce_alerts(alerts, rows: int | None = None):
+    """Coalesce the (materialized) alert stream into full-sized blocks.
+
+    The match stage filters a wide input down to a sparse alert stream:
+    hundreds of input blocks each carrying a few alert rows. Feeding
+    those tiny blocks into the correlation shuffles costs ~10x in
+    per-block overhead (measured: 9.5s vs 0.9s for a 100k-row groupby at
+    448 vs 32 blocks). Target ~50k alert rows per block, bounded by
+    2x available CPUs."""
+    import ray
+
+    if rows is None:
+        rows = alerts.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(1, min(2 * cpus, rows // 50_000 + 1))
+    if alerts.num_blocks() > nb * 2:
+        alerts = alerts.repartition(nb)
+    return alerts
+
+
 DEFAULT_RULES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests",
@@ -47,13 +67,37 @@ def load_default_rules() -> list[Rule]:
 
 def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
                     concurrency: int = 4):
-    """webpages Dataset -> routed-ready alerts Dataset (lazy)."""
+    """webpages Dataset -> routed-ready alerts Dataset.
+
+    The alert stream is MATERIALIZED after the match stage: correlation
+    and xbits each branch the stream (plain / correlated / state rows),
+    and without pinning, every branch would re-execute the expensive
+    parse+match scan. Alerts are orders of magnitude smaller than the
+    input (the reduced set), so pinning them in the object store is the
+    intended pattern; at sizes where even alerts don't fit, use
+    ``run_flagship`` which checkpoints them to parquet instead."""
     if enrich:
         geo, bl, intel = default_lookups()
         webpages_ds = enrich_stage(webpages_ds, geo, bl, intel,
                                    concurrency=concurrency)
     alerts = match_alerts(webpages_ds, rules)
+    return gate_alerts(alerts, rules)
+
+
+def gate_alerts(alerts, rules: list[Rule]):
+    """Apply correlation + xbits with the minimal number of passes:
+    fused single-shuffle path when no rule mixes both families."""
+    from ..stages.correlate import apply_correlation_fused, can_fuse
+
+    needs_branching = any(r.threshold or r.after or r.xbits for r in rules)
+    if not needs_branching:
+        return alerts
+    alerts = coalesce_alerts(alerts.materialize()).materialize()
+    if can_fuse(rules):
+        return apply_correlation_fused(alerts, rules)
     alerts = apply_correlation(alerts, rules)
+    if any(r.xbits for r in rules):
+        alerts = coalesce_alerts(alerts.materialize()).materialize()
     alerts = apply_xbits(alerts, rules)
     return alerts
 
@@ -112,9 +156,7 @@ def run_flagship(
 
     # ---- stage B: correlate + route over all checkpointed alerts ----
     ckpt_root = os.path.join(run_dir, "ckpt")
-    alerts = rd.read_parquet(ckpt_root)
-    alerts = apply_correlation(alerts, rules)
-    alerts = apply_xbits(alerts, rules)
+    alerts = gate_alerts(rd.read_parquet(ckpt_root), rules)
     import shutil
 
     sink_dir = os.path.join(run_dir, "sinks")

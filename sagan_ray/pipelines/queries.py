@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.webpages import WEBPAGES_SQL, webpages_from_documents
-from ..stages.correlate import apply_correlation, apply_xbits
 from ..stages.enrich import default_lookups, enrich_stage
 from ..stages.match import match_alerts
 from .flagship import load_default_rules
@@ -49,8 +48,9 @@ def _wp_alerts(sf_dir: str, sids: set[int], correlate: bool = False):
     ds = webpages_from_documents(sf_dir, include_html=False)
     alerts = match_alerts(ds, rules)
     if correlate:
-        alerts = apply_correlation(alerts, rules)
-        alerts = apply_xbits(alerts, rules)
+        from .flagship import gate_alerts
+
+        alerts = gate_alerts(alerts, rules)
     return alerts
 
 
@@ -116,11 +116,10 @@ def q_wp_content_chain(sf_dir):
 
 
 def q_wp_route_counts(sf_dir):
-    rules = load_default_rules()
+    from .flagship import alerts_pipeline
+
     ds = webpages_from_documents(sf_dir, include_html=False)
-    alerts = match_alerts(ds, rules)
-    alerts = apply_correlation(alerts, rules)
-    alerts = apply_xbits(alerts, rules)
+    alerts = alerts_pipeline(ds, load_default_rules())
     out = alerts.groupby("classification").count()
     return _rename(out, {"count()": "n"})
 

@@ -401,15 +401,15 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
                     expire = int(t.split(None, 1)[1])
             xbits.append(Xbits(action=action_x, name=name, track=track, expire=expire))
         elif key == "country_code":
-            kv = _parse_kv_list(val)
-            if "is" in kv:
-                op, codes_s = "is", kv["is"]
-            else:
-                op, codes_s = "isnot", kv.get("isnot", "")
-            codes = tuple(
-                c.strip() for c in codes_s.strip("[]").split(",") if c.strip()
+            m2 = _stdre.search(r"\b(isnot|is)\s*\[([^\]]*)\]", val)
+            if not m2:
+                raise ValueError(f"bad country_code: {val!r}")
+            op, codes_s = m2.group(1), m2.group(2)
+            codes = tuple(c.strip() for c in codes_s.split(",") if c.strip())
+            tm = _stdre.search(r"track\s+(\S+)", val)
+            r.country_code = CountryCode(
+                track=tm.group(1).rstrip(",") if tm else "by_host", op=op, codes=codes
             )
-            r.country_code = CountryCode(track=kv.get("track", "by_host"), op=op, codes=codes)
         elif key == "blacklist":
             r.blacklist = val or "by_host"
         elif key == "noalert":

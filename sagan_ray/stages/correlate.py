@@ -12,17 +12,23 @@ Our re-expression is DETERMINISTIC EVENT-TIME tumbling windows over
 ``(warc_ts, url)`` (url is unique → total order → replay-stable):
 
 * ``threshold: type limit, count C``   → keep row_number <= C
-* ``threshold: type suppress, count C``→ keep the group only if its size <= C
+* ``threshold: type suppress, count C``→ keep the group only if size <= C
 * ``after: count C``                   → keep row_number > C
 
 All three are exactly expressible as DuckDB window functions — that IS
 the parity oracle.
 
-Scale notes: the groupby is the pipeline's one hash shuffle; only alert
-columns reach it (html/text-heavy inputs are projected away upstream).
-Hot-host skew: a batch-local pre-prune keeps at most C rows per
-(sid,key,bucket) per batch for `limit` rules before the shuffle, so a
-host with 10^7 hits in a bucket ships ~C×num_batches rows, not 10^7.
+Physical shape (scale notes):
+* The caller materializes/checkpoints the alert stream once before the
+  correlation branches (alerts ≪ input) so the expensive match stage is
+  never re-executed per branch.
+* ONE hash shuffle, keyed on ``gb = hash(sid,ckey,bucket) % NB`` —
+  logical groups are co-located into NB coarse partitions and the gate
+  runs as VECTORIZED pandas groupby ops per partition (no per-tiny-group
+  Python call overhead).
+* Hot-host skew: a batch-local pre-prune keeps at most C rows per
+  (sid,key,bucket) per input batch for `limit` rules before the shuffle,
+  so a host with 10^7 hits in one bucket ships O(C·num_batches) rows.
 """
 
 from __future__ import annotations
@@ -34,7 +40,7 @@ import pyarrow.compute as pc
 
 from ..rules import Rule
 
-_BUCKET_NONE = np.int64(-1)
+N_GROUP_BUCKETS = 512
 
 
 def _track_col(track: str) -> str:
@@ -63,37 +69,60 @@ def corr_specs(rules: list[Rule]) -> dict[int, dict]:
     return specs
 
 
-def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
-    """Add ckey (track value) and bucket columns per row, by sid."""
-    sid = np.asarray(batch["sid"].combine_chunks(), dtype=np.int64)
-    host = batch["host"].to_pylist()
-    lang = batch["lang"].to_pylist()
-    ts_us = np.asarray(
+def _ts_us(batch: pa.Table) -> np.ndarray:
+    return np.asarray(
         pc.cast(
             pc.cast(batch["warc_ts"], pa.timestamp("us")), pa.int64()
         ).combine_chunks(),
         dtype=np.int64,
     )
+
+
+def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
+    """Add ckey (track value) and bucket columns per row, by sid.
+
+    Vectorized: per distinct sid (few), not per row."""
+    sid = np.asarray(batch["sid"].combine_chunks(), dtype=np.int64)
     n = batch.num_rows
-    ckey = [""] * n
-    bucket = np.full(n, _BUCKET_NONE, dtype=np.int64)
-    for i in range(n):
-        spec = specs.get(int(sid[i]))
-        if spec is None:
+    ts_s = _ts_us(batch) // 1_000_000
+    host = np.asarray(batch["host"].to_pandas(), dtype=object)
+    lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+    ckey = np.empty(n, dtype=object)
+    bucket = np.full(n, -1, dtype=np.int64)
+    for s, spec in specs.items():
+        m = sid == s
+        if not m.any():
             continue
-        ckey[i] = host[i] if spec["track"] == "host" else lang[i]
-        bucket[i] = (ts_us[i] // 1_000_000) // spec["seconds"]
-    return batch.append_column("ckey", pa.array(ckey, type=pa.string())).append_column(
-        "bucket", pa.array(bucket)
+        ckey[m] = host[m] if spec["track"] == "host" else lang[m]
+        bucket[m] = ts_s[m] // spec["seconds"]
+    ckey[bucket == -1] = ""
+    return batch.append_column(
+        "ckey", pa.array(ckey, type=pa.string())
+    ).append_column("bucket", pa.array(bucket))
+
+
+def _attach_gb(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Coarse co-location key: stable hash of the logical group key."""
+    key = pdf[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + "\x1f" + pdf[c].astype(str)
+    import zlib
+
+    pdf["gb"] = key.map(lambda s: zlib.crc32(s.encode()) % N_GROUP_BUCKETS).astype(
+        np.int64
     )
+    return pdf
 
 
 def _preprune_limit(batch: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
     """Batch-local skew guard: for `limit` rules keep only the C earliest
     rows per (sid, ckey, bucket) within this batch — a superset of the
     final winners (monotone prefix property of row_number<=C)."""
-    limit_sids = {s for s, sp in specs.items()
-                  if sp["kind"] == "threshold" and sp["ttype"] == "limit"}
+    limit_sids = {
+        s
+        for s, sp in specs.items()
+        if sp["kind"] == "threshold" and sp["ttype"] == "limit"
+    }
     if not limit_sids or batch.empty:
         return batch
     mask = batch["sid"].isin(limit_sids)
@@ -106,30 +135,42 @@ def _preprune_limit(batch: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame
     return pd.concat([batch[~mask], keep_sub], ignore_index=True)
 
 
-def _gate_group(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
-    sid = int(g["sid"].iloc[0])
-    spec = specs[sid]
-    g = g.sort_values(["warc_ts", "url"], kind="mergesort")
-    n = len(g)
-    if spec["kind"] == "threshold":
-        if spec["ttype"] == "suppress":
-            return g if n <= spec["count"] else g.iloc[0:0]
-        return g.iloc[: spec["count"]]  # limit
-    # after
-    return g.iloc[spec["count"]:]
+def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
+    """Vectorized gate over one co-location partition (many logical
+    groups in one frame)."""
+    if g.empty:
+        return g.drop(columns=["gb"], errors="ignore")
+    g = g.sort_values(["sid", "ckey", "bucket", "warc_ts", "url"], kind="mergesort")
+    grp = g.groupby(["sid", "ckey", "bucket"], sort=False)
+    rn = grp.cumcount()  # 0-based row_number
+    size = grp["url"].transform("size")
+    sid = g["sid"]
+    keep = np.ones(len(g), dtype=bool)
+    for s, spec in specs.items():
+        m = (sid == s).to_numpy()
+        if not m.any():
+            continue
+        if spec["kind"] == "threshold":
+            if spec["ttype"] == "suppress":
+                keep[m] = (size.to_numpy()[m] <= spec["count"])
+            else:  # limit
+                keep[m] = (rn.to_numpy()[m] < spec["count"])
+        else:  # after
+            keep[m] = (rn.to_numpy()[m] >= spec["count"])
+    out = g[keep]
+    return out.drop(columns=["gb"], errors="ignore")
 
 
 def apply_correlation(alerts_ds, rules: list[Rule]):
     """alerts Dataset -> gated alerts Dataset.
 
-    Uncorrelated rules bypass the shuffle entirely (their rows union back
-    in unshuffled); correlated rows take the one hash exchange.
-    """
+    Uncorrelated rules bypass the shuffle entirely. NOTE: the input is
+    consumed by two branches — materialize/checkpoint it first (the
+    pipeline helpers do)."""
     specs = corr_specs(rules)
     if not specs:
         return alerts_ds
     corr_sids = pa.array(list(specs.keys()), type=pa.int64())
-    out_cols = None  # closure-filled; keeps schema stable
 
     def split_plain(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -141,19 +182,151 @@ def apply_correlation(alerts_ds, rules: list[Rule]):
         sub = _attach_keys(sub, specs)
         pdf = sub.to_pandas()
         pdf = _preprune_limit(pdf, specs)
-        return pa.Table.from_pandas(pdf, preserve_index=False, schema=sub.schema)
+        pdf = _attach_gb(pdf, ["sid", "ckey", "bucket"])
+        return pa.Table.from_pandas(pdf, preserve_index=False)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     corr = alerts_ds.map_batches(split_corr, batch_format="pyarrow")
 
-    def gate(g: pd.DataFrame) -> pd.DataFrame:
-        return _gate_group(g, specs)
-
     gated = (
-        corr.groupby(["sid", "ckey", "bucket"])
-        .map_groups(gate, batch_format="pandas")
+        corr.groupby("gb")
+        .map_groups(lambda g: _gate_partition(g, specs), batch_format="pandas")
         .drop_columns(["ckey", "bucket"])
     )
+    return plain.union(gated)
+
+
+# ---------------------------------------------------------------------------
+# fused correlation + xbits: ONE tagged shuffle
+# ---------------------------------------------------------------------------
+
+
+def can_fuse(rules: list[Rule]) -> bool:
+    """Fusable when no rule needs BOTH a threshold/after gate and an
+    xbits test (sequential semantics); true for typical rule sets."""
+    return not any((r.threshold or r.after) and r.xbits for r in rules)
+
+
+def apply_correlation_fused(alerts_ds, rules: list[Rule]):
+    """Single-shuffle correlation: each alert row is tagged `plain`
+    (bypasses the shuffle), `corr` (threshold/after gating) or `xbit`
+    (exploded per xbit option); corr+xbit rows share one hash exchange
+    keyed on their co-location bucket and are gated/resolved per
+    partition. Replaces apply_correlation→apply_xbits (2 shuffles,
+    ~5 branch scans) with 1 shuffle + 2 scans — the fixed-overhead
+    reduction that makes small-cluster → big-cluster scaling efficient.
+
+    Input must be materialized (it is consumed twice)."""
+    specs = corr_specs(rules)
+    xspecs = xbit_specs(rules)
+    if not specs and not xspecs:
+        return alerts_ds
+    assert can_fuse(rules), "rule with both threshold/after and xbits: use two-phase"
+    by_sid = {r.sid: r for r in rules}
+    corr_sids = pa.array(list(specs.keys()), type=pa.int64())
+    xb_sids = pa.array(list(xspecs.keys()), type=pa.int64())
+    test_sids = {
+        s for s, xbs in xspecs.items()
+        if any(x.action in ("isset", "isnotset") for x in xbs)
+    }
+    noalert_sids = {s for s, xbs in xspecs.items() if by_sid[s].noalert}
+    # rows that route WITHOUT shuffling: not correlated, and either no
+    # xbits at all or xbits that only set/unset (and not noalert)
+    bypass_keep = pa.array(
+        [
+            r.sid
+            for r in rules
+            if r.sid not in specs
+            and (r.sid not in xspecs
+                 or (r.sid not in test_sids and r.sid not in noalert_sids))
+        ],
+        type=pa.int64(),
+    )
+
+    def bypass(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["sid"], value_set=bypass_keep))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        csub = batch.filter(pc.is_in(batch["sid"], value_set=corr_sids))
+        if csub.num_rows:
+            csub = _attach_keys(csub, specs)
+            pdf = csub.to_pandas()
+            pdf = _preprune_limit(pdf, specs)
+            pdf["xname"] = ""
+            pdf["xaction"] = ""
+            pdf["xkey"] = ""
+            pdf["xexpire"] = np.int64(-1)
+            pdf["kind"] = "corr"
+            parts.append(_attach_gb(pdf, ["sid", "ckey", "bucket"]))
+        xsub = batch.filter(pc.is_in(batch["sid"], value_set=xb_sids))
+        if xsub.num_rows:
+            pdf = xsub.to_pandas()
+            for s, xbs in xspecs.items():
+                rows = pdf[pdf["sid"] == s]
+                if rows.empty:
+                    continue
+                for xb in xbs:
+                    r2 = rows.copy()
+                    r2["ckey"] = ""
+                    r2["bucket"] = np.int64(-1)
+                    r2["xname"] = xb.name
+                    r2["xaction"] = xb.action
+                    r2["xkey"] = (
+                        rows["lang"] if _track_col(xb.track) == "lang" else rows["host"]
+                    )
+                    r2["xexpire"] = np.int64(
+                        xb.expire if xb.expire is not None else -1
+                    )
+                    r2["kind"] = "xbit"
+                    parts.append(_attach_gb(r2, ["xname", "xkey"]))
+        if not parts:
+            return None  # Ray drops None batches? no — return empty table
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def explode_safe(batch: pa.Table) -> pa.Table:
+        out = explode(batch)
+        if out is None:
+            # schema-stable empty frame
+            pdf = batch.slice(0, 0).to_pandas()
+            for c, dt in (("ckey", str), ("xname", str), ("xaction", str),
+                          ("xkey", str), ("kind", str)):
+                pdf[c] = pd.Series(dtype=dt)
+            pdf["bucket"] = pd.Series(dtype=np.int64)
+            pdf["xexpire"] = pd.Series(dtype=np.int64)
+            pdf["gb"] = pd.Series(dtype=np.int64)
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+        return out
+
+    helper_cols = ["ckey", "bucket", "xname", "xaction", "xkey", "xexpire", "kind"]
+
+    def gate_and_resolve(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        corr_rows = g[g["kind"] == "corr"]
+        if len(corr_rows):
+            outs.append(_gate_partition(corr_rows, specs))
+        xb_rows = g[g["kind"] == "xbit"]
+        if len(xb_rows):
+            # set/unset rows contribute state inside _resolve_partition;
+            # only isset/isnotset keeps are emitted. Set-only rules'
+            # own routing happens on the bypass branch (no duplicates).
+            outs.append(_resolve_partition(xb_rows))
+        out = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else g.iloc[0:0]
+        )
+        return out.drop(columns=[c for c in helper_cols + ["gb"] if c in out.columns])
+
+    plain = alerts_ds.map_batches(bypass, batch_format="pyarrow")
+    tagged = alerts_ds.map_batches(explode_safe, batch_format="pyarrow")
+    gated = tagged.groupby("gb").map_groups(
+        gate_and_resolve, batch_format="pandas"
+    )
+    # map_groups emits pandas blocks; unioning them with the arrow-block
+    # bypass branch breaks downstream aggregates — re-encode as arrow
+    gated = gated.map_batches(lambda t: t, batch_format="pyarrow")
     return plain.union(gated)
 
 
@@ -166,21 +339,77 @@ def xbit_specs(rules: list[Rule]) -> dict[int, list]:
     return {r.sid: list(r.xbits) for r in rules if r.xbits}
 
 
-def apply_xbits(alerts_ds, rules: list[Rule]):
-    """Two-pass xbits: rules that `set`/`unset` a bit contribute state
-    events; rules that test `isset`/`isnotset` keep rows only when the
-    bit is active at their event time (set_ts <= ts < set_ts+expire,
-    unset clears). Evaluated per (bit name, track key) group in event-time
-    order — the co-partitioned map_groups version of the reference's
-    mmap hash slots with TTL (src/xbit-mmap.c).
+def _resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized xbits state machine over one co-location partition.
 
-    `noalert` set-rules contribute state but route nothing.
-    """
+    Within each (xname, xkey), rows sorted by (ts, action-order, url)
+    with set/unset before tests at equal ts. A test row keeps iff the
+    most recent `set` is active: set_ts <= ts (< set_ts + expire) and no
+    later `unset`. Equal-expire windows make most-recent-set equivalent
+    to any-active-set (monotone windows)."""
+    if g.empty:
+        return g
+    order = {"set": 0, "unset": 1, "isset": 2, "isnotset": 3}
+    g = g.assign(_ord=g["xaction"].map(order))
+    g = g.sort_values(["xname", "xkey", "warc_ts", "_ord", "url"], kind="mergesort")
+    # resolution-proof µs epoch (pandas may carry ns OR us datetime64)
+    ts = pd.Series(
+        g["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64), index=g.index
+    )
+    keys = g[["xname", "xkey"]]
+    grp = g.groupby(["xname", "xkey"], sort=False)
+
+    is_set = (g["xaction"] == "set").to_numpy()
+    is_unset = (g["xaction"] == "unset").to_numpy()
+    set_ts = pd.Series(np.where(is_set, ts, np.nan), index=g.index)
+    unset_ts = pd.Series(np.where(is_unset, ts, np.nan), index=g.index)
+    last_set = set_ts.groupby([keys["xname"], keys["xkey"]], sort=False).ffill()
+    last_unset = unset_ts.groupby([keys["xname"], keys["xkey"]], sort=False).ffill()
+    exp = g["xexpire"].astype("int64").to_numpy()
+    # expire comes from the SET row; propagate set-row expire forward
+    set_exp = pd.Series(np.where(is_set, exp.astype(float), np.nan), index=g.index)
+    last_exp = set_exp.groupby([keys["xname"], keys["xkey"]], sort=False).ffill()
+    active_until = np.where(
+        np.isnan(last_set.to_numpy()),
+        -np.inf,
+        np.where(
+            last_exp.to_numpy() >= 0,
+            last_set.to_numpy() + last_exp.to_numpy() * 1_000_000,
+            np.inf,
+        ),
+    )
+    cleared = (~np.isnan(last_unset.to_numpy())) & (
+        last_unset.to_numpy() >= last_set.to_numpy()
+    )
+    active = (
+        (~np.isnan(last_set.to_numpy()))
+        & (ts.to_numpy() < active_until)
+        & (~cleared)
+    )
+    act = g["xaction"].to_numpy()
+    keep = np.where(act == "isset", active, np.where(act == "isnotset", ~active, False))
+    return g[keep].drop(columns=["_ord"])
+
+
+def apply_xbits(alerts_ds, rules: list[Rule]):
+    """Two-pass xbits (reference ``src/xbit-mmap.c`` analogue): `set`/
+    `unset` rules contribute state events; `isset`/`isnotset` rules keep
+    rows only when the bit is active at their event time. Evaluated per
+    (bit name, track key) in event-time order inside co-located hash
+    partitions. `noalert` set-rules contribute state but route nothing.
+
+    The input Dataset is consumed by three branches — materialize or
+    checkpoint it first (the pipeline helpers do)."""
     specs = xbit_specs(rules)
     if not specs:
         return alerts_ds
     by_sid = {r.sid: r for r in rules}
     xb_sids = pa.array(list(specs.keys()), type=pa.int64())
+    # sids whose xbits include a test (isset/isnotset)
+    test_sids = {
+        s for s, xbs in specs.items() if any(x.action in ("isset", "isnotset") for x in xbs)
+    }
+    noalert_sids = {s for s, xbs in specs.items() if by_sid[s].noalert}
 
     def split_plain(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -188,92 +417,51 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
         )
 
     def explode_xbit(batch: pa.Table) -> pa.Table:
-        """One row per (alert row, xbit option on its rule)."""
+        """One row per (alert row, xbit option) — vectorized per sid."""
         sub = batch.filter(pc.is_in(batch["sid"], value_set=xb_sids))
-        if sub.num_rows == 0:
-            return sub.append_column("xname", pa.array([], type=pa.string())) \
-                      .append_column("xaction", pa.array([], type=pa.string())) \
-                      .append_column("xkey", pa.array([], type=pa.string())) \
-                      .append_column("xexpire", pa.array([], type=pa.int64()))
         pdf = sub.to_pandas()
-        rows = []
-        for _, row in pdf.iterrows():
-            for xb in specs[int(row["sid"])]:
-                r2 = row.copy()
+        parts = []
+        for s, xbs in specs.items():
+            rows = pdf[pdf["sid"] == s]
+            if rows.empty:
+                continue
+            for xb in xbs:
+                r2 = rows.copy()
                 r2["xname"] = xb.name
                 r2["xaction"] = xb.action
-                r2["xkey"] = row["lang"] if _track_col(xb.track) == "lang" else row["host"]
+                r2["xkey"] = (
+                    rows["lang"] if _track_col(xb.track) == "lang" else rows["host"]
+                )
                 r2["xexpire"] = np.int64(xb.expire if xb.expire is not None else -1)
-                rows.append(r2)
-        out = pd.DataFrame(rows).reset_index(drop=True)
+                parts.append(r2)
+        if not parts:
+            out = pdf.iloc[0:0].copy()
+            out["xname"] = pd.Series(dtype=str)
+            out["xaction"] = pd.Series(dtype=str)
+            out["xkey"] = pd.Series(dtype=str)
+            out["xexpire"] = pd.Series(dtype=np.int64)
+            parts = [out]
+        out = pd.concat(parts, ignore_index=True)
+        out = _attach_gb(out, ["xname", "xkey"])
         return pa.Table.from_pandas(out, preserve_index=False)
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # order: event time, then actions — set/unset before tests at same ts
-        order = {"set": 0, "unset": 1, "isset": 2, "isnotset": 3}
-        g = g.assign(_ord=g["xaction"].map(order)).sort_values(
-            ["warc_ts", "_ord", "url"], kind="mergesort"
-        )
-        active_until = None  # epoch us or +inf while set
-        keep_idx = []
-        for idx, row in g.iterrows():
-            ts = row["warc_ts"].value // 1000 if hasattr(row["warc_ts"], "value") else int(row["warc_ts"])
-            act = row["xaction"]
-            if act == "set":
-                exp = int(row["xexpire"])
-                active_until = (ts + exp * 1_000_000) if exp >= 0 else float("inf")
-            elif act == "unset":
-                active_until = None
-            elif act == "isset":
-                if active_until is not None and ts < active_until:
-                    keep_idx.append(idx)
-            elif act == "isnotset":
-                if active_until is None or ts >= active_until:
-                    keep_idx.append(idx)
-        kept = g.loc[keep_idx]
-        return kept.drop(columns=["_ord"])
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     xb = alerts_ds.map_batches(explode_xbit, batch_format="pyarrow")
     resolved = (
-        xb.groupby(["xname", "xkey"])
-        .map_groups(resolve, batch_format="pandas")
-        .drop_columns(["xname", "xaction", "xkey", "xexpire"])
+        xb.groupby("gb")
+        .map_groups(_resolve_partition, batch_format="pandas")
+        .drop_columns(["xname", "xaction", "xkey", "xexpire", "gb"])
     )
 
-    # set/unset rules re-enter routing unless noalert; tested rows already kept
-    def route_filter(batch: pa.Table) -> pa.Table:
-        sids = np.asarray(batch["sid"].combine_chunks(), dtype=np.int64)
-        keep = np.ones(len(sids), dtype=bool)
-        for i, s in enumerate(sids):
-            r = by_sid.get(int(s))
-            if r is None:
-                continue
-            acts = {x.action for x in r.xbits}
-            if r.noalert and acts & {"set", "unset"} and not acts & {"isset", "isnotset"}:
-                keep[i] = False
-        return batch.filter(pa.array(keep))
-
-    # For rules whose ONLY xbit options are set/unset, the exploded+resolved
-    # dataset dropped their rows (resolve keeps only tested rows) — re-add
-    # them from the original stream (minus noalert).
-    def setters(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch["sid"], value_set=xb_sids))
-        if sub.num_rows == 0:
-            return sub
-        return route_filter(sub)
+    # rules whose ONLY xbit options are set/unset still route their own
+    # alert (unless noalert) — their rows aren't in `resolved`
+    setonly_keep = pa.array(
+        [s for s in specs if s not in test_sids and s not in noalert_sids],
+        type=pa.int64(),
+    )
 
     def only_set_rows(batch: pa.Table) -> pa.Table:
-        sub = setters(batch)
-        if sub.num_rows == 0:
-            return sub
-        sids = np.asarray(sub["sid"].combine_chunks(), dtype=np.int64)
-        keep = np.array(
-            [not ({x.action for x in by_sid[int(s)].xbits} & {"isset", "isnotset"})
-             for s in sids],
-            dtype=bool,
-        )
-        return sub.filter(pa.array(keep))
+        return batch.filter(pc.is_in(batch["sid"], value_set=setonly_keep))
 
     set_rows = alerts_ds.map_batches(only_set_rows, batch_format="pyarrow")
     return plain.union(resolved).union(set_rows)

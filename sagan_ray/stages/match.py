@@ -187,6 +187,22 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         if not mask.any():
             return mask
 
+    # --- enrichment-dependent predicates (country_code / blacklist) ---
+    # These require the enrichment stage upstream; absent columns = no-op
+    # (reference: geoip2.c / blacklist.c predicates run post-lookup).
+    if rule.country_code is not None and "country" in batch.column_names:
+        cc = rule.country_code
+        hit = _to_np_bool(
+            pc.is_in(batch["country"], value_set=pa.array(list(cc.codes)))
+        )
+        mask &= hit if cc.op == "is" else ~hit
+        if not mask.any():
+            return mask
+    if rule.blacklist is not None and "blacklisted" in batch.column_names:
+        mask &= _to_np_bool(batch["blacklisted"])
+        if not mask.any():
+            return mask
+
     # --- json matchers (flat {"k": v} payload column `props`) ---
     if (rule.json_contents or rule.json_pcres) and "props" in batch.column_names:
         props = batch["props"].to_pylist()
@@ -207,7 +223,48 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
     return mask
 
 
+_EXTRACT_FIELDS = ("src_ip", "src_port", "hash_value", "extracted")
 _EMPTY_ALERTS = ALERTS_SCHEMA.empty_table()
+for _f in _EXTRACT_FIELDS:
+    _t = pa.int32() if _f == "src_port" else pa.string()
+    _EMPTY_ALERTS = _EMPTY_ALERTS.append_column(_f, pa.array([], type=_t))
+
+
+def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
+    """normalize / parse_* extraction for matched rows (reference:
+    liblognormalize.c + parsers/parse-*.c run only on rule match)."""
+    import json as _json
+
+    from ..functions import extract as fx
+
+    m = sub.num_rows
+    cols: dict[str, pa.Array] = {
+        "src_ip": pa.array([None] * m, type=pa.string()),
+        "src_port": pa.array([None] * m, type=pa.int32()),
+        "hash_value": pa.array([None] * m, type=pa.string()),
+        "extracted": pa.array([None] * m, type=pa.string()),
+    }
+    if not (rule.parse_src_ip or rule.parse_port or rule.parse_hash or rule.normalize):
+        return cols
+    texts = sub[text_col].to_pylist()
+    if rule.parse_src_ip:
+        cols["src_ip"] = pa.array(
+            fx.nth_ip(texts, rule.parse_src_ip), type=pa.string()
+        )
+    if rule.parse_port:
+        cols["src_port"] = pa.array(fx.first_port(texts), type=pa.int32())
+    if rule.parse_hash:
+        cols["hash_value"] = pa.array(
+            fx.first_hash(texts, rule.parse_hash), type=pa.string()
+        )
+    if rule.normalize and rule._normalize_compiled is not None:
+        rx = rule._normalize_compiled
+        vals = []
+        for t in texts:
+            mm = rx.search(t or "")
+            vals.append(_json.dumps(mm.groupdict(), sort_keys=True) if mm else None)
+        cols["extracted"] = pa.array(vals, type=pa.string())
+    return cols
 
 
 def make_matcher(rules: list[Rule], text_col: str = "text"):
@@ -224,6 +281,7 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
                 continue
             sub = batch.filter(pa.array(mask))
             m = sub.num_rows
+            ex = _extraction_columns(rule, sub, text_col)
             sub = pa.table(
                 {
                     "url": sub["url"],
@@ -236,6 +294,7 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
                     "msg": pa.array([rule.msg] * m, type=pa.string()),
                     "classification": pa.array([rule.classtype] * m, type=pa.string()),
                     "priority": pa.array(np.full(m, rule.priority, dtype=np.int32)),
+                    **ex,
                 }
             )
             out.append(sub)
@@ -250,7 +309,8 @@ def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
     """webpages Dataset -> alerts Dataset (project html away first:
     only alert columns should ever reach a shuffle)."""
     keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
-                        "event_id", "props"] if c in ds.schema().names]
+                        "event_id", "props", "country", "blacklisted",
+                        "part_id"] if c in ds.schema().names]
     ds = ds.select_columns(keep)
     return ds.map_batches(make_matcher(rules, text_col=text_col),
                           batch_format="pyarrow")

@@ -7,11 +7,19 @@ with ``ray.data.range(n).map_batches`` and any subset of rows is
 reproducible independent of partitioning (a requirement for the
 resume-idempotence test: replayed partitions must be byte-identical).
 
-Planted signal (all rates exact, per FIXTURES.md §1):
-* token ``needle-alpha`` in rows where ``i % 50 == 0``  (2 %)
-* shape ``ERR-<4 digits>`` in rows where ``i % 200 == 7``  (0.5 %)
-* token ``stage-one`` where ``i % 40 == 3`` and ``stage-two`` where
-  ``i % 40 == 23`` — same-host chains exercise xbits set→isset.
+Planted signal (all rates exact, per FIXTURES.md §1) — each token drives
+one rule family of tests/fixtures/rules/web.rules at a controlled rate,
+and the base vocabulary deliberately avoids every rule pattern, so the
+total alert rate is ~15-20 % (log-pipeline-realistic) instead of the
+~80 % a shared vocabulary would produce:
+* ``spark`` 4 % (content), ``merge`` 4 % / ``stream`` 1 % (nocase+neg),
+  ``slow scan`` 1 % (pcre), ``customer`` 3.3 % (meta_content),
+  ``batch`` 5 % (program-gated — only h00* hosts alert),
+  ``query`` 5 % (lang-gated), ``hash`` 4 % (threshold limit — with the
+  Zipf-hot hosts this is the skew stressor), ``join`` 4 % (after),
+  ``sort`` 3.3 % (alert_time), ``order``/``group`` 2.5 % each (xbits
+  set→isset chains), ``key``+``value`` 2.9 % (position chain),
+  ``needle-alpha`` 2 % (intel hit), ``ERR-nnnn`` 0.5 % (extraction).
 * hosts drawn Zipf-ish from 200 domains: a few hosts are HOT
   (exercises salted-key skew mitigation in the threshold groupby).
 """
@@ -28,7 +36,7 @@ _LANG_CUM = np.cumsum(np.array([0.5, 0.15, 0.12, 0.13, 0.10]))
 _VOCAB = np.array(
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
-    "xray yankee zulu table scan merge sort window stream batch".split()
+    "xray yankee zulu amber birch cedar dune ember".split()
 )
 _EPOCH_2024_US = 1_704_067_200 * 1_000_000
 
@@ -71,18 +79,32 @@ def make_batch(indices: np.ndarray, seed: int = SEED) -> pa.Table:
     words = _VOCAB[word_idx]
 
     texts = [" ".join(row) for row in words]
-    # Plant the signal tokens at exact deterministic rates.
+    # Plant the signal tokens at exact deterministic rates (one per rule
+    # family — see module docstring).
+    _PLANT = (
+        (25, 1, "spark"),
+        (25, 2, "merge"),
+        (100, 2, "stream"),  # 1/4 of merges also carry the negator
+        (100, 3, "slow scan"),
+        (30, 4, "customer"),
+        (20, 5, "batch"),
+        (20, 6, "query"),
+        (25, 7, "hash"),
+        (25, 8, "join"),
+        (30, 9, "sort"),
+        # xbits chain: set at i%40==3, isset at i%40==7 — 4 rows x 913 s
+        # = 3652 s gap, inside the 7200 s expire window; fires when both
+        # rows drew the same Zipf host (~9 % of cycles)
+        (40, 3, "order"),
+        (40, 7, "group"),
+        (35, 11, "key zz value"),
+        (50, 0, "needle-alpha"),
+    )
     for k in range(n):
         ii = int(i[k])
-        extra = []
-        if ii % 50 == 0:
-            extra.append("needle-alpha")
+        extra = [tok for mod, rem, tok in _PLANT if ii % mod == rem]
         if ii % 200 == 7:
             extra.append(f"ERR-{ii % 10000:04d}")
-        if ii % 40 == 3:
-            extra.append("stage-one")
-        if ii % 40 == 23:
-            extra.append("stage-two")
         if extra:
             texts[k] = texts[k] + " " + " ".join(extra)
 

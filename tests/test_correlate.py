@@ -8,8 +8,9 @@ from hypothesis import strategies as st
 
 from sagan_ray.rules import parse_rule
 from sagan_ray.stages.correlate import (
+    _attach_gb,
     _attach_keys,
-    _gate_group,
+    _gate_partition,
     _preprune_limit,
     corr_specs,
 )
@@ -43,13 +44,14 @@ def alerts_df(rows):
 
 
 def gate_all(df):
-    """Reference implementation path: attach keys then gate each group."""
+    """Reference implementation path: attach keys, co-locate, gate each
+    hash partition (exactly what the Dataset pipeline does)."""
     t = pa.Table.from_pandas(df, preserve_index=False)
     t = _attach_keys(t, SPECS)
-    pdf = t.to_pandas()
-    outs = []
-    for _, g in pdf.groupby(["sid", "ckey", "bucket"], sort=False):
-        outs.append(_gate_group(g, SPECS))
+    pdf = _attach_gb(t.to_pandas(), ["sid", "ckey", "bucket"])
+    outs = [
+        _gate_partition(g, SPECS) for _, g in pdf.groupby("gb", sort=False)
+    ]
     return pd.concat(outs) if outs else pdf.iloc[0:0]
 
 
@@ -114,9 +116,9 @@ def test_preprune_commutes_with_gate(rows, n_splits):
     )
 
     def final(pdf):
+        pdf = _attach_gb(pdf.copy(), ["sid", "ckey", "bucket"])
         outs = [
-            _gate_group(g, SPECS)
-            for _, g in pdf.groupby(["sid", "ckey", "bucket"], sort=False)
+            _gate_partition(g, SPECS) for _, g in pdf.groupby("gb", sort=False)
         ]
         out = pd.concat(outs) if outs else pdf.iloc[0:0]
         return sorted(out["url"].tolist())

@@ -1,0 +1,96 @@
+"""Engine-config surface: ignore list, enrichment predicates, extraction
+columns, user stages."""
+
+import pyarrow as pa
+
+from sagan_ray.engine import EngineConfig, FnStage
+from sagan_ray.rules import parse_rule, parse_rules
+from sagan_ray.stages.ignore import make_ignore_filter
+from sagan_ray.stages.match import make_matcher, rule_mask
+
+
+def batch(texts, hosts=None, **extra):
+    n = len(texts)
+    hosts = hosts or ["h"] * n
+    cols = {
+        "url": pa.array([f"https://{hosts[i]}/p/{i}" for i in range(n)]),
+        "warc_ts": pa.array(
+            [1_700_000_000_000_000 + i for i in range(n)], type=pa.timestamp("us")
+        ),
+        "host": pa.array(hosts),
+        "lang": pa.array(["en"] * n),
+        "text": pa.array(texts),
+    }
+    cols.update(extra)
+    return pa.table(cols)
+
+
+def test_ignore_filter():
+    f = make_ignore_filter(["DEBUG", "heartbeat"])
+    out = f(batch(["a DEBUG line", "real event", "HeArTbEaT ping"]))
+    assert out["text"].to_pylist() == ["real event"]
+
+
+def test_country_code_predicate():
+    r = parse_rule(
+        'alert any any any -> any any (sid:1; content:"x"; '
+        "country_code: track by_host, is [RU,CN];)"
+    )
+    b = batch(["x", "x", "x"], country=pa.array(["RU", "US", "CN"]))
+    assert rule_mask(b, r).tolist() == [True, False, True]
+    r2 = parse_rule(
+        'alert any any any -> any any (sid:2; content:"x"; '
+        "country_code: track by_host, isnot [RU,CN];)"
+    )
+    assert rule_mask(b, r2).tolist() == [False, True, False]
+
+
+def test_blacklist_predicate():
+    r = parse_rule('alert any any any -> any any (sid:1; content:"x"; blacklist;)')
+    b = batch(["x", "x"], blacklisted=pa.array([True, False]))
+    assert rule_mask(b, r).tolist() == [True, False]
+
+
+def test_extraction_columns():
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:1; content:"login"; parse_src_ip: 1; '
+        'parse_port; parse_hash:"md5"; '
+        'normalize:"user (?P<user>\\w+) from";)'
+    )
+    fn = make_matcher(rules)
+    out = fn(
+        batch(
+            [
+                "login user bob from 10.1.2.3:443 md5 "
+                + "a" * 32,
+                "no match here",
+            ]
+        )
+    )
+    assert out.num_rows == 1
+    assert out["src_ip"].to_pylist() == ["10.1.2.3"]
+    assert out["src_port"].to_pylist() == [443]
+    assert out["hash_value"].to_pylist() == ["a" * 32]
+    assert out["extracted"].to_pylist() == ['{"user": "bob"}']
+
+
+def test_engine_config_composition(ray_session, tmp_path):
+    import ray.data as rd
+
+    rules_file = tmp_path / "r.rules"
+    rules_file.write_text(
+        'alert any any any -> any any (msg:"m"; sid:5; content:"evil"; '
+        "classtype:bad-unknown;)\n"
+    )
+    ds = rd.from_arrow(
+        batch(["evil deed", "IGNOREME evil", "benign", "evil again"])
+    )
+    seen = []
+    cfg = EngineConfig(
+        rules_files=[str(rules_file)],
+        ignore_patterns=["IGNOREME"],
+        post_stages=[FnStage("tap", lambda d: (seen.append(1), d)[1])],
+    )
+    manifest = cfg.run(ds, str(tmp_path / "out"))
+    assert manifest["sinks"] == {"bad-unknown": 2}
+    assert seen == [1]
