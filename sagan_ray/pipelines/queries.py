@@ -360,6 +360,47 @@ def q_tpch_union(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# processor analogues: track-clients / client-stats (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_wp_track_clients(sf_dir):
+    """Hosts gone quiet: last_seen older than 6h before the stream max
+    (reference: src/processors/track-clients.c liveness batch analogue)."""
+    from ray.data.aggregate import Max
+
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    last = ds.groupby("host").aggregate(Max("warc_ts", alias_name="last_seen"))
+    pdf = last.to_pandas()  # tiny: one row per host
+    cutoff = pdf["last_seen"].max() - pd.Timedelta(hours=6)
+    out = pdf[pdf["last_seen"] < cutoff][["host", "last_seen"]]
+    return out.reset_index(drop=True)
+
+
+def q_wp_client_stats(sf_dir):
+    """Per-reporting-host event count + byte volume (client-stats.c)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = webpages_from_documents(sf_dir, include_html=False)
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_bytes", pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        )
+
+    ds = ds.map_batches(add_len, batch_format="pyarrow")
+    return ds.groupby("host").aggregate(
+        Count(alias_name="n_events"), Sum("n_bytes", alias_name="sum_bytes")
+    )
+
+
+def q_wp_distinct_hosts(sf_dir):
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    out = ds.groupby("host").count()
+    return out.select_columns(["host"])
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / text analysis / similarity / multimodal
 # ---------------------------------------------------------------------------
 
@@ -542,6 +583,9 @@ QUERIES = {
     "tpch_sort": q_tpch_sort,
     "tpch_distinct": q_tpch_distinct,
     "tpch_union": q_tpch_union,
+    "wp_track_clients": q_wp_track_clients,
+    "wp_client_stats": q_wp_client_stats,
+    "wp_distinct_hosts": q_wp_distinct_hosts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -685,6 +729,14 @@ ORACLES = {
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
     "tpch_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "tpch_union": "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    "wp_track_clients": f"""{_W}
+        SELECT host, max(warc_ts) AS last_seen FROM w GROUP BY host
+        HAVING max(warc_ts) < (SELECT max(warc_ts) FROM w) - INTERVAL 6 HOUR""",
+    "wp_client_stats": f"""{_W}
+        SELECT host, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(length(text)) AS BIGINT) AS sum_bytes
+        FROM w GROUP BY host""",
+    "wp_distinct_hosts": f"{_W} SELECT DISTINCT host FROM w",
     "dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
                CAST(count(*) AS BIGINT) AS n

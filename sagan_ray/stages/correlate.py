@@ -102,15 +102,17 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
 
 
 def _attach_gb(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
-    """Coarse co-location key: stable hash of the logical group key."""
-    key = pdf[cols[0]].astype(str)
-    for c in cols[1:]:
-        key = key + "\x1f" + pdf[c].astype(str)
-    import zlib
+    """Coarse co-location key: hash of the logical group key.
 
-    pdf["gb"] = key.map(lambda s: zlib.crc32(s.encode()) % N_GROUP_BUCKETS).astype(
-        np.int64
-    )
+    Vectorized (pandas siphash). The gb value only controls WHICH
+    partition a logical group lands in, never the output rows, so it
+    needs to be consistent within a run, not across library versions."""
+    h = pd.util.hash_pandas_object(pdf[cols[0]], index=False).to_numpy()
+    for c in cols[1:]:
+        h = h * np.uint64(31) + pd.util.hash_pandas_object(
+            pdf[c], index=False
+        ).to_numpy()
+    pdf["gb"] = (h % np.uint64(N_GROUP_BUCKETS)).astype(np.int64)
     return pdf
 
 

@@ -152,10 +152,14 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         if not mask.any():
             return mask
     if needs_chain and mask.any():
-        texts = text.to_pylist()
+        # pull ONLY candidate rows off-heap (never the whole column)
         idxs = np.flatnonzero(mask)
-        for i in idxs:
-            if not check_content_chain(texts[i] or "", rule.contents):
+        cand = pc.take(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+            pa.array(idxs),
+        ).to_pylist()
+        for i, t in zip(idxs, cand):
+            if not check_content_chain(t or "", rule.contents):
                 mask[i] = False
         if not mask.any():
             return mask
@@ -179,9 +183,13 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             hit = _to_np_bool(pc.match_substring_regex(text, arrow_pat))
         else:
             hit = np.zeros(n, dtype=bool)
-            texts = text.to_pylist()
-            for i in np.flatnonzero(mask):
-                if crx.search(texts[i] or ""):
+            idxs = np.flatnonzero(mask)
+            cand = pc.take(
+                text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
+                pa.array(idxs),
+            ).to_pylist()
+            for i, t in zip(idxs, cand):
+                if crx.search(t or ""):
                     hit[i] = True
         mask &= ~hit if p.negated else hit
         if not mask.any():
