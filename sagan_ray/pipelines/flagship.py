@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa_mod
 import pyarrow.parquet as pq
 
 from ..rules import Rule, load_rules_file
@@ -108,8 +109,16 @@ def run_flagship(
     rules: list[Rule] | None = None,
     derive_from_documents: bool = True,
     fail_after_partitions: int | None = None,
+    chunk_files: int = 64,
 ) -> dict:
     """Checkpointed end-to-end run over parquet input files.
+
+    Stage A streams CHUNKS of up to ``chunk_files`` unfinished input
+    files through one Dataset run each (files within a chunk process in
+    parallel; per-row ``part_id`` tags keep the checkpoint layout
+    partition-addressed), recording lineage after each chunk. Chunking
+    bounds replay-on-failure to one chunk while keeping the driver loop
+    short — at 10^12 rows the loop is #files/64 iterations, not #files.
 
     ``fail_after_partitions`` is test-only fault injection: raise after
     checkpointing that many partitions (the resume test kills at ~50%).
@@ -123,34 +132,56 @@ def run_flagship(
     done = lineage.completed_partitions(run_dir)
     todo = [(lineage.partition_id(f), f) for f in sorted(input_files)
             if lineage.partition_id(f) not in done]
+    if fail_after_partitions is not None:
+        chunk_files = min(chunk_files, fail_after_partitions)
 
-    # ---- stage A: parse + match, per partition, checkpointed ----
+    # ---- stage A: parse + match, chunked + checkpointed per partition ----
+    ckpt_base = os.path.join(run_dir, "ckpt")
     n_done = 0
-    for pid, f in todo:
-        lineage.clear_stale_partition(run_dir, pid)
-        ds = rd.read_parquet(f)
-        rows_in = pq.read_metadata(f).num_rows
+    for c0 in range(0, len(todo), chunk_files):
+        chunk = todo[c0 : c0 + chunk_files]
+        pid_by_path = {f: pid for pid, f in chunk}
+        for pid, _f in chunk:
+            lineage.clear_stale_partition(run_dir, pid)
+        ds = rd.read_parquet([f for _pid, f in chunk], include_paths=True)
+
+        def tag_part(batch: pa_mod.Table) -> pa_mod.Table:
+            paths = batch["path"].to_pylist()
+            pids = [pid_by_path[p] for p in paths]
+            return batch.drop_columns(["path"]).append_column(
+                "part_id", pa_mod.array(pids, type=pa_mod.string())
+            )
+
+        ds = ds.map_batches(tag_part, batch_format="pyarrow")
         if derive_from_documents:
             ds = ds.map_batches(derive_batch, batch_format="pyarrow")
         alerts = match_alerts(ds, rules)
-        ckpt = os.path.join(run_dir, "ckpt", f"part_id={pid}")
-        os.makedirs(ckpt, exist_ok=True)
-        alerts.write_parquet(ckpt)
-        n_alerts = sum(
-            pq.read_metadata(os.path.join(ckpt, p)).num_rows
-            for p in os.listdir(ckpt) if p.endswith(".parquet")
-        )
-        lineage.record_partition(
-            run_dir,
-            {
-                "partition_id": pid,
-                "input_file": os.path.basename(f),
-                "rows_in": rows_in,
-                "alerts": n_alerts,
-                "status": "done",
-            },
-        )
-        n_done += 1
+        os.makedirs(ckpt_base, exist_ok=True)
+        alerts.write_parquet(ckpt_base, partition_cols=["part_id"])
+        for pid, f in chunk:
+            ckpt = os.path.join(ckpt_base, f"part_id={pid}")
+            n_alerts = (
+                sum(
+                    pq.read_metadata(os.path.join(ckpt, p)).num_rows
+                    for p in os.listdir(ckpt)
+                    if p.endswith(".parquet")
+                )
+                if os.path.isdir(ckpt)
+                else 0
+            )
+            if n_alerts == 0:
+                os.makedirs(ckpt, exist_ok=True)  # zero-alert partition
+            lineage.record_partition(
+                run_dir,
+                {
+                    "partition_id": pid,
+                    "input_file": os.path.basename(f),
+                    "rows_in": pq.read_metadata(f).num_rows,
+                    "alerts": n_alerts,
+                    "status": "done",
+                },
+            )
+            n_done += 1
         if fail_after_partitions is not None and n_done >= fail_after_partitions:
             raise RuntimeError(f"injected failure after {n_done} partitions")
 

@@ -360,19 +360,82 @@ def q_tpch_union(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# alternate source formats (FIFO text / NDJSON / CSV roundtrips)
+# ---------------------------------------------------------------------------
+
+
+def _fifo_file(sf_dir: str) -> str:
+    """Deterministic FIFO-format text file derived from events (cached)."""
+    import os
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sagan_src_cache/fifo_{tag}.log"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+        )
+        with open(path + ".tmp", "w") as f:
+            for eid, uid, et in zip(
+                t["event_id"].to_pylist(),
+                t["user_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+            ):
+                f.write(f"h{uid}|daemon|info|{et}|evt {eid}\n")
+        import os as _os
+
+        _os.replace(path + ".tmp", path)
+    return path
+
+
+def q_src_fifo_parse(sf_dir):
+    from ..sources.readers import read_fifo_text
+
+    return read_fifo_text(_fifo_file(sf_dir))
+
+
+def _ndjson_file(sf_dir: str) -> str:
+    import json as _json
+    import os
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/sagan_src_cache/events_{tag}.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        )
+        with open(path + ".tmp", "w") as f:
+            for eid, et in zip(t["event_id"].to_pylist(), t["event_type"].to_pylist()):
+                f.write(_json.dumps({"event_id": eid, "event_type": et}) + "\n")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def q_src_ndjson_agg(sf_dir):
+    from ..sources.readers import read_ndjson_logs
+
+    ds = read_ndjson_logs(_ndjson_file(sf_dir))
+    out = ds.groupby("event_type").count()
+    return _rename(out, {"count()": "n"})
+
+
+# ---------------------------------------------------------------------------
 # processor analogues: track-clients / client-stats (SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
 
 
 def q_wp_track_clients(sf_dir):
-    """Hosts gone quiet: last_seen older than 6h before the stream max
+    """Hosts gone quiet: last_seen older than 30min before the stream max
     (reference: src/processors/track-clients.c liveness batch analogue)."""
     from ray.data.aggregate import Max
 
     ds = webpages_from_documents(sf_dir, include_html=False)
     last = ds.groupby("host").aggregate(Max("warc_ts", alias_name="last_seen"))
     pdf = last.to_pandas()  # tiny: one row per host
-    cutoff = pdf["last_seen"].max() - pd.Timedelta(hours=6)
+    cutoff = pdf["last_seen"].max() - pd.Timedelta(minutes=30)
     out = pdf[pdf["last_seen"] < cutoff][["host", "last_seen"]]
     return out.reset_index(drop=True)
 
@@ -583,6 +646,8 @@ QUERIES = {
     "tpch_sort": q_tpch_sort,
     "tpch_distinct": q_tpch_distinct,
     "tpch_union": q_tpch_union,
+    "src_fifo_parse": q_src_fifo_parse,
+    "src_ndjson_agg": q_src_ndjson_agg,
     "wp_track_clients": q_wp_track_clients,
     "wp_client_stats": q_wp_client_stats,
     "wp_distinct_hosts": q_wp_distinct_hosts,
@@ -729,9 +794,16 @@ ORACLES = {
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
     "tpch_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "tpch_union": "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    "src_fifo_parse": """
+        SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+               'daemon' AS facility, 'info' AS level,
+               event_type AS program,
+               'evt ' || CAST(event_id AS VARCHAR) AS message
+        FROM events""",
+    "src_ndjson_agg": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "wp_track_clients": f"""{_W}
         SELECT host, max(warc_ts) AS last_seen FROM w GROUP BY host
-        HAVING max(warc_ts) < (SELECT max(warc_ts) FROM w) - INTERVAL 6 HOUR""",
+        HAVING max(warc_ts) < (SELECT max(warc_ts) FROM w) - INTERVAL 30 MINUTE""",
     "wp_client_stats": f"""{_W}
         SELECT host, CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(length(text)) AS BIGINT) AS sum_bytes

@@ -66,17 +66,18 @@ def derive_batch(batch: pa.Table) -> pa.Table:
     ts = pa.array(
         _EPOCH_2024_US + id_np * (_TS_STRIDE_S * 1_000_000), type=pa.timestamp("us")
     )
-    return pa.table(
-        {
-            "url": url,
-            "warc_ts": ts,
-            "html": html,
-            "text": text,
-            "lang": batch["lang"],
-            "host": host,
-            "doc_id": pc.cast(doc_id, pa.int64()),
-        }
-    )
+    cols = {
+        "url": url,
+        "warc_ts": ts,
+        "html": html,
+        "text": text,
+        "lang": batch["lang"],
+        "host": host,
+        "doc_id": pc.cast(doc_id, pa.int64()),
+    }
+    if "part_id" in batch.column_names:  # lineage partition tag passthrough
+        cols["part_id"] = batch["part_id"]
+    return pa.table(cols)
 
 
 def webpages_from_documents(sf_dir: str, include_html: bool = True):

@@ -280,8 +280,12 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
 
     def match_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        has_part = "part_id" in batch.column_names
+        empty = _EMPTY_ALERTS
+        if has_part:
+            empty = empty.append_column("part_id", pa.array([], type=pa.string()))
         if n == 0:
-            return _EMPTY_ALERTS
+            return empty
         out: list[pa.Table] = []
         for rule in rules:
             mask = rule_mask(batch, rule, text_col=text_col)
@@ -290,24 +294,24 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
             sub = batch.filter(pa.array(mask))
             m = sub.num_rows
             ex = _extraction_columns(rule, sub, text_col)
-            sub = pa.table(
-                {
-                    "url": sub["url"],
-                    "warc_ts": sub["warc_ts"],
-                    "host": sub["host"],
-                    "lang": sub["lang"],
-                    "text": sub["text"],
-                    "sid": pa.array(np.full(m, rule.sid, dtype=np.int64)),
-                    "rev": pa.array(np.full(m, rule.rev, dtype=np.int32)),
-                    "msg": pa.array([rule.msg] * m, type=pa.string()),
-                    "classification": pa.array([rule.classtype] * m, type=pa.string()),
-                    "priority": pa.array(np.full(m, rule.priority, dtype=np.int32)),
-                    **ex,
-                }
-            )
-            out.append(sub)
+            cols = {
+                "url": sub["url"],
+                "warc_ts": sub["warc_ts"],
+                "host": sub["host"],
+                "lang": sub["lang"],
+                "text": sub["text"],
+                "sid": pa.array(np.full(m, rule.sid, dtype=np.int64)),
+                "rev": pa.array(np.full(m, rule.rev, dtype=np.int32)),
+                "msg": pa.array([rule.msg] * m, type=pa.string()),
+                "classification": pa.array([rule.classtype] * m, type=pa.string()),
+                "priority": pa.array(np.full(m, rule.priority, dtype=np.int32)),
+                **ex,
+            }
+            if has_part:
+                cols["part_id"] = sub["part_id"]
+            out.append(pa.table(cols))
         if not out:
-            return _EMPTY_ALERTS
+            return empty
         return pa.concat_tables(out)
 
     return match_batch
