@@ -51,6 +51,25 @@ class EngineConfig:
     post_stages: list[Stage] = field(default_factory=list)  # after gating
     write_eve: bool = False
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "EngineConfig":
+        """Load the sagan.yaml-analogue config file. Recognized keys:
+        rules (list of file paths), vars (name -> list), ignore (list of
+        substrings), enrich (bool), enrich_concurrency (int),
+        write_eve (bool)."""
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls(
+            rules_files=list(raw.get("rules", [])),
+            var_table={k: list(v) for k, v in (raw.get("vars") or {}).items()},
+            ignore_patterns=list(raw.get("ignore", [])),
+            enrich=bool(raw.get("enrich", False)),
+            enrich_concurrency=int(raw.get("enrich_concurrency", 4)),
+            write_eve=bool(raw.get("write_eve", False)),
+        )
+
     def load_rules(self):
         from .rules import load_rules_file
 

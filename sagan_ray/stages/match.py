@@ -278,12 +278,17 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
 def make_matcher(rules: list[Rule], text_col: str = "text"):
     """Closure for ``map_batches``: webpages batch -> alerts batch."""
 
+    # enrichment outputs ride along on alerts when present (EVE records
+    # carry geo fields in the reference's eve.c output)
+    _PASSTHROUGH = {"part_id": pa.string(), "country": pa.string(),
+                    "blacklisted": pa.bool_(), "intel_hit": pa.bool_()}
+
     def match_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        has_part = "part_id" in batch.column_names
+        passthrough = [c for c in _PASSTHROUGH if c in batch.column_names]
         empty = _EMPTY_ALERTS
-        if has_part:
-            empty = empty.append_column("part_id", pa.array([], type=pa.string()))
+        for c in passthrough:
+            empty = empty.append_column(c, pa.array([], type=_PASSTHROUGH[c]))
         if n == 0:
             return empty
         out: list[pa.Table] = []
@@ -307,8 +312,8 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
                 "priority": pa.array(np.full(m, rule.priority, dtype=np.int32)),
                 **ex,
             }
-            if has_part:
-                cols["part_id"] = sub["part_id"]
+            for c in passthrough:
+                cols[c] = sub[c]
             out.append(pa.table(cols))
         if not out:
             return empty

@@ -94,3 +94,54 @@ def test_engine_config_composition(ray_session, tmp_path):
     manifest = cfg.run(ds, str(tmp_path / "out"))
     assert manifest["sinks"] == {"bad-unknown": 2}
     assert seen == [1]
+
+
+def test_engine_from_yaml(ray_session, tmp_path):
+    import ray.data as rd
+
+    rules_file = tmp_path / "r.rules"
+    rules_file.write_text(
+        "var BADW [evil, wicked]\n"
+        'alert any any any -> any any (msg:"m"; sid:9; '
+        'meta_content:"%sagan%",$BADW; classtype:bad-unknown;)\n'
+    )
+    cfg_file = tmp_path / "engine.yaml"
+    cfg_file.write_text(
+        f"rules:\n  - {rules_file}\nignore:\n  - SKIPME\nwrite_eve: false\n"
+    )
+    from sagan_ray.engine import EngineConfig
+
+    cfg = EngineConfig.from_yaml(str(cfg_file))
+    ds = rd.from_arrow(batch(["evil x", "wicked y", "SKIPME evil", "fine"]))
+    manifest = cfg.run(ds, str(tmp_path / "out"))
+    assert manifest["sinks"] == {"bad-unknown": 2}
+
+
+def test_preprune_bounds_hot_key():
+    """Skew guard: a host with 50k rows in ONE bucket ships at most C
+    rows per input batch into the shuffle (not 50k)."""
+    import numpy as np
+    import pandas as pd
+
+    from sagan_ray.rules import parse_rule
+    from sagan_ray.stages.correlate import _preprune_limit, corr_specs
+
+    rule = parse_rule(
+        'alert any any any -> any any (sid:1; content:"x"; '
+        "threshold: type limit, track by_host, count 2, seconds 3600;)"
+    )
+    specs = corr_specs([rule])
+    n = 50_000
+    batch_df = pd.DataFrame(
+        {
+            "sid": np.full(n, 1),
+            "host": "hot.example.com",
+            "ckey": "hot.example.com",
+            "bucket": np.int64(1),
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pd.to_datetime(np.arange(n), unit="s"),
+        }
+    )
+    out = _preprune_limit(batch_df, specs)
+    assert len(out) == 2  # C, not 50k
+    assert sorted(out["url"]) == ["u0", "u1"]  # the earliest two
