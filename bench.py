@@ -120,6 +120,20 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
+    # 100-rule set over the same input: multi-pattern prefilter scaling
+    from sagan_ray.synth_rules import synth_ruleset
+
+    out100 = "/tmp/sagan_bench_out100"
+    shutil.rmtree(out100, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds100 = rd.read_parquet(
+        inp,
+        columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
+        override_num_blocks=2 * NUM_CPUS,
+    )
+    m100 = run_streaming(ds100, synth_ruleset(100), out100, enrich=False)
+    timings["flagship_100_rules"] = round(time.perf_counter() - t0, 3)
+
     timeit("wp_route_counts", Q.q_wp_route_counts)
     timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
     timeit("tpch_q1", Q.q_tpch_q1)

@@ -275,8 +275,57 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
     return cols
 
 
+def _rule_prefilter_literals(rule: Rule) -> list[tuple[str, bool]] | None:
+    """Literals such that ANY matching row must contain at least one
+    (candidate-superset guarantee), or None if the rule has no such set
+    (pure pcre/gate/time rules must be evaluated over the full batch).
+
+    A positive content literal is containment-necessary even when
+    position-constrained (the window is a subset of the row). A
+    meta_content OR-list contributes all its literals."""
+    pos = [c for c in rule.contents if not c.negated]
+    if pos:
+        best = max(pos, key=lambda c: len(c.pattern))
+        return [(best.pattern, best.nocase)]
+    if rule.meta_contents:
+        mc = rule.meta_contents[0]
+        return [(lit, mc.nocase) for lit in mc.literals()]
+    return None
+
+
+def _union_prefilter_pattern(rules: list[Rule]) -> tuple[str | None, list[Rule], list[Rule]]:
+    """ONE RE2 alternation covering every literal-gated rule — the
+    Hyperscan-style multi-pattern shortlist pass: a single vectorized
+    scan shortlists candidate rows for ALL rules at once, so per-rule
+    kernels touch only the (sparse) candidate subtable. Returns
+    (pattern|None, literal_rules, unfiltered_rules)."""
+    import re as _stdre
+
+    lit_rules: list[Rule] = []
+    unfiltered: list[Rule] = []
+    alts: list[str] = []
+    for r in rules:
+        lits = _rule_prefilter_literals(r)
+        if lits is None:
+            unfiltered.append(r)
+            continue
+        lit_rules.append(r)
+        for lit, nocase in lits:
+            esc = _stdre.escape(lit)
+            alts.append(f"(?i:{esc})" if nocase else esc)
+    if not lit_rules:
+        return None, [], rules
+    pattern = "|".join(sorted(set(alts)))
+    try:
+        pc.match_substring_regex(pa.array([""], type=pa.string()), pattern)
+    except pa.ArrowInvalid:
+        return None, [], rules
+    return pattern, lit_rules, unfiltered
+
+
 def make_matcher(rules: list[Rule], text_col: str = "text"):
     """Closure for ``map_batches``: webpages batch -> alerts batch."""
+    union_pattern, lit_rules, unfiltered_rules = _union_prefilter_pattern(rules)
 
     # enrichment outputs ride along on alerts when present (EVE records
     # carry geo fields in the reference's eve.c output)
@@ -292,11 +341,24 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
         if n == 0:
             return empty
         out: list[pa.Table] = []
-        for rule in rules:
-            mask = rule_mask(batch, rule, text_col=text_col)
+        # one multi-pattern shortlist pass, then per-rule work on the
+        # candidate subtable only
+        plan: list[tuple[Rule, pa.Table]] = []
+        if union_pattern is not None:
+            any_hit = _to_np_bool(
+                pc.match_substring_regex(batch[text_col], union_pattern)
+            )
+            if any_hit.any():
+                cand = batch.filter(pa.array(any_hit))
+                plan.extend((r, cand) for r in lit_rules)
+        else:
+            plan.extend((r, batch) for r in lit_rules)
+        plan.extend((r, batch) for r in unfiltered_rules)
+        for rule, tbl in plan:
+            mask = rule_mask(tbl, rule, text_col=text_col)
             if not mask.any():
                 continue
-            sub = batch.filter(pa.array(mask))
+            sub = tbl.filter(pa.array(mask))
             m = sub.num_rows
             ex = _extraction_columns(rule, sub, text_col)
             cols = {
