@@ -389,7 +389,9 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
                 count=int(kv.get("count", "1")),
                 seconds=int(kv.get("seconds", "3600")),
             )
-        elif key == "xbits":
+        elif key in ("xbits", "flexbits"):
+            # flexbits is the xbits predecessor (src/flexbit-mmap.c);
+            # same surface here
             toks = [t.strip() for t in val.split(",")]
             action_x, name = toks[0], toks[1]
             track = "by_host"

@@ -155,6 +155,9 @@ def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
         if spec["kind"] == "threshold":
             if spec["ttype"] == "suppress":
                 keep[m] = (size.to_numpy()[m] <= spec["count"])
+            elif spec["ttype"] == "threshold":
+                # legacy type (deprecated upstream): emit every C-th
+                keep[m] = ((rn.to_numpy()[m] + 1) % spec["count"] == 0)
             else:  # limit
                 keep[m] = (rn.to_numpy()[m] < spec["count"])
         else:  # after

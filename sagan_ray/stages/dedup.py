@@ -102,6 +102,61 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def batch_minhash(texts: list[str], k: int = 3) -> np.ndarray:
+    """Vectorized minhash signatures for a whole batch -> (n, 64) uint64.
+
+    Word hashes come from pandas' siphash (vectorized, C); shingle
+    hashes mix k consecutive word hashes with odd constants. Signature
+    minima are computed with np.minimum.reduceat over per-doc segments —
+    no per-shingle Python. Signatures only steer LSH candidate
+    generation; the exact-Jaccard verify (blake2b shingles) decides."""
+    n = len(texts)
+    sig = np.full((n, _N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    words_per_doc = [t.split() if t else [] for t in texts]
+    flat_words = [w for ws in words_per_doc for w in ws]
+    if not flat_words:
+        return sig
+    wh = pd.util.hash_array(np.array(flat_words, dtype=object))  # uint64
+    # shingle hash per doc: mix k consecutive word hashes
+    c = [np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9)]
+    sh_list = []
+    pos = 0
+    for ws in words_per_doc:
+        m = len(ws)
+        if m == 0:
+            continue
+        h = wh[pos : pos + m]
+        pos += m
+        if m < k:
+            s = np.zeros(1, dtype=np.uint64)
+            for j in range(m):
+                s = s * c[j % 3] + h[j]
+        else:
+            s = np.zeros(m - k + 1, dtype=np.uint64)
+            for j in range(k):
+                s = s * c[j % 3] + h[j : j + (m - k + 1)]
+        sh_list.append(s)
+    sh = np.concatenate(sh_list)
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    for d, ws in enumerate(words_per_doc):
+        doc_starts[d + 1] = doc_starts[d] + (0 if not ws else max(1, len(ws) - k + 1))
+    # per-permutation wraparound multiply-add then segment minima per
+    # doc (row-wise loop: numpy's uint64 BROADCAST multiply falls off
+    # the fast path — 0.84s vs 0.02s for the same 6M ops). doc_starts of
+    # nonempty docs are strictly increasing and empty docs contribute no
+    # shingles, so each reduceat segment is exactly one doc.
+    nonempty = np.flatnonzero(doc_starts[1:] > doc_starts[:-1])
+    if len(nonempty):
+        starts = doc_starts[nonempty]
+        tmp = np.empty(len(sh), dtype=np.uint64)
+        for p in range(_N_PERM):
+            np.multiply(sh, _PERM_A[p], out=tmp)
+            tmp += _PERM_B[p]
+            sig[nonempty, p] = np.minimum.reduceat(tmp, starts)
+    return sig
+
+
 def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id"):
     """Near-duplicate pairs (doc_id_a < doc_id_b, jaccard >= threshold).
@@ -117,22 +172,25 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     rows_per_band = _N_PERM // _LSH_BANDS
 
     def bands(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         texts = t[text_col].to_pylist()
-        band_ids, band_hashes, out_ids = [], [], []
-        for i, txt in enumerate(texts):
-            sig = minhash_signature(txt or "", k)
-            for b in range(_LSH_BANDS):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(b)
-                band_hashes.append(h)
-                out_ids.append(ids[i])
+        sig = batch_minhash(texts, k)  # (n, 64) vectorized
+        n = len(ids)
+        mix = np.uint64(0xFF51AFD7ED558CCD)
+        band_hash = np.empty((n, _LSH_BANDS), dtype=np.uint64)
+        for b in range(_LSH_BANDS):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = (h ^ chunk[:, j]) * mix
+            band_hash[:, b] = h
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.string()),
-                id_col: pa.array(out_ids, type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)),
+                id_col: pa.array(np.repeat(ids, _LSH_BANDS)),
             }
         )
 

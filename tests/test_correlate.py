@@ -167,3 +167,35 @@ def test_xbits_expire_window(ray_session):
     )
     out = apply_xbits(rd.from_arrow(alerts), rules).to_pandas()
     assert sorted(out["url"].tolist()) == ["u1", "u4"]
+
+
+def test_legacy_threshold_type_every_cth():
+    """Deprecated `type threshold` = emit every C-th match per key/window."""
+    from sagan_ray.rules import parse_rule
+    from sagan_ray.stages.correlate import _attach_gb, _gate_partition, corr_specs
+
+    rule = parse_rule(
+        "alert any any any -> any any (sid:9; content:\"x\"; "
+        "threshold: type threshold, track by_host, count 3, seconds 100;)"
+    )
+    specs = corr_specs([rule])
+    rows = [(9, "h1", t) for t in range(10)]  # 10 events, one bucket
+    df = alerts_df(rows)
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    from sagan_ray.stages.correlate import _attach_keys
+
+    pdf = _attach_gb(_attach_keys(t, specs).to_pandas(), ["sid", "ckey", "bucket"])
+    out = _gate_partition(pdf, specs)
+    # every 3rd: rows 3,6,9 (1-based) -> u2, u5, u8
+    assert sorted(out["url"]) == ["u2", "u5", "u8"]
+
+
+def test_flexbits_alias():
+    from sagan_ray.rules import parse_rule
+
+    r = parse_rule(
+        "alert any any any -> any any (sid:3; flexbits:set,fb,track by_host,expire 60;)"
+    )
+    assert r.xbits[0].name == "fb" and r.xbits[0].expire == 60
