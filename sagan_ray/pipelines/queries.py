@@ -220,6 +220,45 @@ def q_ev_after(sf_dir):
     return _ev_windowed(sf_dir, "click", 2, "after")
 
 
+def q_ev_sessionize(sf_dir):
+    """Gap-based sessionization (streaming-shaped op): sessions split at
+    >1h inactivity per user; emits n_sessions per user."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(hours=1)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def q_ev_moving_sum(sf_dir):
+    """Rolling window over an ordered per-key stream (ROWS 2 PRECEDING)."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["mov_sum"] = g["value"].rolling(3, min_periods=1).sum().round(2)
+        return g[["event_id", "mov_sum"]]
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def q_ev_top_per_user(sf_dir):
+    """Per-group arg-max: each user's highest-value event."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(1)[["user_id", "event_id", "value"]]
+
+    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H family (joins, aggregates, top-k, set ops)
 # ---------------------------------------------------------------------------
@@ -637,6 +676,9 @@ QUERIES = {
     "ev_agg": q_ev_agg,
     "ev_threshold": q_ev_threshold,
     "ev_after": q_ev_after,
+    "ev_sessionize": q_ev_sessionize,
+    "ev_moving_sum": q_ev_moving_sum,
+    "ev_top_per_user": q_ev_top_per_user,
     "tpch_q1": q_tpch_q1,
     "tpch_join_agg": q_tpch_join_agg,
     "tpch_topk": q_tpch_topk,
@@ -763,6 +805,22 @@ ORACLES = {
             PARTITION BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
             ORDER BY ts, event_id) AS rn
           FROM events WHERE event_type='click') WHERE rn > 2""",
+    "ev_sessionize": """
+        SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions FROM (
+          SELECT user_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess
+          FROM events) GROUP BY user_id""",
+    "ev_moving_sum": """
+        SELECT event_id, round(sum(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
+        FROM events""",
+    "ev_top_per_user": """
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value, row_number() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn = 1""",
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                round(sum(l_extendedprice),0) AS sum_base, CAST(count(*) AS BIGINT) AS n
