@@ -120,6 +120,22 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
+    if os.environ.get("GRAFT_BENCH_LITE"):
+        # scaling mode: only the headline matters for the 8-vs-32 ratio
+        result = {
+            "metric": "flagship parse->match->correlate->route wall time (synthetic webpages)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(SF_DIR.rstrip("/")),
+            "num_cpus": NUM_CPUS,
+            "rows": n_rows,
+            "rows_per_sec": round(n_rows / headline, 1),
+            "alerts_routed": manifest["total"],
+        }
+        ray.shutdown()
+        return result
+
     # 100-rule set over the same input: multi-pattern prefilter scaling
     from sagan_ray.synth_rules import synth_ruleset
 
@@ -134,11 +150,24 @@ def run_bench() -> dict:
     m100 = run_streaming(ds100, synth_ruleset(100), out100, enrich=False)
     timings["flagship_100_rules"] = round(time.perf_counter() - t0, 3)
 
+    # enriched variant: actor-pool stage in the path
+    out_e = "/tmp/sagan_bench_out_enriched"
+    shutil.rmtree(out_e, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds_e = rd.read_parquet(
+        inp,
+        columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
+        override_num_blocks=2 * NUM_CPUS,
+    )
+    run_streaming(ds_e, rules, out_e, enrich=True)
+    timings["flagship_enriched"] = round(time.perf_counter() - t0, 3)
+
     timeit("wp_route_counts", Q.q_wp_route_counts)
     timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
     timeit("tpch_q1", Q.q_tpch_q1)
     timeit("tpch_join_agg", Q.q_tpch_join_agg)
     timeit("dedup_exact", Q.q_dedup_exact)
+    timeit("dedup_minhash", Q.q_dedup_minhash)
     timeit("doc_quality", Q.q_doc_quality)
     timeit("emb_ann_topk", Q.q_emb_ann_topk)
 
@@ -159,7 +188,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_LITE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

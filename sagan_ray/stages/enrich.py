@@ -36,12 +36,23 @@ class Enrich:
         self.intel: tuple[str, ...] = tuple(_get(intel_ref) or ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts = batch["host"].to_pylist()
-        langs = batch["lang"].to_pylist()
+        # factorize hosts (low-cardinality) so dict probes run once per
+        # DISTINCT host, not once per row
+        hosts = np.asarray(batch["host"].to_pandas(), dtype=object)
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
         geo = self.geo
-        country = [geo.get(h) or geo.get(l) or "ZZ" for h, l in zip(hosts, langs)]
+        uh, inv = np.unique(hosts, return_inverse=True)
+        mapped = np.array([geo.get(h) for h in uh], dtype=object)
+        country = mapped[inv]
+        missing = country == None  # noqa: E711  (vectorized null check)
+        if missing.any():
+            fb = np.array(
+                [geo.get(l) or "ZZ" for l in langs[missing]], dtype=object
+            )
+            country[missing] = fb
         bl = self.blacklist
-        blacklisted = np.array([h in bl for h in hosts], dtype=bool)
+        bl_u = np.array([h in bl for h in uh], dtype=bool)
+        blacklisted = bl_u[inv]
         if self.intel:
             hit = np.zeros(batch.num_rows, dtype=bool)
             for lit in self.intel:
@@ -52,7 +63,7 @@ class Enrich:
         else:
             hit = np.zeros(batch.num_rows, dtype=bool)
         return (
-            batch.append_column("country", pa.array(country, type=pa.string()))
+            batch.append_column("country", pa.array(country.tolist(), type=pa.string()))
             .append_column("blacklisted", pa.array(blacklisted))
             .append_column("intel_hit", pa.array(hit))
         )

@@ -27,9 +27,11 @@ def synth_rules_text(n_rules: int = 100, seed: int = 7) -> str:
     lines = []
     for i in range(n_rules):
         sid = 2_000_000 + i
-        w1, w2 = rng.choice(_VOCAB, 2, replace=False)
+        # three-word phrases: ~0.03% selectivity each, so a 100-rule set
+        # alerts on a few percent of rows (IDS-realistic), not ~100%
+        w1, w2, w3 = rng.choice(_VOCAB, 3, replace=False)
         ct = _CLASSTYPES[i % len(_CLASSTYPES)]
-        opts = [f'msg:"synth rule {i}"', f'content:"{w1} {w2}"']
+        opts = [f'msg:"synth rule {i}"', f'content:"{w1} {w2} {w3}"']
         if i % 7 == 0:
             opts.append("nocase")
         if i % 11 == 0:
