@@ -206,13 +206,9 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # dedup pairs found in multiple bands (small shuffle: id pairs only)
-    cand = cand.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-
-    # verify: broadcast texts of candidate ids (candidate set << corpus)
-    cand_tbl = cand.to_pandas()
+    # candidate pairs are the REDUCED set (id pairs only) — collect and
+    # dedup driver-side instead of paying a second shuffle
+    cand_tbl = cand.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
     if cand_tbl.empty:
         return rd.from_items([]).map_batches(
             lambda t: pa.table(

@@ -324,7 +324,13 @@ def _union_prefilter_pattern(rules: list[Rule]) -> tuple[str | None, list[Rule],
 
 
 def make_matcher(rules: list[Rule], text_col: str = "text"):
-    """Closure for ``map_batches``: webpages batch -> alerts batch."""
+    """Closure for ``map_batches``: webpages batch -> alerts batch.
+
+    ``pass``-action rules run FIRST and suppress matching rows from all
+    alert rules (Snort/Sagan pass semantics); ``alert``/``drop`` rules
+    emit alert rows."""
+    pass_rules = [r for r in rules if r.action == "pass"]
+    rules = [r for r in rules if r.action != "pass"]
     union_pattern, lit_rules, unfiltered_rules = _union_prefilter_pattern(rules)
 
     # enrichment outputs ride along on alerts when present (EVE records
@@ -340,6 +346,14 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
             empty = empty.append_column(c, pa.array([], type=_PASSTHROUGH[c]))
         if n == 0:
             return empty
+        if pass_rules:
+            drop = np.zeros(batch.num_rows, dtype=bool)
+            for pr in pass_rules:
+                drop |= rule_mask(batch, pr, text_col=text_col)
+            if drop.any():
+                batch = batch.filter(pa.array(~drop))
+                if batch.num_rows == 0:
+                    return empty
         out: list[pa.Table] = []
         # one multi-pattern shortlist pass, then per-rule work on the
         # candidate subtable only

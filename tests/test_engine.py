@@ -145,3 +145,37 @@ def test_preprune_bounds_hot_key():
     out = _preprune_limit(batch_df, specs)
     assert len(out) == 2  # C, not 50k
     assert sorted(out["url"]) == ["u0", "u1"]  # the earliest two
+
+
+def test_pass_rule_suppresses():
+    """Snort/Sagan pass action: matching rows are exempt from alerting."""
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.stages.match import make_matcher
+
+    rules, _ = parse_rules(
+        'pass any any any -> any any (sid:100; content:"allowlisted";)\n'
+        'alert any any any -> any any (msg:"m"; sid:101; content:"evil"; '
+        "classtype:bad-unknown;)"
+    )
+    fn = make_matcher(rules)
+    out = fn(batch(["evil thing", "allowlisted evil thing", "benign"]))
+    assert out.num_rows == 1
+    assert "allowlisted" not in out["text"].to_pylist()[0]
+
+
+def test_fifo_parse_unit():
+    import pyarrow as pa
+
+    from sagan_ray.sources.readers import parse_fifo_batch
+
+    b = pa.table({"text": pa.array([
+        "h1|daemon|info|sshd|Failed password for root",
+        "malformed line",
+        "h2|auth|err|su|session opened",
+    ])})
+    out = parse_fifo_batch(b)
+    assert out.num_rows == 2
+    assert out["host"].to_pylist() == ["h1", "h2"]
+    assert out["message"].to_pylist() == [
+        "Failed password for root", "session opened",
+    ]
