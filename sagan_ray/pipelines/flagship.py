@@ -220,7 +220,10 @@ def run_flagship(
     sink_dir = os.path.join(run_dir, "sinks")
     if os.path.isdir(sink_dir):
         shutil.rmtree(sink_dir)  # stage B is cheap and always rebuilt
-    return route_alerts(alerts, run_dir)
+    # sinks carry part_id so the manifest records per-partition sink
+    # counts (north-star lineage shape) and replays stay addressable
+    return route_alerts(alerts, run_dir,
+                        partition_cols=["classification", "part_id"])
 
 
 def run_streaming(webpages_ds, rules: list[Rule], out_dir: str,

@@ -220,6 +220,28 @@ def q_ev_after(sf_dir):
     return _ev_windowed(sf_dir, "click", 2, "after")
 
 
+_EVENT_RULES = """
+alert any any any -> any any (msg:"error with k6x"; facility:"error"; content:"k=6"; classtype:suspicious-traffic; sid:3000001; rev:1;)
+alert any any any -> any any (msg:"k exactly 42"; json_content:".k","42"; classtype:bad-unknown; sid:3000002; rev:1;)
+alert any any any -> any any (msg:"click flood"; content:"ev click"; classtype:policy-violation; sid:3000003; rev:1; threshold: type limit, track by_host, count 2, seconds 86400;)
+"""
+
+
+def q_ev_rule_engine(sf_dir):
+    """The full rule engine over the adapted events stream (adapter in
+    sources/events.py): facility gate on event_type, substring content,
+    json_content on raw props, threshold by synthetic host."""
+    from ..rules import parse_rules
+    from ..sources.events import events_as_log
+    from .flagship import gate_alerts
+
+    rules, _ = parse_rules(_EVENT_RULES)
+    ds = events_as_log(sf_dir)
+    alerts = match_alerts(ds, rules)
+    alerts = gate_alerts(alerts, rules)
+    return alerts.select_columns(["url", "sid"])
+
+
 def q_ev_sessionize(sf_dir):
     """Gap-based sessionization (streaming-shaped op): sessions split at
     >1h inactivity per user; emits n_sessions per user."""
@@ -676,6 +698,7 @@ QUERIES = {
     "ev_agg": q_ev_agg,
     "ev_threshold": q_ev_threshold,
     "ev_after": q_ev_after,
+    "ev_rule_engine": q_ev_rule_engine,
     "ev_sessionize": q_ev_sessionize,
     "ev_moving_sum": q_ev_moving_sum,
     "ev_top_per_user": q_ev_top_per_user,
@@ -805,6 +828,23 @@ ORACLES = {
             PARTITION BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
             ORDER BY ts, event_id) AS rn
           FROM events WHERE event_type='click') WHERE rn > 2""",
+    "ev_rule_engine": """
+        WITH e AS (
+          SELECT 'evt://' || CAST(event_id AS VARCHAR) AS url,
+                 ts, 'u' || CAST(user_id AS VARCHAR) AS host,
+                 event_type,
+                 'ev ' || event_type || ' k=' || json_extract_string(props,'$.k') AS text,
+                 CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+          FROM events),
+        m1 AS (SELECT url, 3000001 AS sid FROM e
+               WHERE event_type = 'error' AND contains(text, 'k=6')),
+        m2 AS (SELECT url, 3000002 AS sid FROM e WHERE k = 42),
+        m3 AS (SELECT url, 3000003 AS sid FROM (
+            SELECT url, row_number() OVER (
+              PARTITION BY host, CAST(floor(epoch(ts)/86400) AS BIGINT)
+              ORDER BY ts, url) AS rn
+            FROM e WHERE contains(text, 'ev click')) WHERE rn <= 2)
+        SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3""",
     "ev_sessionize": """
         SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions FROM (
           SELECT user_id,

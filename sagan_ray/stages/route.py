@@ -63,24 +63,37 @@ def route_alerts(
 
 
 def sink_manifest(sink_dir: str, out_dir: str | None = None) -> dict:
-    """Per-classification row counts from parquet footers (metadata-only)."""
+    """Per-classification row counts from parquet footers (metadata-only).
+
+    When sinks are additionally partitioned by ``part_id`` (checkpointed
+    runs), the manifest also carries per-partition sink counts — the
+    lineage record shape ``(partition_id, sink_counts)``."""
     counts: dict[str, int] = {}
+    per_part: dict[str, dict[str, int]] = {}
     for root, _dirs, files in os.walk(sink_dir):
-        cls = None
+        cls = pid = None
         for comp in root.split(os.sep):
             if comp.startswith("classification="):
                 cls = comp.split("=", 1)[1]
+            elif comp.startswith("part_id="):
+                pid = comp.split("=", 1)[1]
         if cls is None:
             continue
         for f in files:
             if f.endswith(".parquet"):
-                counts[cls] = counts.get(cls, 0) + pq.read_metadata(
-                    os.path.join(root, f)
-                ).num_rows
+                n = pq.read_metadata(os.path.join(root, f)).num_rows
+                counts[cls] = counts.get(cls, 0) + n
+                if pid is not None:
+                    per_part.setdefault(pid, {})
+                    per_part[pid][cls] = per_part[pid].get(cls, 0) + n
     manifest = {
         "sinks": dict(sorted(counts.items())),
         "total": sum(counts.values()),
     }
+    if per_part:
+        manifest["partitions"] = {
+            k: dict(sorted(v.items())) for k, v in sorted(per_part.items())
+        }
     if out_dir:
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
