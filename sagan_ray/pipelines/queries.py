@@ -115,6 +115,20 @@ def q_wp_content_chain(sf_dir):
     return _wp_urls(sf_dir, {1000012})
 
 
+def q_wp_rawbytes(sf_dir):
+    """Byte-content match against the raw html payload (rawbytes +
+    |hex| escapes): '<html><body>spark' anchors text-leading spark."""
+    from ..rules import parse_rules
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"raw"; sid:1000050; '
+        'content:"|3C|html|3E 3C|body|3E|spark"; rawbytes; '
+        "classtype:misc-activity;)"
+    )
+    ds = webpages_from_documents(sf_dir)  # html kept
+    return match_alerts(ds, rules).select_columns(["url"])
+
+
 def q_wp_route_counts(sf_dir):
     from .flagship import alerts_pipeline
 
@@ -689,6 +703,7 @@ QUERIES = {
     "wp_alert_time": q_wp_alert_time,
     "wp_xbits": q_wp_xbits,
     "wp_content_chain": q_wp_content_chain,
+    "wp_rawbytes": q_wp_rawbytes,
     "wp_route_counts": q_wp_route_counts,
     "wp_extract": q_wp_extract,
     "wp_enrich_geo": q_wp_enrich_geo,
@@ -762,6 +777,9 @@ ORACLES = {
         WHERE k > 0 AND k-1 < 200
           AND strpos(substr(text, k+4), 'value') > 0
           AND strpos(substr(text, k+4), 'value') - 1 < 120""",
+    "wp_rawbytes": f"""{_W}
+        SELECT url FROM w
+        WHERE contains(CAST(html AS VARCHAR), '<html><body>spark')""",
     "wp_route_counts": f"""{_W},
         m1 AS (SELECT url,'web-application-activity' c FROM w WHERE contains(text,'spark')),
         m2 AS (SELECT url,'misc-activity' c FROM w WHERE contains(lower(text),'merge') AND NOT contains(text,'stream')),

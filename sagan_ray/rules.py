@@ -51,6 +51,7 @@ class Content:
     depth: int | None = None
     distance: int | None = None
     within: int | None = None
+    rawbytes: bool = False  # match against the raw payload (html), not text
 
     @property
     def relative(self) -> bool:
@@ -326,6 +327,8 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             contents.append(Content(pattern=_decode_hex(raw), negated=negated))
         elif key == "nocase":
             contents[-1] = Content(**{**contents[-1].__dict__, "nocase": True})
+        elif key == "rawbytes":
+            contents[-1] = Content(**{**contents[-1].__dict__, "rawbytes": True})
         elif key in ("offset", "depth", "distance", "within"):
             if not contents:
                 raise ValueError(f"{key} without content")

@@ -272,6 +272,34 @@ def simhash64(text: str) -> int:
     return out
 
 
+def batch_simhash(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch -> (n,) uint64.
+
+    Word-hash bits are unpacked to a (S, 64) ±1 matrix and accumulated
+    per doc with np.add.reduceat — no per-word Python. Uses pandas
+    siphash word hashes (deterministic per environment; signatures only
+    steer candidate blocking, the Hamming verify decides)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    words_per_doc = [t.split() if t else [] for t in texts]
+    flat = [w for ws in words_per_doc for w in ws]
+    if not flat:
+        return out
+    wh = pd.util.hash_array(np.array(flat, dtype=object))
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    pm = bits.astype(np.int32) * 2 - 1  # (S, 64) of ±1
+    starts = np.zeros(n + 1, dtype=np.int64)
+    for d, ws in enumerate(words_per_doc):
+        starts[d + 1] = starts[d] + len(ws)
+    nonempty = np.flatnonzero(starts[1:] > starts[:-1])
+    if len(nonempty):
+        acc = np.add.reduceat(pm, starts[nonempty], axis=0)  # (D, 64)
+        sig_bits = (acc > 0).astype(np.uint64)
+        sigs = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        out[nonempty] = sigs
+    return out
+
+
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id"):
     """Near-dup pairs with Hamming(simhash) <= max_hamming via pigeonhole
@@ -280,25 +308,21 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     seg_bits = 64 // n_seg
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        rows_seg, rows_val, rows_id, rows_sig = [], [], [], []
-        for i, txt in enumerate(t[text_col].to_pylist()):
-            s = simhash64(txt or "")
-            for seg in range(n_seg):
-                lo = seg * seg_bits
-                width = seg_bits if seg < n_seg - 1 else 64 - lo
-                val = (s >> lo) & ((1 << width) - 1)
-                rows_seg.append(seg)
-                rows_val.append(val)
-                rows_id.append(ids[i])
-                rows_sig.append(s)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        s = batch_simhash(t[text_col].to_pylist())  # (n,) uint64
+        n = len(ids)
+        seg_col = np.tile(np.arange(n_seg, dtype=np.int32), n)
+        vals = np.empty((n, n_seg), dtype=np.uint64)
+        for seg in range(n_seg):
+            lo = seg * seg_bits
+            width = seg_bits if seg < n_seg - 1 else 64 - lo
+            vals[:, seg] = (s >> np.uint64(lo)) & np.uint64((1 << width) - 1)
         return pa.table(
             {
-                "seg": pa.array(rows_seg, type=pa.int32()),
-                "seg_val": pa.array(rows_val, type=pa.int64()),
-                id_col: pa.array(rows_id, type=pa.int64()),
-                "sig": pa.array([x - (1 << 64) if x >= (1 << 63) else x for x in rows_sig],
-                                type=pa.int64()),
+                "seg": pa.array(seg_col),
+                "seg_val": pa.array(vals.reshape(-1).view(np.int64)),
+                id_col: pa.array(np.repeat(ids, n_seg)),
+                "sig": pa.array(np.repeat(s.view(np.int64), n_seg)),
             }
         )
 
@@ -313,7 +337,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             if ia == ib:
                 continue
             h = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
-            if h <= 3:
+            if h <= max_hamming:
                 out_a.append(ia)
                 out_b.append(ib)
                 out_h.append(h)

@@ -37,10 +37,12 @@ from ..schema import ALERTS_SCHEMA
 # ---------------------------------------------------------------------------
 
 
-def check_content_chain(text: str, contents: tuple[Content, ...]) -> bool:
+def check_content_chain(text: str, contents: tuple[Content, ...],
+                        raw: str | None = None) -> bool:
     prev_end = 0
     for c in contents:
-        hay, pat = (text.lower(), c.pattern.lower()) if c.nocase else (text, c.pattern)
+        base = raw if (c.rawbytes and raw is not None) else text
+        hay, pat = (base.lower(), c.pattern.lower()) if c.nocase else (base, c.pattern)
         if c.relative:
             start = prev_end + (c.distance or 0)
             stop = start + c.within if c.within is not None else len(text)
@@ -97,6 +99,7 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
     n = batch.num_rows
     mask = np.ones(n, dtype=bool)
     text = batch[text_col]
+    raw = batch["html_str"] if "html_str" in batch.column_names else None
 
     # --- gates (cheapest first; reference engine order) ---
     if rule.programs and "host" in batch.column_names:
@@ -143,23 +146,30 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             continue  # verified in the chain pass (position-free contents
             # are chain-safe to vectorize: find from 0 — only when NO
             # content is constrained; else the whole chain runs scalar)
+        col = raw if (c.rawbytes and raw is not None) else text
         if needs_chain and not c.negated:
             # still useful as prefilter even when chain re-checks
-            mask &= _to_np_bool(pc.match_substring(text, c.pattern, ignore_case=c.nocase))
+            mask &= _to_np_bool(pc.match_substring(col, c.pattern, ignore_case=c.nocase))
         elif not needs_chain:
-            hit = _to_np_bool(pc.match_substring(text, c.pattern, ignore_case=c.nocase))
+            hit = _to_np_bool(pc.match_substring(col, c.pattern, ignore_case=c.nocase))
             mask &= ~hit if c.negated else hit
         if not mask.any():
             return mask
     if needs_chain and mask.any():
         # pull ONLY candidate rows off-heap (never the whole column)
         idxs = np.flatnonzero(mask)
-        cand = pc.take(
-            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text,
-            pa.array(idxs),
-        ).to_pylist()
-        for i, t in zip(idxs, cand):
-            if not check_content_chain(t or "", rule.contents):
+
+        def _take(colv):
+            return pc.take(
+                colv.combine_chunks() if isinstance(colv, pa.ChunkedArray) else colv,
+                pa.array(idxs),
+            ).to_pylist()
+
+        cand = _take(text)
+        raw_cand = _take(raw) if (raw is not None and any(c.rawbytes for c in rule.contents)) else None
+        for j, (i, t) in enumerate(zip(idxs, cand)):
+            rr = raw_cand[j] if raw_cand is not None else None
+            if not check_content_chain(t or "", rule.contents, raw=rr):
                 mask[i] = False
         if not mask.any():
             return mask
@@ -282,8 +292,9 @@ def _rule_prefilter_literals(rule: Rule) -> list[tuple[str, bool]] | None:
 
     A positive content literal is containment-necessary even when
     position-constrained (the window is a subset of the row). A
-    meta_content OR-list contributes all its literals."""
-    pos = [c for c in rule.contents if not c.negated]
+    meta_content OR-list contributes all its literals. rawbytes contents
+    match a different column, so they can't gate the text prefilter."""
+    pos = [c for c in rule.contents if not c.negated and not c.rawbytes]
     if pos:
         best = max(pos, key=lambda c: len(c.pattern))
         return [(best.pattern, best.nocase)]
@@ -400,10 +411,21 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
 
 def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
     """webpages Dataset -> alerts Dataset (project html away first:
-    only alert columns should ever reach a shuffle)."""
+    only alert columns should ever reach a shuffle — UNLESS a rule needs
+    rawbytes matching, in which case html is cast to a latin-1-ish
+    string column for the match stage only and still never shuffled)."""
+    needs_raw = any(c.rawbytes for r in rules for c in r.contents)
     keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
                         "event_id", "props", "country", "blacklisted",
                         "part_id"] if c in ds.schema().names]
+    if needs_raw and "html" in ds.schema().names:
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "html_str", pc.cast(t["html"], pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        keep = keep + ["html_str"]
     ds = ds.select_columns(keep)
     return ds.map_batches(make_matcher(rules, text_col=text_col),
                           batch_format="pyarrow")
