@@ -1,0 +1,81 @@
+"""CLI: run the engine like the reference daemon is run.
+
+    python -m sagan_ray run --input '/data/*.parquet' --out /runs/r1 \
+        [--config engine.yaml] [--rules extra.rules] [--streaming] \
+        [--num-cpus 32]
+
+Checkpointed by default (resume by re-running with the same --out);
+--streaming does a single-pass run without lineage. This entry point
+OWNS the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sagan_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run the parse->match->route pipeline")
+    run.add_argument("--input", required=True, help="parquet path/glob of webpages")
+    run.add_argument("--out", required=True, help="run directory")
+    run.add_argument("--config", help="engine.yaml (rules/ignore/enrich)")
+    run.add_argument("--rules", action="append", default=[], help="extra .rules file")
+    run.add_argument("--streaming", action="store_true",
+                     help="single-pass, no checkpoint/lineage")
+    run.add_argument("--raw-documents", action="store_true",
+                     help="input is a documents table; derive webpages")
+    run.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from .engine import EngineConfig
+
+        cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+        if args.rules:
+            cfg.rules_files = list(cfg.rules_files) + args.rules
+        files = sorted(glob.glob(args.input))
+        if not files:
+            print(f"no input files match {args.input!r}", file=sys.stderr)
+            return 2
+        if args.streaming:
+            import ray.data as rd
+
+            from .sources.webpages import derive_batch
+
+            ds = rd.read_parquet(files)
+            if args.raw_documents:
+                ds = ds.map_batches(derive_batch, batch_format="pyarrow")
+            manifest = cfg.run(ds, args.out)
+        else:
+            from .pipelines.flagship import run_flagship
+
+            manifest = run_flagship(
+                files, args.out, cfg.load_rules(),
+                derive_from_documents=args.raw_documents,
+            )
+        print(json.dumps(manifest))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -621,6 +621,20 @@ def q_doc_quality(sf_dir):
     )
 
 
+def q_doc_unique_words(sf_dir):
+    """Per-doc exact distinct-token count (list-op coverage)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_uniq = [len(set(x)) for x in toks.to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_unique": pa.array(n_uniq, type=pa.int64())}
+        )
+
+    return ds.map_batches(uniq, batch_format="pyarrow")
+
+
 def q_doc_langid(sf_dir):
     from ..stages.text import LangId
 
@@ -737,6 +751,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
+    "doc_unique_words": q_doc_unique_words,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "emb_ann_topk": q_emb_ann_topk,
@@ -936,6 +951,7 @@ ORACLES = {
                CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop
         FROM documents""",
+    "doc_unique_words": r"SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique FROM documents",
     "emb_ann_topk": """
         SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                CAST(row_number() OVER (
