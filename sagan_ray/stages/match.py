@@ -61,6 +61,65 @@ def check_content_chain(text: str, contents: tuple[Content, ...],
     return True
 
 
+_CHAIN_PLANS: dict[int, list[tuple]] = {}
+
+
+def _chain_plan(rule: Rule) -> list[tuple]:
+    """Flatten the content chain into plain tuples for the hot loop
+    (dataclass attribute access per row per content costs ~10x)."""
+    plan = _CHAIN_PLANS.get(id(rule))
+    if plan is None:
+        plan = [
+            (
+                c.pattern.lower() if c.nocase else c.pattern,
+                len(c.pattern),
+                c.nocase,
+                c.negated,
+                c.relative,
+                c.offset or 0,
+                c.depth,
+                c.distance or 0,
+                c.within,
+                c.rawbytes,
+            )
+            for c in rule.contents
+        ]
+        _CHAIN_PLANS[id(rule)] = plan
+    return plan
+
+
+def _check_chain_fast(text: str, raw: str | None, plan: list[tuple]) -> bool:
+    """Tuple-plan version of check_content_chain (identical semantics)."""
+    prev_end = 0
+    tlow = None
+    for pat, plen, nocase, negated, relative, off, depth, dist, within, rawb in plan:
+        base = raw if (rawb and raw is not None) else text
+        if nocase:
+            if base is text:
+                if tlow is None:
+                    tlow = text.lower()
+                hay = tlow
+            else:
+                hay = base.lower()
+        else:
+            hay = base
+        if relative:
+            start = prev_end + dist
+            stop = start + within if within is not None else len(base)
+        else:
+            start = off
+            stop = start + depth if depth is not None else len(base)
+        idx = hay.find(pat, start if start > 0 else 0)
+        if idx != -1 and idx < stop:
+            if negated:
+                return False
+            prev_end = idx + plen
+        else:
+            if not negated:
+                return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # vectorized helpers
 # ---------------------------------------------------------------------------
@@ -139,20 +198,19 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         if not mask.any():
             return mask
 
-    # --- contents: vectorized for the unconstrained, prefilter+verify else ---
+    # --- contents ---
+    # Every POSITIVE content is a necessary-containment prefilter even
+    # when position-constrained (its window is a subset of the row), so
+    # AND them all vectorized first; the scalar chain pass then verifies
+    # positions (and negations) only on surviving candidates.
     needs_chain = any(c.constrained for c in rule.contents)
     for c in rule.contents:
-        if c.constrained:
-            continue  # verified in the chain pass (position-free contents
-            # are chain-safe to vectorize: find from 0 — only when NO
-            # content is constrained; else the whole chain runs scalar)
         col = raw if (c.rawbytes and raw is not None) else text
-        if needs_chain and not c.negated:
-            # still useful as prefilter even when chain re-checks
+        if not c.negated:
             mask &= _to_np_bool(pc.match_substring(col, c.pattern, ignore_case=c.nocase))
         elif not needs_chain:
             hit = _to_np_bool(pc.match_substring(col, c.pattern, ignore_case=c.nocase))
-            mask &= ~hit if c.negated else hit
+            mask &= ~hit
         if not mask.any():
             return mask
     if needs_chain and mask.any():
@@ -167,10 +225,16 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
 
         cand = _take(text)
         raw_cand = _take(raw) if (raw is not None and any(c.rawbytes for c in rule.contents)) else None
-        for j, (i, t) in enumerate(zip(idxs, cand)):
-            rr = raw_cand[j] if raw_cand is not None else None
-            if not check_content_chain(t or "", rule.contents, raw=rr):
-                mask[i] = False
+        plan = _chain_plan(rule)
+        check = _check_chain_fast
+        if raw_cand is None:
+            for j, i in enumerate(idxs):
+                if not check(cand[j] or "", None, plan):
+                    mask[i] = False
+        else:
+            for j, i in enumerate(idxs):
+                if not check(cand[j] or "", raw_cand[j], plan):
+                    mask[i] = False
         if not mask.any():
             return mask
 
