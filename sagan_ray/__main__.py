@@ -30,7 +30,34 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--raw-documents", action="store_true",
                      help="input is a documents table; derive webpages")
     run.add_argument("--num-cpus", type=int, default=None)
+    chk = sub.add_parser("check", help="validate config + rules (the `sagan -T` analogue)")
+    chk.add_argument("--config", help="engine.yaml")
+    chk.add_argument("--rules", action="append", default=[], help=".rules file")
     args = ap.parse_args(argv)
+
+    if args.cmd == "check":
+        from .engine import EngineConfig
+
+        cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+        if args.rules:
+            cfg.rules_files = list(cfg.rules_files) + args.rules
+        try:
+            rules = cfg.load_rules()
+        except (ValueError, OSError) as e:
+            print(f"INVALID: {e}", file=sys.stderr)
+            return 1
+        sids = [r.sid for r in rules]
+        dupes = {s for s in sids if sids.count(s) > 1}
+        if dupes:
+            print(f"INVALID: duplicate sids {sorted(dupes)}", file=sys.stderr)
+            return 1
+        print(json.dumps({
+            "ok": True,
+            "rules": len(rules),
+            "correlated": sum(1 for r in rules if r.threshold or r.after),
+            "xbits": sum(1 for r in rules if r.xbits),
+        }))
+        return 0
 
     import ray
 

@@ -179,3 +179,23 @@ def test_fifo_parse_unit():
     assert out["message"].to_pylist() == [
         "Failed password for root", "session opened",
     ]
+
+
+def test_cli_check(tmp_path):
+    import subprocess
+    import sys
+
+    good = tmp_path / "g.rules"
+    good.write_text('alert any any any -> any any (content:"x"; sid:1;)\n')
+    r = subprocess.run(
+        [sys.executable, "-m", "sagan_ray", "check", "--rules", str(good)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0 and '"ok": true' in r.stdout
+    bad = tmp_path / "b.rules"
+    bad.write_text('alert any any any -> any any (wat:"x"; sid:1;)\n')
+    r = subprocess.run(
+        [sys.executable, "-m", "sagan_ray", "check", "--rules", str(bad)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1 and "INVALID" in r.stderr
