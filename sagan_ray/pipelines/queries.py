@@ -208,6 +208,8 @@ def q_ev_agg(sf_dir):
 
 
 def _ev_windowed(sf_dir, event_type: str, count: int, mode: str):
+    from ..stages.window import grouped_apply, windowed_rank_filter
+
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -217,13 +219,8 @@ def _ev_windowed(sf_dir, event_type: str, count: int, mode: str):
         return t.append_column("bucket", pc.cast(bucket, pa.int64()))
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-
-    def gate(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return g.iloc[:count] if mode == "limit" else g.iloc[count:]
-
-    out = ds.groupby(["user_id", "bucket"]).map_groups(gate, batch_format="pandas")
-    return out.select_columns(["event_id"])
+    fn = windowed_rank_filter(["user_id", "bucket"], ["ts", "event_id"], count, mode)
+    return grouped_apply(ds, ["user_id", "bucket"], fn, output_cols=["event_id"])
 
 
 def q_ev_threshold(sf_dir):
@@ -259,40 +256,30 @@ def q_ev_rule_engine(sf_dir):
 def q_ev_sessionize(sf_dir):
     """Gap-based sessionization (streaming-shaped op): sessions split at
     >1h inactivity per user; emits n_sessions per user."""
+    from ..stages.window import grouped_apply, sessionize_fn
+
     ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_id"])
-
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(hours=1)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
-        )
-
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    fn = sessionize_fn(["user_id"], "ts", ["ts", "event_id"], pd.Timedelta(hours=1))
+    return grouped_apply(ds, ["user_id"], fn, output_cols=["user_id", "n_sessions"])
 
 
 def q_ev_moving_sum(sf_dir):
     """Rolling window over an ordered per-key stream (ROWS 2 PRECEDING)."""
+    from ..stages.window import grouped_apply, rolling_sum_fn
+
     ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_id", "value"])
-
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["mov_sum"] = g["value"].rolling(3, min_periods=1).sum().round(2)
-        return g[["event_id", "mov_sum"]]
-
-    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    fn = rolling_sum_fn(["user_id"], ["ts", "event_id"], "value", 3, "mov_sum")
+    return grouped_apply(ds, ["user_id"], fn, output_cols=["event_id", "mov_sum"])
 
 
 def q_ev_top_per_user(sf_dir):
     """Per-group arg-max: each user's highest-value event."""
+    from ..stages.window import grouped_apply, top1_fn
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
-
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(1)[["user_id", "event_id", "value"]]
-
-    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+    fn = top1_fn(["user_id"], "value", "event_id")
+    return grouped_apply(ds, ["user_id"], fn,
+                         output_cols=["user_id", "event_id", "value"])
 
 
 # ---------------------------------------------------------------------------
