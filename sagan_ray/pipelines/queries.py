@@ -939,6 +939,23 @@ ORACLES = {
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop
         FROM documents""",
     "doc_unique_words": r"SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique FROM documents",
+    # exact SQL restatement of text.LangId.predict: CJK check on the
+    # first 200 chars, else first-max stopword vote over [de,en,es,fr]
+    "doc_langid": r"""
+        WITH s AS (
+          SELECT doc_id, text,
+            len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','das','und','ist','ein','eine','nicht','mit','von'))) AS s_de,
+            len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+            len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','los','y','es','una','que','de','para','con'))) AS s_es,
+            len(list_filter(string_split(lower(text),' '), w -> w IN ('le','la','les','et','est','une','des','que','pour','dans'))) AS s_fr
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(left(text, 200), '[一-鿿]') THEN 'zh'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM s""",
     "emb_ann_topk": """
         SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                CAST(row_number() OVER (
