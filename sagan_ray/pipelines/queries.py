@@ -158,6 +158,22 @@ def q_wp_enrich_geo(sf_dir):
     return ds.select_columns(["url", "country"])
 
 
+def q_wp_enrich_join(sf_dir):
+    """Same geo enrichment as wp_enrich_geo but via the native hash
+    join (Dataset.join) instead of a broadcast dict — the shape for
+    lookup tables too big to broadcast."""
+    import ray.data as rd
+
+    geo, _bl, _intel = default_lookups()
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    geo_ds = rd.from_items(
+        [{"g_host": h, "country": c} for h, c in sorted(geo.items())]
+    )
+    j = ds.join(geo_ds, join_type="inner", num_partitions=8,
+                on=("host",), right_on=("g_host",))
+    return j.select_columns(["url", "country"])
+
+
 def q_wp_blacklist_semi(sf_dir):
     geo, bl, intel = default_lookups()
     ds = webpages_from_documents(sf_dir, include_html=False)
@@ -708,6 +724,7 @@ QUERIES = {
     "wp_route_counts": q_wp_route_counts,
     "wp_extract": q_wp_extract,
     "wp_enrich_geo": q_wp_enrich_geo,
+    "wp_enrich_join": q_wp_enrich_join,
     "wp_blacklist_semi": q_wp_blacklist_semi,
     "wp_topk_hosts": q_wp_topk_hosts,
     "ev_json_decode": q_ev_json_decode,
@@ -810,6 +827,8 @@ ORACLES = {
         SELECT c AS classification, count(*) AS n FROM allm GROUP BY c""",
     "wp_extract": _W + r" SELECT doc_id, regexp_extract(text, '(\w+) scan', 1) AS scan_prey FROM w WHERE regexp_matches(text, '(\w+) scan')",
     "wp_enrich_geo": f"""{_W}
+        SELECT url, (['US','DE','FR','CN','RU'])[(CAST(substr(host, 4, strpos(host,'.')-4) AS INT) % 5) + 1] AS country FROM w""",
+    "wp_enrich_join": f"""{_W}
         SELECT url, (['US','DE','FR','CN','RU'])[(CAST(substr(host, 4, strpos(host,'.')-4) AS INT) % 5) + 1] AS country FROM w""",
     "wp_blacklist_semi": f"""{_W}
         SELECT url FROM w WHERE CAST(substr(host, 4, strpos(host,'.')-4) AS INT) % 7 = 0""",
