@@ -116,6 +116,32 @@ def _attach_gb(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return pdf
 
 
+def _preprune_mask(kdf: pd.DataFrame, specs: dict[int, dict]) -> np.ndarray:
+    """Keep-mask version of the batch-local limit pre-prune, computed on
+    a KEY-ONLY frame (sid, ckey, bucket, warc_ts, url) so wide columns
+    never round-trip through pandas."""
+    keep = np.ones(len(kdf), dtype=bool)
+    limit_sids = {
+        s for s, sp in specs.items()
+        if sp["kind"] == "threshold" and sp["ttype"] == "limit"
+    }
+    if not limit_sids or kdf.empty:
+        return keep
+    m = kdf["sid"].isin(limit_sids).to_numpy()
+    if not m.any():
+        return keep
+    sub = kdf[m]
+    order = np.lexsort((sub["url"].to_numpy(), sub["warc_ts"].to_numpy()))
+    sub_sorted = sub.iloc[order]
+    rn = sub_sorted.groupby(["sid", "ckey", "bucket"], sort=False).cumcount()
+    counts = {s: sp["count"] for s, sp in specs.items() if s in limit_sids}
+    keep_sorted = (rn < sub_sorted["sid"].map(counts)).to_numpy()
+    keep_sub = np.empty(len(sub), dtype=bool)
+    keep_sub[order] = keep_sorted
+    keep[np.flatnonzero(m)] = keep_sub
+    return keep
+
+
 def _preprune_limit(batch: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
     """Batch-local skew guard: for `limit` rules keep only the C earliest
     rows per (sid, ckey, bucket) within this batch — a superset of the
@@ -251,58 +277,86 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     def bypass(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["sid"], value_set=bypass_keep))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        parts = []
+    def _hash_gb_arrays(*cols) -> pa.Array:
+        h = pd.util.hash_array(np.asarray(cols[0], dtype=object))
+        for c in cols[1:]:
+            h = h * np.uint64(31) + pd.util.hash_array(
+                np.asarray(c) if not isinstance(c, np.ndarray) else c
+            )
+        return pa.array((h % np.uint64(N_GROUP_BUCKETS)).astype(np.int64))
+
+    def _const(n: int, val, typ) -> pa.Array:
+        if typ == "str":
+            return pa.array([val] * n, type=pa.string())
+        return pa.array(np.full(n, val, dtype=np.int64))
+
+    helper_order = ["ckey", "bucket", "xname", "xaction", "xkey", "xexpire",
+                    "kind", "gb"]
+
+    def explode_safe(batch: pa.Table) -> pa.Table:
+        """Arrow-native tagged explode: wide columns (text/msg/url) never
+        round-trip through pandas pre-shuffle; key-only pandas frames
+        drive the pre-prune mask and gb hashes."""
+        parts: list[pa.Table] = []
+        base_names = batch.column_names
         csub = batch.filter(pc.is_in(batch["sid"], value_set=corr_sids))
         if csub.num_rows:
             csub = _attach_keys(csub, specs)
-            pdf = csub.to_pandas()
-            pdf = _preprune_limit(pdf, specs)
-            pdf["xname"] = ""
-            pdf["xaction"] = ""
-            pdf["xkey"] = ""
-            pdf["xexpire"] = np.int64(-1)
-            pdf["kind"] = "corr"
-            parts.append(_attach_gb(pdf, ["sid", "ckey", "bucket"]))
-        xsub = batch.filter(pc.is_in(batch["sid"], value_set=xb_sids))
-        if xsub.num_rows:
-            pdf = xsub.to_pandas()
-            for s, xbs in xspecs.items():
-                rows = pdf[pdf["sid"] == s]
-                if rows.empty:
-                    continue
-                for xb in xbs:
-                    r2 = rows.copy()
-                    r2["ckey"] = ""
-                    r2["bucket"] = np.int64(-1)
-                    r2["xname"] = xb.name
-                    r2["xaction"] = xb.action
-                    r2["xkey"] = (
-                        rows["lang"] if _track_col(xb.track) == "lang" else rows["host"]
+            kdf = csub.select(["sid", "ckey", "bucket", "warc_ts", "url"]).to_pandas()
+            keep = _preprune_mask(kdf, specs)
+            if not keep.all():
+                csub = csub.filter(pa.array(keep))
+                kdf = kdf[keep]
+            m = csub.num_rows
+            csub = (
+                csub.append_column("xname", _const(m, "", "str"))
+                .append_column("xaction", _const(m, "", "str"))
+                .append_column("xkey", _const(m, "", "str"))
+                .append_column("xexpire", _const(m, -1, "int"))
+                .append_column("kind", _const(m, "corr", "str"))
+                .append_column(
+                    "gb",
+                    _hash_gb_arrays(
+                        kdf["sid"].astype(str).to_numpy(dtype=object),
+                        pd.util.hash_array(kdf["ckey"].to_numpy(dtype=object)),
+                        kdf["bucket"].to_numpy(),
                     )
-                    r2["xexpire"] = np.int64(
-                        xb.expire if xb.expire is not None else -1
+                    if m
+                    else pa.array([], type=pa.int64()),
+                )
+            )
+            parts.append(csub.select(base_names + helper_order))
+        for s, xbs in xspecs.items():
+            rsub = batch.filter(pc.equal(batch["sid"], s))
+            if rsub.num_rows == 0:
+                continue
+            m = rsub.num_rows
+            for xb in xbs:
+                xkey_col = rsub["lang"] if _track_col(xb.track) == "lang" else rsub["host"]
+                t2 = (
+                    rsub.append_column("ckey", _const(m, "", "str"))
+                    .append_column("bucket", _const(m, -1, "int"))
+                    .append_column("xname", _const(m, xb.name, "str"))
+                    .append_column("xaction", _const(m, xb.action, "str"))
+                    .append_column("xkey", xkey_col)
+                    .append_column(
+                        "xexpire",
+                        _const(m, xb.expire if xb.expire is not None else -1, "int"),
                     )
-                    r2["kind"] = "xbit"
-                    parts.append(_attach_gb(r2, ["xname", "xkey"]))
+                    .append_column("kind", _const(m, "xbit", "str"))
+                )
+                xk = np.asarray(xkey_col.to_pandas(), dtype=object)
+                names = np.full(m, xb.name, dtype=object)
+                t2 = t2.append_column("gb", _hash_gb_arrays(names, pd.util.hash_array(xk)))
+                parts.append(t2.select(base_names + helper_order))
         if not parts:
-            return None  # Ray drops None batches? no — return empty table
-        out = pd.concat(parts, ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    def explode_safe(batch: pa.Table) -> pa.Table:
-        out = explode(batch)
-        if out is None:
-            # schema-stable empty frame
-            pdf = batch.slice(0, 0).to_pandas()
-            for c, dt in (("ckey", str), ("xname", str), ("xaction", str),
-                          ("xkey", str), ("kind", str)):
-                pdf[c] = pd.Series(dtype=dt)
-            pdf["bucket"] = pd.Series(dtype=np.int64)
-            pdf["xexpire"] = pd.Series(dtype=np.int64)
-            pdf["gb"] = pd.Series(dtype=np.int64)
-            return pa.Table.from_pandas(pdf, preserve_index=False)
-        return out
+            empty = batch.slice(0, 0)
+            for cname in ["ckey", "xname", "xaction", "xkey", "kind"]:
+                empty = empty.append_column(cname, pa.array([], type=pa.string()))
+            for cname in ["bucket", "xexpire", "gb"]:
+                empty = empty.append_column(cname, pa.array([], type=pa.int64()))
+            return empty.select(base_names + helper_order)
+        return pa.concat_tables(parts)
 
     helper_cols = ["ckey", "bucket", "xname", "xaction", "xkey", "xexpire", "kind"]
 
