@@ -1,0 +1,82 @@
+"""Oracle-parity under pytest (north-rule verification channel): a fast
+subset of the queries() registry compared against oracle_sql() in DuckDB
+at sf0.001 — same canonicalization as tools/check_oracles.py."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast, representative subset (one per operator family)
+SUBSET = [
+    "wp_parse",
+    "wp_content_match",
+    "wp_pcre_match",
+    "wp_threshold_limit",
+    "wp_xbits",
+    "wp_content_chain",
+    "wp_route_counts",
+    "wp_rawbytes",
+    "wp_enrich_geo",
+    "ev_json_decode",
+    "ev_threshold",
+    "ev_sessionize",
+    "ev_rule_engine",
+    "tpch_q1",
+    "tpch_join_agg",
+    "tpch_topk",
+    "tpch_anti",
+    "dedup_exact",
+    "doc_quality",
+    "doc_langid",
+    "emb_ann_topk",
+    "src_fifo_parse",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    res = fn(SF)
+    mine = canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    theirs = canon(duck.sql(sql).df())
+    assert len(mine) == len(theirs), f"{name}: {len(mine)} vs {len(theirs)} rows"
+    assert list(mine.columns) == list(theirs.columns)
+    for c in mine.columns:
+        a, b = mine[c], theirs[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(
+                a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ), f"{name}.{c}"
+        else:
+            assert a.astype(str).equals(b.astype(str)), f"{name}.{c}"
