@@ -61,13 +61,12 @@ def check_content_chain(text: str, contents: tuple[Content, ...],
     return True
 
 
-_CHAIN_PLANS: dict[int, list[tuple]] = {}
-
-
 def _chain_plan(rule: Rule) -> list[tuple]:
     """Flatten the content chain into plain tuples for the hot loop
-    (dataclass attribute access per row per content costs ~10x)."""
-    plan = _CHAIN_PLANS.get(id(rule))
+    (dataclass attribute access per row per content costs ~10x).
+    Cached ON the rule object — an id()-keyed dict would serve stale
+    plans when ids are recycled after GC."""
+    plan = getattr(rule, "_chain_plan_cache", None)
     if plan is None:
         plan = [
             (
@@ -84,7 +83,7 @@ def _chain_plan(rule: Rule) -> list[tuple]:
             )
             for c in rule.contents
         ]
-        _CHAIN_PLANS[id(rule)] = plan
+        rule._chain_plan_cache = plan
     return plan
 
 
