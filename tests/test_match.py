@@ -121,3 +121,11 @@ def test_json_content():
         "props", pa.array(['{"k": 69}', '{"k": 5}'])
     )
     assert rule_mask(b, r).tolist() == [True, False]
+
+
+def test_event_id_gate():
+    r = parse_rule('alert any any any -> any any (sid:1; event_id:"4624,4625"; content:"x";)')
+    b = batch(["x", "x", "x"]).append_column(
+        "event_id", pa.array([4624, 1000, 4625], type=pa.int64())
+    )
+    assert rule_mask(b, r).tolist() == [True, False, True]
