@@ -213,6 +213,23 @@ def run_flagship(
             raise RuntimeError(f"injected failure after {n_done} partitions")
 
     # ---- stage B: correlate + route over all checkpointed alerts ----
+    # Skip entirely when the checkpoint state is unchanged since the
+    # last completed run (manifest written LAST, so a killed stage B
+    # never leaves a matching hash behind).
+    import hashlib
+    import json as _json
+
+    done_now = lineage.completed_partitions(run_dir)
+    lineage_hash = hashlib.sha256(
+        _json.dumps(sorted(done_now.items()), sort_keys=True).encode()
+    ).hexdigest()
+    manifest_path = os.path.join(run_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = _json.load(f)
+        if prev.get("lineage_hash") == lineage_hash:
+            return prev
+
     ckpt_root = os.path.join(run_dir, "ckpt")
     alerts = gate_alerts(rd.read_parquet(ckpt_root), rules)
     import shutil
@@ -222,8 +239,12 @@ def run_flagship(
         shutil.rmtree(sink_dir)  # stage B is cheap and always rebuilt
     # sinks carry part_id so the manifest records per-partition sink
     # counts (north-star lineage shape) and replays stay addressable
-    return route_alerts(alerts, run_dir,
-                        partition_cols=["classification", "part_id"])
+    manifest = route_alerts(alerts, run_dir,
+                            partition_cols=["classification", "part_id"])
+    manifest["lineage_hash"] = lineage_hash
+    with open(manifest_path, "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
 
 
 def run_streaming(webpages_ds, rules: list[Rule], out_dir: str,
