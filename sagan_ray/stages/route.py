@@ -100,6 +100,42 @@ def sink_manifest(sink_dir: str, out_dir: str | None = None) -> dict:
     return manifest
 
 
+def format_fast_lines(batch: pa.Table) -> pa.Table:
+    """Snort/Sagan 'fast' alert format (output-plugins/fast.c analogue):
+    one human-readable line per alert."""
+    import pyarrow.compute as pc
+
+    ts = pc.strftime(pc.cast(batch["warc_ts"], pa.timestamp("us")),
+                     format="%m/%d/%Y-%H:%M:%S")
+    line = pc.binary_join_element_wise(
+        ts, pa.scalar("  [**] ["),
+        pc.cast(batch["sid"], pa.string()), pa.scalar(":"),
+        pc.cast(batch["rev"], pa.string()), pa.scalar("] "),
+        batch["msg"], pa.scalar(" [**] [Classification: "),
+        batch["classification"], pa.scalar("] {HOST} "),
+        batch["host"], pa.scalar(" "), batch["url"], "",
+    )
+    return pa.table({"line": line})
+
+
+def write_fast_log(alerts_ds, fast_dir: str) -> None:
+    """Parallel text sink: each block writes one .log part file."""
+    import os as _os
+    import uuid
+
+    _os.makedirs(fast_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        lines = format_fast_lines(batch)["line"].to_pylist()
+        if lines:
+            p = _os.path.join(fast_dir, f"alert-{uuid.uuid4().hex[:12]}.log")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        return pa.table({"n": pa.array([len(lines)], type=pa.int64())})
+
+    alerts_ds.map_batches(dump, batch_format="pyarrow").count()
+
+
 def read_sink(sink_dir: str, classification: str | None = None):
     """Read routed rows back (hive-partitioned)."""
     dataset = pads.dataset(sink_dir, partitioning="hive")

@@ -61,3 +61,24 @@ def test_eve_ndjson_sink(ray_session, tmp_path):
                 assert "sid" in rec and "url" in rec and "classification" in rec
                 lines += 1
     assert lines == manifest["total"]
+
+
+def test_fast_log_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from sagan_ray.stages.route import write_fast_log
+
+    sink = pads.dataset  # noqa: F841 (imported at module top)
+    # reuse the routed parquet from a tiny streaming run
+    out = str(tmp_path / "r")
+    ds = webpages_from_documents(SF)
+    manifest = run_streaming(ds, load_default_rules(), out)
+    alerts = rd.read_parquet(os.path.join(out, "sinks"))
+    fast_dir = str(tmp_path / "fast")
+    write_fast_log(alerts, fast_dir)
+    lines = []
+    for f in os.listdir(fast_dir):
+        with open(os.path.join(fast_dir, f)) as fh:
+            lines.extend(fh.read().splitlines())
+    assert len(lines) == manifest["total"]
+    assert "[**]" in lines[0] and "[Classification:" in lines[0]
