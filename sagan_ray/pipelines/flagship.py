@@ -120,12 +120,19 @@ def gate_alerts(alerts, rules: list[Rule]):
     needs_branching = any(r.threshold or r.after or r.xbits for r in rules)
     if not needs_branching:
         return alerts
-    alerts = alerts.repartition(_shuffle_width()).materialize()
+    alerts = alerts.materialize()
+    width = _shuffle_width()
+    if alerts.num_blocks() > 2 * width:
+        # only pay the coalesce when the filtered stream really is
+        # fragmented (reads with override_num_blocks never are)
+        alerts = alerts.repartition(width).materialize()
     if can_fuse(rules):
         return apply_correlation_fused(alerts, rules)
     alerts = apply_correlation(alerts, rules)
     if any(r.xbits for r in rules):
-        alerts = alerts.repartition(_shuffle_width()).materialize()
+        alerts = alerts.materialize()
+        if alerts.num_blocks() > 2 * width:
+            alerts = alerts.repartition(width).materialize()
     alerts = apply_xbits(alerts, rules)
     return alerts
 
