@@ -65,6 +65,40 @@ def first_hash(texts: list[str | None], kind: str) -> list[str | None]:
     return out
 
 
+# parse-proto.c: first protocol keyword in the message decides, fixed
+# priority order; parse-proto-program.c: the reporting program implies
+# the protocol via a static table.
+PROTO_KEYWORDS = ("tcp", "udp", "icmp")
+PROGRAM_PROTO_MAP = {
+    "sshd": "tcp", "httpd": "tcp", "nginx": "tcp", "ftpd": "tcp",
+    "smtpd": "tcp", "named": "udp", "ntpd": "udp", "snmpd": "udp",
+    "dhcpd": "udp",
+}
+
+
+def proto_from_text(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized keyword scan -> proto column (None if no keyword).
+
+    One Arrow regex pass per keyword; priority = PROTO_KEYWORDS order
+    (SQL mirror: CASE WHEN regexp_matches(text,'\\btcp\\b') THEN 'tcp' …).
+    """
+    n = len(texts)
+    out = pc.cast(pa.nulls(n), pa.string())
+    for kw in reversed(PROTO_KEYWORDS):  # earlier keywords overwrite later
+        hit = pc.match_substring_regex(texts, rf"\b{kw}\b", ignore_case=True)
+        out = pc.if_else(pc.fill_null(hit, False), pa.scalar(kw), out)
+    return out
+
+
+def proto_from_program(programs: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Program name -> proto via the static table (None when unknown)."""
+    vals = [
+        PROGRAM_PROTO_MAP.get((p or "").split("/")[0].lower())
+        for p in programs.to_pylist()
+    ]
+    return pa.array(vals, type=pa.string())
+
+
 def extract_named(texts: pa.Array | pa.ChunkedArray, pattern: str) -> pa.Array:
     """Named-group regex -> struct column (vectorized via Arrow RE2 when
     possible, Python fallback otherwise). Null struct fields on no-match."""

@@ -68,6 +68,12 @@ def load_default_rules() -> list[Rule]:
     return load_rules_file(DEFAULT_RULES)
 
 
+def rules_need_enrichment(rules: list[Rule]) -> bool:
+    """True when some rule GATES on an enrichment column (country_code /
+    blacklist) — detectable at compile time, decides enrich placement."""
+    return any(r.country_code is not None or r.blacklist is not None for r in rules)
+
+
 def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
                     concurrency: int | None = None):
     """webpages Dataset -> routed-ready alerts Dataset.
@@ -78,8 +84,15 @@ def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
     parse+match scan. Alerts are orders of magnitude smaller than the
     input (the reduced set), so pinning them in the object store is the
     intended pattern; at sizes where even alerts don't fit, use
-    ``run_flagship`` which checkpoints them to parquet instead."""
-    if enrich:
+    ``run_flagship`` which checkpoints them to parquet instead.
+
+    Enrichment placement: when a rule GATES on an enrichment column the
+    actor pool must run over the full input pre-match; otherwise the
+    columns are only decoration for the routed records, so the pool runs
+    over the (orders-of-magnitude smaller) gated alert stream — at
+    10^12 rows that removes an actor hop per input row."""
+    pre_enrich = enrich and rules_need_enrichment(rules)
+    if pre_enrich:
         if concurrency is None:
             # size the actor pool to ~half the CPUs so the match/read
             # stages aren't starved (a pool reserving every CPU
@@ -96,7 +109,12 @@ def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
         webpages_ds = enrich_stage(webpages_ds, geo, bl, intel,
                                    concurrency=concurrency)
     alerts = match_alerts(webpages_ds, rules)
-    return gate_alerts(alerts, rules)
+    gated = gate_alerts(alerts, rules)
+    if enrich and not pre_enrich:
+        geo, bl, intel = default_lookups()
+        gated = enrich_stage(gated, geo, bl, intel,
+                             concurrency=concurrency or 2)
+    return gated
 
 
 def _shuffle_width() -> int:
@@ -117,6 +135,7 @@ def gate_alerts(alerts, rules: list[Rule]):
     fixed cost per call (measured 5s vs 0.25s)."""
     from ..stages.correlate import apply_correlation_fused, can_fuse
 
+    alerts = _drop_noalert(alerts, rules)
     needs_branching = any(r.threshold or r.after or r.xbits for r in rules)
     if not needs_branching:
         return alerts
@@ -135,6 +154,26 @@ def gate_alerts(alerts, rules: list[Rule]):
             alerts = alerts.repartition(width).materialize()
     alerts = apply_xbits(alerts, rules)
     return alerts
+
+
+def _drop_noalert(alerts, rules: list[Rule]):
+    """`noalert` rules never route, with or without xbits. Xbits
+    set-rules keep their rows here: the correlation stage consumes them
+    as state events and excludes them from routing itself."""
+    drop = [r.sid for r in rules if r.noalert and not r.xbits]
+    if not drop:
+        return alerts
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sids = pa.array(drop, type=pa.int64())
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["sid"], value_set=sids).combine_chunks())
+        )
+
+    return alerts.map_batches(flt, batch_format="pyarrow")
 
 
 def run_flagship(
@@ -163,6 +202,8 @@ def run_flagship(
     rules = rules or load_default_rules()
     os.makedirs(run_dir, exist_ok=True)
 
+    all_pids = [lineage.partition_id(f) for f in sorted(input_files)]
+    assert len(set(all_pids)) == len(all_pids), "partition_id collision"
     done = lineage.completed_partitions(run_dir)
     todo = [(lineage.partition_id(f), f) for f in sorted(input_files)
             if lineage.partition_id(f) not in done]

@@ -121,6 +121,45 @@ class CountryCode:
     codes: tuple[str, ...]
 
 
+@dataclass(frozen=True)
+class HostSpec:
+    """One side of a rule header: a glob allowlist over an endpoint
+    column, optionally negated. ``globs=()`` means ``any``."""
+
+    globs: tuple[str, ...] = ()
+    negated: bool = False
+
+    @property
+    def is_any(self) -> bool:
+        return not self.globs
+
+
+@dataclass(frozen=True)
+class Header:
+    """Compiled rule header (reference: ``src/flow.c`` Check_Flow).
+
+    Documented mapping for the single-endpoint log data model (SURVEY
+    §2.7: "header nets map to host/lang allowlists via the var table"):
+    the SRC spec gates the ``host`` column, the DST spec gates the
+    ``lang`` column (the facility-analogue), ``<>`` matches either
+    orientation. ``proto`` gates a ``proto`` column when one exists;
+    syslog-style events carry no transport protocol, so absent the
+    column a non-any proto is a no-op — exactly upstream's behavior
+    where Check_Flow only tests protos liblognorm actually extracted.
+    Ports are parsed but ignored (no port column in the data model)."""
+
+    proto: str = "any"
+    src: HostSpec = HostSpec()
+    src_port: str = "any"
+    dst: HostSpec = HostSpec()
+    dst_port: str = "any"
+    bidirectional: bool = False
+
+    @property
+    def is_any(self) -> bool:
+        return self.src.is_any and self.dst.is_any and self.proto == "any"
+
+
 @dataclass
 class Rule:
     sid: int
@@ -140,11 +179,15 @@ class Rule:
     json_contents: tuple[tuple[str, str], ...] = ()  # (json key path, value)
     json_pcres: tuple[tuple[str, Pcre], ...] = ()
     event_ids: tuple[int, ...] = ()
+    # header (flow.c analogue; None == `any any any -> any any`)
+    header: Header | None = None
     # extraction
     normalize: str | None = None  # named-group regex
     parse_src_ip: int | None = None
     parse_port: bool = False
     parse_hash: str | None = None
+    parse_proto: bool = False  # proto from message keywords
+    parse_proto_program: bool = False  # proto from the program column
     # predicates
     alert_time: AlertTime | None = None
     country_code: CountryCode | None = None
@@ -158,6 +201,8 @@ class Rule:
     _pcre_compiled: tuple = field(default=(), repr=False)
     _normalize_compiled: object = field(default=None, repr=False)
     _program_re: object = field(default=None, repr=False)
+    _header_src_re: object = field(default=None, repr=False)
+    _header_dst_re: object = field(default=None, repr=False)
 
     @property
     def gate_literal(self) -> str | None:
@@ -276,15 +321,89 @@ def _parse_kv_list(val: str) -> dict[str, str]:
     return out
 
 
+def _parse_host_spec(tok: str, var_table: dict[str, list[str]]) -> HostSpec:
+    """`any` | `$VAR` | `[a,b,!c]` | `item` | `!spec` -> HostSpec."""
+    tok = tok.strip()
+    negated = tok.startswith("!")
+    if negated:
+        tok = tok[1:].strip()
+    if tok.lower() == "any" or not tok:
+        return HostSpec(negated=negated) if negated else HostSpec()
+    if tok.startswith("$"):
+        vals = var_table.get(tok[1:])
+        if vals is None:
+            raise ValueError(f"undefined header var {tok}")
+        items = tuple(vals)
+    elif tok.startswith("[") and tok.endswith("]"):
+        items = tuple(x.strip() for x in tok[1:-1].split(",") if x.strip())
+    else:
+        items = (tok,)
+    return HostSpec(globs=items, negated=negated)
+
+
+def _parse_header(header_s: str, var_table: dict[str, list[str]]) -> Header | None:
+    """`proto src sport (->|<>) dst dport` -> Header (None if all-any).
+
+    Bracketed lists may contain spaces, so tokenize with bracket depth.
+    """
+    s = header_s.strip()
+    if not s:
+        return None
+    toks: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch.isspace() and depth == 0:
+            if cur:
+                toks.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        toks.append("".join(cur))
+    if not toks:
+        return None
+    if toks[0].lower() in ("any", "tcp", "udp", "icmp", "ip", "syslog"):
+        proto = toks[0].lower()
+        # `syslog` is the transport designator of every Sagan rule, not
+        # a constraint; `ip` matches every IP proto — both are any here
+        proto = "any" if proto in ("syslog", "ip") else proto
+        toks = toks[1:]
+    else:
+        proto = "any"
+    if len(toks) not in (0, 5):
+        raise ValueError(f"bad rule header {header_s!r} (need 5 tokens after proto)")
+    if not toks:
+        hdr = Header(proto=proto)
+        return None if hdr.is_any else hdr
+    src, sport, direction, dst, dport = toks
+    if direction not in ("->", "<>"):
+        raise ValueError(f"bad header direction {direction!r}")
+    hdr = Header(
+        proto=proto,
+        src=_parse_host_spec(src, var_table),
+        src_port=sport.lower(),
+        dst=_parse_host_spec(dst, var_table),
+        dst_port=dport.lower(),
+        bidirectional=direction == "<>",
+    )
+    return None if hdr.is_any else hdr
+
+
 def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule:
     """Parse one 'alert ... ( options )' line into a Rule."""
     var_table = var_table or {}
     m = _stdre.match(r"^\s*(alert|drop|pass)\b([^(]*)\((.*)\)\s*$", line, _stdre.S)
     if not m:
         raise ValueError(f"unparseable rule: {line[:120]!r}")
-    action, _header, body = m.group(1), m.group(2), m.group(3)
+    action, header_s, body = m.group(1), m.group(2), m.group(3)
 
     r = Rule(sid=0, action=action)
+    r.header = _parse_header(header_s, var_table)
     contents: list[Content] = []
     pcres: list[Pcre] = []
     metas: list[MetaContent] = []
@@ -371,6 +490,10 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.parse_port = True
         elif key == "parse_hash":
             r.parse_hash = _unquote(val)
+        elif key == "parse_proto":
+            r.parse_proto = True
+        elif key == "parse_proto_program":
+            r.parse_proto_program = True
         elif key == "alert_time":
             kv = _parse_kv_list(_unquote(val))
             days = frozenset(int(c) for c in kv.get("days", "0123456"))
@@ -452,7 +575,22 @@ def compile_rule(r: Rule) -> Rule:
                 "^" + _stdre.escape(g).replace(r"\*", ".*").replace(r"\?", ".") + "$"
             )
         r._program_re = _stdre.compile("|".join(alts))
+    if r.header is not None:
+        r._header_src_re = _glob_alternation(r.header.src.globs)
+        r._header_dst_re = _glob_alternation(r.header.dst.globs)
     return r
+
+
+def _glob_alternation(globs: tuple[str, ...]) -> str | None:
+    """Glob list -> one anchored RE2 alternation PATTERN (Arrow-kernel
+    ready), or None for `any`."""
+    if not globs:
+        return None
+    alts = [
+        "^" + _stdre.escape(g).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        for g in globs
+    ]
+    return "|".join(alts)
 
 
 def parse_rules(

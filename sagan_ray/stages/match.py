@@ -45,10 +45,10 @@ def check_content_chain(text: str, contents: tuple[Content, ...],
         hay, pat = (base.lower(), c.pattern.lower()) if c.nocase else (base, c.pattern)
         if c.relative:
             start = prev_end + (c.distance or 0)
-            stop = start + c.within if c.within is not None else len(text)
+            stop = start + c.within if c.within is not None else len(base)
         else:
             start = c.offset or 0
-            stop = start + c.depth if c.depth is not None else len(text)
+            stop = start + c.depth if c.depth is not None else len(base)
         idx = hay.find(pat, max(start, 0))
         found = idx != -1 and idx < stop
         if c.negated:
@@ -152,29 +152,77 @@ def _arrow_regex_pattern(p) -> str | None:
 _ARROW_PCRE_CACHE: dict[tuple[str, int], str | None] = {}
 
 
+def _header_mask(batch: pa.Table, rule: Rule, n: int) -> np.ndarray:
+    """Header (flow.c) gate: src spec -> host, dst spec -> lang; `<>`
+    matches either orientation (mapping documented on rules.Header)."""
+    hdr = rule.header
+    cols = batch.column_names
+
+    def side(spec, pattern, colname) -> np.ndarray:
+        if spec.is_any:
+            return np.ones(n, dtype=bool)
+        if colname not in cols:
+            return np.zeros(n, dtype=bool)  # fail closed
+        hit = _to_np_bool(pc.match_substring_regex(batch[colname], pattern))
+        return ~hit if spec.negated else hit
+
+    fwd = side(hdr.src, rule._header_src_re, "host") & side(
+        hdr.dst, rule._header_dst_re, "lang"
+    )
+    if hdr.bidirectional:
+        rev = side(hdr.src, rule._header_src_re, "lang") & side(
+            hdr.dst, rule._header_dst_re, "host"
+        )
+        fwd |= rev
+    if hdr.proto != "any" and "proto" in cols:
+        # syslog events carry no transport proto unless a parser added
+        # one; gate only when the column exists (upstream Check_Flow
+        # skips the test when liblognorm extracted no proto)
+        fwd &= _to_np_bool(pc.equal(batch["proto"], hdr.proto))
+    return fwd
+
+
 def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray:
-    """Boolean keep-mask for one rule over one Arrow batch."""
+    """Boolean keep-mask for one rule over one Arrow batch.
+
+    Gate columns are REQUIRED: a rule that references a column the batch
+    schema lacks matches nothing (fail closed — the reference's
+    gate-must-match behavior). Enrichment predicates (country/blacklist)
+    are included: the pipeline helpers auto-enrich pre-match whenever a
+    rule needs those columns (see flagship.rules_need_enrichment)."""
     n = batch.num_rows
     mask = np.ones(n, dtype=bool)
     text = batch[text_col]
     raw = batch["html_str"] if "html_str" in batch.column_names else None
 
     # --- gates (cheapest first; reference engine order) ---
-    if rule.programs and "host" in batch.column_names:
+    if rule.header is not None:
+        mask &= _header_mask(batch, rule, n)
+        if not mask.any():
+            return mask
+    if rule.programs:
+        if "host" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(
             pc.match_substring_regex(batch["host"], rule._program_re.pattern)
         )
         if not mask.any():
             return mask
-    if rule.facility is not None and "lang" in batch.column_names:
+    if rule.facility is not None:
+        if "lang" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(pc.equal(batch["lang"], rule.facility))
         if not mask.any():
             return mask
-    if rule.level is not None and "source" in batch.column_names:
+    if rule.level is not None:
+        if "source" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(pc.equal(batch["source"], rule.level))
         if not mask.any():
             return mask
-    if rule.event_ids and "event_id" in batch.column_names:
+    if rule.event_ids:
+        if "event_id" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(
             pc.is_in(batch["event_id"], value_set=pa.array(list(rule.event_ids)))
         )
@@ -182,7 +230,9 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             return mask
 
     # --- alert_time (vectorized temporal predicate; aetas analogue) ---
-    if rule.alert_time is not None and "warc_ts" in batch.column_names:
+    if rule.alert_time is not None and "warc_ts" not in batch.column_names:
+        return np.zeros(n, dtype=bool)
+    if rule.alert_time is not None:
         ts = batch["warc_ts"]
         hour = np.asarray(pc.hour(ts).combine_chunks()
                           if isinstance(pc.hour(ts), pa.ChunkedArray) else pc.hour(ts))
@@ -269,9 +319,12 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             return mask
 
     # --- enrichment-dependent predicates (country_code / blacklist) ---
-    # These require the enrichment stage upstream; absent columns = no-op
+    # Fail closed when the enrichment columns are absent; the pipeline
+    # helpers auto-enrich pre-match when any rule needs them
     # (reference: geoip2.c / blacklist.c predicates run post-lookup).
-    if rule.country_code is not None and "country" in batch.column_names:
+    if rule.country_code is not None:
+        if "country" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         cc = rule.country_code
         hit = _to_np_bool(
             pc.is_in(batch["country"], value_set=pa.array(list(cc.codes)))
@@ -279,19 +332,32 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         mask &= hit if cc.op == "is" else ~hit
         if not mask.any():
             return mask
-    if rule.blacklist is not None and "blacklisted" in batch.column_names:
+    if rule.blacklist is not None:
+        if "blacklisted" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(batch["blacklisted"])
         if not mask.any():
             return mask
 
     # --- json matchers (flat {"k": v} payload column `props`) ---
-    if (rule.json_contents or rule.json_pcres) and "props" in batch.column_names:
-        props = batch["props"].to_pylist()
-        decoded = [json.loads(s) if s else {} for s in props]
+    if rule.json_contents or rule.json_pcres:
+        if "props" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
+        # decode ONLY rows still masked (candidates after the cheap
+        # vectorized gates) — json.loads is the expensive scalar kernel
+        idxs = np.flatnonzero(mask)
+        props_col = batch["props"]
+        cand = pc.take(
+            props_col.combine_chunks()
+            if isinstance(props_col, pa.ChunkedArray)
+            else props_col,
+            pa.array(idxs),
+        ).to_pylist()
+        decoded = [json.loads(s) if s else {} for s in cand]
+        sub = np.ones(len(idxs), dtype=bool)
         for path, val in rule.json_contents:
             key = path.lstrip(".")
-            jm = np.array([str(d.get(key)) == val for d in decoded], dtype=bool)
-            mask &= jm
+            sub &= np.array([str(d.get(key)) == val for d in decoded], dtype=bool)
         for path, p in rule.json_pcres:
             key = path.lstrip(".")
             import re as _stdre
@@ -300,11 +366,12 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             jm = np.array(
                 [bool(rx.search(str(d.get(key, "")))) for d in decoded], dtype=bool
             )
-            mask &= ~jm if p.negated else jm
+            sub &= ~jm if p.negated else jm
+        mask[idxs[~sub]] = False
     return mask
 
 
-_EXTRACT_FIELDS = ("src_ip", "src_port", "hash_value", "extracted")
+_EXTRACT_FIELDS = ("src_ip", "src_port", "hash_value", "extracted", "proto")
 _EMPTY_ALERTS = ALERTS_SCHEMA.empty_table()
 for _f in _EXTRACT_FIELDS:
     _t = pa.int32() if _f == "src_port" else pa.string()
@@ -324,7 +391,15 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
         "src_port": pa.array([None] * m, type=pa.int32()),
         "hash_value": pa.array([None] * m, type=pa.string()),
         "extracted": pa.array([None] * m, type=pa.string()),
+        "proto": pa.array([None] * m, type=pa.string()),
     }
+    if rule.parse_proto:
+        cols["proto"] = fx.proto_from_text(sub[text_col])
+    elif rule.parse_proto_program:
+        # the program-analogue column: `program` on FIFO frames, `host`
+        # on the webpages schema (the program-gate convention)
+        pcol = "program" if "program" in sub.column_names else "host"
+        cols["proto"] = fx.proto_from_program(sub[pcol])
     if not (rule.parse_src_ip or rule.parse_port or rule.parse_hash or rule.normalize):
         return cols
     texts = sub[text_col].to_pylist()
@@ -489,12 +564,18 @@ def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
                         "event_id", "props", "country", "blacklisted",
                         "part_id"] if c in ds.schema().names]
     if needs_raw and "html" in ds.schema().names:
-        ds = ds.map_batches(
-            lambda t: t.append_column(
-                "html_str", pc.cast(t["html"], pa.string())
-            ),
-            batch_format="pyarrow",
-        )
+        def _latin1(t: pa.Table) -> pa.Table:
+            # latin-1, NOT a utf-8-validating cast: real html payloads
+            # carry bytes >0x7F (0xFF etc.) that would raise
+            # ArrowInvalid, and rules.py documents |hex| escapes as
+            # latin-1 codepoints — every byte maps 1:1 to a char
+            vals = [
+                b.decode("latin-1") if b is not None else None
+                for b in t["html"].to_pylist()
+            ]
+            return t.append_column("html_str", pa.array(vals, type=pa.string()))
+
+        ds = ds.map_batches(_latin1, batch_format="pyarrow")
         keep = keep + ["html_str"]
     ds = ds.select_columns(keep)
     return ds.map_batches(make_matcher(rules, text_col=text_col),

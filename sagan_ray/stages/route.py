@@ -47,19 +47,52 @@ def route_alerts(
     sink_dir = os.path.join(out_dir, "sinks")
     os.makedirs(sink_dir, exist_ok=True)
     alerts_ds = alerts_ds.map_batches(normalize_alerts, batch_format="pyarrow")
-    alerts_ds.write_parquet(sink_dir, partition_cols=partition_cols)
-    manifest = sink_manifest(sink_dir, out_dir)
     if write_eve:
+        # EVE NDJSON (reference src/output-plugins/eve.c): one JSON
+        # object per alert line, written as a TEE inside the same pass
+        # (each block dumps its own .json part before flowing on to the
+        # parquet write — no second read of the sinks).
         eve_dir = os.path.join(out_dir, "eve")
         os.makedirs(eve_dir, exist_ok=True)
-        # EVE NDJSON (reference src/output-plugins/eve.c): one JSON object
-        # per alert line. Reads back the (small) routed set.
-        import ray.data as rd
+        alerts_ds = alerts_ds.map_batches(
+            _eve_tee(eve_dir), batch_format="pyarrow"
+        )
+    alerts_ds.write_parquet(sink_dir, partition_cols=partition_cols)
+    return sink_manifest(sink_dir, out_dir)
 
-        rd.read_parquet(sink_dir).drop_columns(
-            [c for c in ["html"] if False]
-        ).write_json(eve_dir)
-    return manifest
+
+def _eve_tee(eve_dir: str):
+    def tee(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            import uuid
+
+            lines = format_eve_lines(batch)
+            p = os.path.join(eve_dir, f"eve-{uuid.uuid4().hex[:12]}.json")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        return batch
+
+    return tee
+
+
+def format_eve_lines(batch: pa.Table) -> list[str]:
+    """One EVE-style JSON object per alert row."""
+    import pyarrow.compute as pc
+
+    ts = pc.strftime(
+        pc.cast(batch["warc_ts"], pa.timestamp("us")), format="%Y-%m-%dT%H:%M:%S"
+    ).to_pylist()
+    cols = {
+        name: batch[name].to_pylist()
+        for name in batch.column_names
+        if name not in ("warc_ts", "html")
+    }
+    out = []
+    for i, t in enumerate(ts):
+        rec = {"timestamp": t, "event_type": "alert"}
+        rec.update({k: v[i] for k, v in cols.items()})
+        out.append(json.dumps(rec, sort_keys=True, default=str))
+    return out
 
 
 def sink_manifest(sink_dir: str, out_dir: str | None = None) -> dict:

@@ -32,7 +32,12 @@ import shutil
 
 
 def partition_id(input_file: str) -> str:
-    return hashlib.sha1(os.path.basename(input_file).encode()).hexdigest()[:8]
+    """sha1 of the full NORMALIZED path (12 hex): hive layouts routinely
+    repeat basenames (day=01/part-0.parquet, day=02/part-0.parquet), so
+    a basename hash would merge distinct partitions — checkpoints would
+    collide and clear_stale_partition could delete a sibling's alerts."""
+    norm = os.path.normpath(os.path.abspath(input_file))
+    return hashlib.sha1(norm.encode()).hexdigest()[:12]
 
 
 def lineage_dir(run_dir: str) -> str:

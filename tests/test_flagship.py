@@ -57,13 +57,11 @@ def test_text_byte_identical_per_url(ray_session, tmp_path):
     ds = webpages_from_documents(SF)
     run_streaming(ds, load_default_rules(), out)
     routed = pads.dataset(os.path.join(out, "sinks"), partitioning="hive").to_table()
-    orig = {
-        u: t
-        for u, t in zip(
-            *(webpages_from_documents(SF).select_columns(["url", "text"]).to_pandas()
-              [c] for c in ("url", "text"))
-        )
-    }
+    # ONE to_pandas() call: evaluating the Dataset once per column would
+    # zip urls from one run against texts from another, and Ray's block
+    # order is not stable across runs
+    pdf = webpages_from_documents(SF).select_columns(["url", "text"]).to_pandas()
+    orig = dict(zip(pdf["url"], pdf["text"]))
     for u, t in zip(routed["url"].to_pylist(), routed["text"].to_pylist()):
         assert t == orig[u]
 
