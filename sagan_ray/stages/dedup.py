@@ -161,12 +161,19 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id"):
     """Near-duplicate pairs (doc_id_a < doc_id_b, jaccard >= threshold).
 
-    Pipeline: map_batches(minhash+bands) → explode (band, band_hash, id)
-    → groupby band key → candidate pairs → broadcast candidate texts →
-    exact-Jaccard verify. Returns a Dataset with columns
-    (doc_id_a, doc_id_b, jaccard:double rounded to 4).
+    Scale-safe end to end — nothing funnels through the driver:
+
+    1. map_batches(minhash+bands) → explode (band_id, band_hash, id) —
+       ids only, never text;
+    2. groupby band key → per-bucket candidate pairs, then ONE
+       groupby(a,b).count() dedups pairs found in multiple bands;
+    3. the (reduced) pair set joins TEXT back in via two co-partitioned
+       ``Dataset.join``s on id — the texts shuffle only for candidate
+       ids, inside partitions, never as one driver-side dict;
+    4. exact-Jaccard verify runs inside the joined partitions.
+
+    Returns a Dataset (doc_id_a, doc_id_b, jaccard:double rounded to 4).
     """
-    import ray
     import ray.data as rd
 
     rows_per_band = _N_PERM // _LSH_BANDS
@@ -197,50 +204,47 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     exploded = ds.map_batches(bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
+        ids = sorted(int(x) for x in g[id_col].tolist())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series(dtype=np.int64),
+                 "doc_id_b": pd.Series(dtype=np.int64)}
+            )
         a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame({"doc_id_a": list(a), "doc_id_b": list(b)})
+        return pd.DataFrame(
+            {"doc_id_a": np.asarray(a, dtype=np.int64),
+             "doc_id_b": np.asarray(b, dtype=np.int64)}
+        )
 
     cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # candidate pairs are the REDUCED set (id pairs only) — collect and
-    # dedup driver-side instead of paying a second shuffle
-    cand_tbl = cand.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
-    if cand_tbl.empty:
-        return rd.from_items([]).map_batches(
-            lambda t: pa.table(
-                {"doc_id_a": pa.array([], type=pa.int64()),
-                 "doc_id_b": pa.array([], type=pa.int64()),
-                 "jaccard": pa.array([], type=pa.float64())}
-            ),
-            batch_format="pyarrow",
-        )
-    need = set(cand_tbl["doc_id_a"]) | set(cand_tbl["doc_id_b"])
-    texts_df = (
-        ds.map_batches(
-            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-        )
-        .map_batches(
-            lambda t: t.filter(
-                pa.compute.is_in(t[id_col], value_set=pa.array(sorted(need)))
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    # dedup pairs found in multiple bands: one groupby-count over the
+    # REDUCED (id, id) set — never a per-tiny-group map_groups
+    cand = (
+        cand.groupby(["doc_id_a", "doc_id_b"])
+        .count()
+        .select_columns(["doc_id_a", "doc_id_b"])
     )
-    text_by_id = dict(zip(texts_df[id_col].astype(int), texts_df[text_col]))
-    ref = ray.put(text_by_id)
-    cand_ds = rd.from_pandas(cand_tbl)
+
+    texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    np_join = _join_width()
+    ta = _rename_cols(texts, {id_col: "doc_id_a", text_col: "text_a"})
+    tb = _rename_cols(texts, {id_col: "doc_id_b", text_col: "text_b"})
+    j = cand.join(ta, join_type="inner", num_partitions=np_join,
+                  on=("doc_id_a",))
+    j = j.join(tb, join_type="inner", num_partitions=np_join,
+               on=("doc_id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
         aa = t["doc_id_a"].to_pylist()
         bb = t["doc_id_b"].to_pylist()
-        js = [round(exact_jaccard(lookup[int(x)], lookup[int(y)], k), 4)
-              for x, y in zip(aa, bb)]
+        js = [
+            round(exact_jaccard(x or "", y or "", k), 4)
+            for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ]
         out = pa.table(
             {
                 "doc_id_a": pa.array([int(x) for x in aa], type=pa.int64()),
@@ -250,7 +254,21 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
         )
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
-    return cand_ds.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _join_width() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus)
+
+
+def _rename_cols(ds, mapping: dict[str, str]):
+    return ds.map_batches(
+        lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -330,22 +348,66 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "hamming": []})
-        recs = sorted(zip(g[id_col].astype(int), g["sig"].astype(np.int64)))
-        out_a, out_b, out_h = [], [], []
-        for (ia, sa), (ib, sb) in itertools.combinations(recs, 2):
-            if ia == ib:
-                continue
-            h = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
-            if h <= max_hamming:
-                out_a.append(ia)
-                out_b.append(ib)
-                out_h.append(h)
-        return pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b, "hamming": out_h})
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series(dtype=np.int64),
+                 "doc_id_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sig = g["sig"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+        a_idx, b_idx, hams = _hamming_pairs(sig, max_hamming)
+        keep = ids[a_idx] != ids[b_idx]
+        return pd.DataFrame(
+            {"doc_id_a": ids[a_idx[keep]], "doc_id_b": ids[b_idx[keep]],
+             "hamming": hams[keep]}
+        )
 
     found = exploded.groupby(["seg", "seg_val"]).map_groups(pairs, batch_format="pandas")
-    return found.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair can surface from several segments: ONE groupby-aggregate
+    # dedups (hamming is identical per pair, Min is just a projection)
+    from ray.data.aggregate import Min
+
+    out = found.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+    return out
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_pairs(
+    sig: np.ndarray, max_hamming: int, chunk: int = 1024
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i<j) index pairs with Hamming(sig_i, sig_j) <= max_hamming.
+
+    Vectorized XOR + byte-LUT popcount, processed in row-chunks so a hot
+    segment group of size g costs O(g²) uint64 ops but only
+    O(chunk · g) memory — a 100k-row group peaks at ~800 MB·chunk/g
+    rather than 80 GB."""
+    n = len(sig)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = sig[s:e, None] ^ sig[None, :]  # (c, n) uint64
+        hv = _POPCNT8[x.view(np.uint8).reshape(e - s, n, 8)].sum(axis=2)
+        ii, jj = np.nonzero(hv <= max_hamming)
+        gi = ii + s
+        keep = gi < jj  # upper triangle only (i < j)
+        out_a.append(gi[keep])
+        out_b.append(jj[keep])
+        out_h.append(hv[ii[keep] , jj[keep]].astype(np.int64))
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, z.copy()
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_h).astype(np.int64),
     )
 
 
@@ -355,35 +417,59 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
+                        n_tables: int = 4,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         seed: int = 42):
-    """Pairs with cosine >= threshold. Bucket by sign pattern of
-    `n_planes` random hyperplanes, verify exactly inside each bucket.
-    High-cosine pairs collide with high probability; exact verify keeps
-    precision at 1.0."""
+    """Pairs with cosine >= threshold via MULTI-TABLE random-hyperplane
+    LSH: ``n_tables`` independent sign-pattern bucketings (a pair is a
+    candidate if it collides in ANY table), exact cosine verify inside
+    each bucket, one groupby-aggregate pair dedup.
+
+    One table misses a θ-angle pair with probability ≈ n_planes·θ/π
+    (≈0.5% at cosine 0.999 with 16 planes — 2 of 500 planted pairs in
+    the r1 fixture); with 4 independent tables the miss probability is
+    that to the 4th power (~5e-10), so recall is effectively exact while
+    precision stays 1.0 from the verify."""
 
     def bucketize_factory(dim: int):
         rng = np.random.RandomState(seed)
-        planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+        planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
         def bucketize(t: pa.Table) -> pa.Table:
             vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+            n = len(vecs)
+            if n == 0:
+                return pa.table(
+                    {"tbl": pa.array([], type=pa.int32()),
+                     "bucket": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=pa.int64()),
+                     vec_col: pa.array([], type=pa.list_(pa.float32()))}
+                )
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = vecs / norms
-            signs = (unit @ planes.T) >= 0  # (n, P)
-            keys = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            keys = np.empty((n_tables, n), dtype=np.int64)
+            for ti in range(n_tables):
+                signs = (unit @ planes[ti].T) >= 0  # (n, P)
+                keys[ti] = (
+                    signs.astype(np.uint64)
+                    << np.arange(n_planes, dtype=np.uint64)
+                ).sum(axis=1).astype(np.int64)
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
             return pa.table(
                 {
-                    "bucket": pa.array(keys.astype(np.int64)),
-                    id_col: t[id_col],
-                    vec_col: t[vec_col],
+                    "tbl": pa.array(
+                        np.repeat(np.arange(n_tables, dtype=np.int32), n)
+                    ),
+                    "bucket": pa.array(keys.reshape(-1)),
+                    id_col: pa.array(np.tile(ids, n_tables)),
+                    vec_col: pa.concat_arrays(
+                        [t[vec_col].combine_chunks()] * n_tables
+                    ),
                 }
             )
 
         return bucketize
-
-    import pyarrow.parquet  # noqa: F401
 
     first = ds.take(1)
     dim = len(first[0][vec_col])
@@ -391,28 +477,46 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
         ids = g[id_col].astype(int).to_numpy()
-        order = np.argsort(ids)
+        order = np.argsort(ids, kind="stable")
         ids = ids[order]
         vecs = np.array(g[vec_col].tolist(), dtype=np.float64)[order]
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        sims = unit @ unit.T
-        out_a, out_b, out_c = [], [], []
+        # chunked upper-triangle scan: O(chunk·g) memory, no Python pairs
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_c.append(round(float(sims[i, j]), 4))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        chunk = 1024
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = unit[s:e] @ unit.T  # (c, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            keep = (gi < jj) & (ids[gi] != ids[jj])
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(np.round(sims[ii[keep], jj[keep]], 4))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
 
-    found = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return found.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    found = bucketed.groupby(["tbl", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return found.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
     )

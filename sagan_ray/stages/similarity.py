@@ -95,16 +95,24 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
              sample_size: int = 2048):
     """IVF approximate top-k: probe only the nprobe nearest clusters.
 
-    Centroids come from a deterministic sample (first `sample_size` rows
-    by id — stable under any partitioning)."""
+    Centroids come from a deterministic HASH-FILTER sample — each batch
+    keeps rows with ``(id * 2654435761) % modulus == 0`` — so sampling
+    is one embarrassingly-parallel filter pass (no global sort, no
+    shuffle) and the sample is stable under any partitioning."""
     import ray
 
-    sample_df = (
-        ds.map_batches(lambda t: t.select([id_col, vec_col]), batch_format="pyarrow")
-        .sort(id_col)
-        .limit(sample_size)
-        .to_pandas()
-    )
+    n_total = ds.count()  # parquet metadata — no scan
+    modulus = max(1, n_total // max(1, sample_size))
+    knuth = np.uint64(2654435761)
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64).view(np.uint64)
+        keep = (ids * knuth) % np.uint64(modulus) == 0 if modulus > 1 else np.ones(len(ids), bool)
+        return t.select([id_col, vec_col]).filter(pa.array(keep))
+
+    sample_df = ds.map_batches(hash_sample, batch_format="pyarrow").to_pandas()
+    # keep the sample bounded + deterministic regardless of modulus rounding
+    sample_df = sample_df.sort_values(id_col).head(sample_size)
     cent = kmeans_fit(np.array(sample_df[vec_col].tolist()), n_clusters)
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
