@@ -168,7 +168,7 @@ def run_bench() -> dict:
     timeit("tpch_join_agg", Q.q_tpch_join_agg)
     timeit("dedup_exact", Q.q_dedup_exact)
     timeit("dedup_minhash", Q.q_dedup_minhash)
-    timeit("doc_quality", Q.q_doc_quality)
+    timeit("doc_textstats", Q.q_doc_textstats)
     timeit("emb_ann_topk", Q.q_emb_ann_topk)
 
     result = {

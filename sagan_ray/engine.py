@@ -90,15 +90,22 @@ class EngineConfig:
         rules = self.load_rules()
         if self.ignore_patterns:
             ds = ignore_stage(ds, self.ignore_patterns)
-        if self.enrich:
+        from .pipelines.flagship import gate_alerts, rules_need_enrichment
+
+        # enrichment placement: pre-match only when a rule gates on the
+        # enrichment columns; otherwise over the (small) gated stream
+        pre_enrich = self.enrich and rules_need_enrichment(rules)
+        if pre_enrich:
             ds = enrich_stage(ds, self.geo, self.blacklist, self.intel,
                               concurrency=self.enrich_concurrency)
         for st in self.pre_stages:
             ds = st.apply(ds)
-        from .pipelines.flagship import gate_alerts
-
         alerts = match_alerts(ds, rules)
         alerts = gate_alerts(alerts, rules)
+        if self.enrich and not pre_enrich:
+            alerts = enrich_stage(alerts, self.geo, self.blacklist,
+                                  self.intel,
+                                  concurrency=self.enrich_concurrency)
         for st in self.post_stages:
             alerts = st.apply(alerts)
         return alerts

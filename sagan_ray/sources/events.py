@@ -47,6 +47,8 @@ def adapt_batch(batch: pa.Table) -> pa.Table:
             "lang": batch["event_type"],
             "text": text,
             "props": batch["props"],
+            # numeric id passthrough so event_id-gated rules apply
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
         }
     )
 

@@ -241,8 +241,11 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     def verify(t: pa.Table) -> pa.Table:
         aa = t["doc_id_a"].to_pylist()
         bb = t["doc_id_b"].to_pylist()
+        # RAW double jaccard (no rounding): callers derive integer
+        # comparison columns (floor(j*10000)) that must match the SQL
+        # oracle bit-for-bit, which rounding here would break
         js = [
-            round(exact_jaccard(x or "", y or "", k), 4)
+            exact_jaccard(x or "", y or "", k)
             for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
         ]
         out = pa.table(

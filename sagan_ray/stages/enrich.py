@@ -85,6 +85,116 @@ def enrich_stage(ds, geo: dict, blacklist: set, intel: list, concurrency: int = 
     )
 
 
+class DnsCache:
+    """DNS-cache-shaped lookup actor (reference ``src/dns.c``: resolve
+    once, serve from an in-memory cache thereafter).
+
+    The resolver table is broadcast once (``ray.put``); each actor holds
+    it plus a per-actor hit/miss counter — the cache IS the actor state,
+    so a host resolves at most once per actor regardless of how many
+    batches mention it. Unknown hosts resolve to None (NXDOMAIN)."""
+
+    def __init__(self, table_ref):
+        import ray
+
+        table = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+        self.table: dict[str, str] = dict(table or {})
+        self.cache: dict[str, str | None] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def resolve(self, host: str) -> str | None:
+        if host in self.cache:
+            self.hits += 1
+            return self.cache[host]
+        self.misses += 1
+        ip = self.table.get(host)
+        self.cache[host] = ip
+        return ip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = np.asarray(batch["host"].to_pandas(), dtype=object)
+        uh, inv = np.unique(hosts, return_inverse=True)
+        resolved = np.array([self.resolve(h) for h in uh], dtype=object)
+        return batch.append_column(
+            "resolved_ip", pa.array(resolved[inv].tolist(), type=pa.string())
+        )
+
+
+def dns_stage(ds, table: dict[str, str], concurrency: int = 2):
+    import ray
+
+    ref = ray.put(dict(table))
+    return ds.map_batches(
+        DnsCache,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def default_dns_table(hosts: list[str] | None = None) -> dict[str, str]:
+    """Deterministic, SQL-expressible resolver fixture:
+    src{i}.example.com -> 10.0.{i % 256}.1."""
+    import re
+
+    if hosts is None:
+        hosts = [f"src{i}.example.com" for i in range(20)]
+    out = {}
+    for h in hosts:
+        m = re.search(r"(\d+)", h)
+        i = int(m.group(1)) if m else 0
+        out[h] = f"10.0.{i % 256}.1"
+    return out
+
+
+def compile_cidrs(cidrs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """CIDR list -> sorted (start, end) uint32 interval arrays.
+
+    The reference keeps its blacklist as a sorted CIDR table and binary-
+    searches per event (``src/processors/blacklist.c``); this is the
+    vectorized equivalent (searchsorted over all rows at once)."""
+    import ipaddress
+
+    ivals = []
+    for c in cidrs:
+        net = ipaddress.ip_network(c, strict=False)
+        ivals.append((int(net.network_address), int(net.broadcast_address)))
+    ivals.sort()
+    if not ivals:
+        return np.array([], dtype=np.uint32), np.array([], dtype=np.uint32)
+    starts, ends = zip(*ivals)
+    return np.array(starts, dtype=np.uint32), np.array(ends, dtype=np.uint32)
+
+
+def ips_in_cidrs(ips: list[str | None], starts: np.ndarray,
+                 ends: np.ndarray) -> np.ndarray:
+    """Membership mask of dotted-quad IPs against compiled CIDR intervals."""
+    n = len(ips)
+    out = np.zeros(n, dtype=bool)
+    if not len(starts):
+        return out
+    vals = np.zeros(n, dtype=np.uint32)
+    ok = np.zeros(n, dtype=bool)
+    for i, s in enumerate(ips):
+        if not s:
+            continue
+        parts = s.split(".")
+        if len(parts) != 4:
+            continue
+        try:
+            v = (int(parts[0]) << 24) | (int(parts[1]) << 16) | (int(parts[2]) << 8) | int(parts[3])
+        except ValueError:
+            continue
+        vals[i] = v
+        ok[i] = True
+    idx = np.searchsorted(starts, vals, side="right") - 1
+    valid = ok & (idx >= 0)
+    out[valid] = vals[valid] <= ends[idx[valid]]
+    return out
+
+
 def default_lookups(hosts: list[str] | None = None):
     """Deterministic fixture lookup tables (FIXTURES.md §3): every Nth
     host maps to a country / blacklist so join hit-rates are known.

@@ -38,9 +38,12 @@ class DecodeImageStub:
             self.real = False
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, int]:
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        width = 16 + h[0] % 240
-        height = 16 + h[1] % 240
+        # deterministic AND SQL-expressible (from octet_length alone) so
+        # the driver's DuckDB oracle can mirror the stub exactly; a real
+        # decoder would read the payload header instead
+        n = len(payload)
+        width = 16 + (n * 7919) % 240
+        height = 16 + (n * 104729) % 240
         mean_byte = int(np.frombuffer(payload[:256] or b"\0", dtype=np.uint8).mean())
         return width, height, mean_byte
 

@@ -19,7 +19,12 @@ SUBSET = [
     "wp_content_chain",
     "wp_route_counts",
     "wp_rawbytes",
-    "wp_enrich_geo",
+    "wp_enrich_join",
+    "wp_suppress",
+    "wp_flow_header",
+    "wp_parse_proto",
+    "wp_dns_cache",
+    "wp_sample",
     "ev_json_decode",
     "ev_threshold",
     "ev_sessionize",
@@ -29,8 +34,12 @@ SUBSET = [
     "tpch_topk",
     "tpch_anti",
     "dedup_exact",
-    "doc_quality",
+    "dedup_minhash",
+    "dedup_embedding",
+    "doc_textstats",
     "doc_langid",
+    "mm_decode",
+    "mm_frame_sample",
     "emb_ann_topk",
     "src_fifo_parse",
 ]

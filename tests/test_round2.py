@@ -1,0 +1,296 @@
+"""Round-2 features: rule headers, parse_proto, fail-closed gates,
+latin-1 rawbytes, noalert routing, CIDR blacklist, DNS cache, hamming
+kernel, lineage path hashing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sagan_ray.rules import Header, HostSpec, parse_rule, parse_rules
+from sagan_ray.stages.match import (_check_chain_fast, _chain_plan,
+                                    check_content_chain, rule_mask)
+
+
+def batch(texts, hosts=None, langs=None, **extra):
+    n = len(texts)
+    cols = {
+        "url": pa.array([f"u{i}" for i in range(n)]),
+        "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+        "host": pa.array(hosts or ["h"] * n),
+        "lang": pa.array(langs or ["en"] * n),
+        "text": pa.array(texts),
+    }
+    cols.update(extra)
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# header parsing + gating
+# ---------------------------------------------------------------------------
+
+
+def test_header_parsed_and_compiled():
+    r = parse_rule(
+        'alert tcp [a.com,b.com] any -> en any (sid:1; content:"x";)'
+    )
+    assert r.header is not None
+    assert r.header.proto == "tcp"
+    assert r.header.src.globs == ("a.com", "b.com")
+    assert r.header.dst.globs == ("en",)
+    assert not r.header.bidirectional
+
+
+def test_header_any_is_none():
+    r = parse_rule('alert any any any -> any any (sid:1; content:"x";)')
+    assert r.header is None
+    r2 = parse_rule('alert syslog any any -> any any (sid:2; content:"x";)')
+    assert r2.header is None  # syslog == transport designator, not a gate
+
+
+def test_header_var_expansion():
+    rules, _ = parse_rules(
+        "var HOME [a.com, b.com]\n"
+        'alert any $HOME any -> any any (sid:3; content:"x";)'
+    )
+    assert rules[0].header.src.globs == ("a.com", "b.com")
+
+
+def test_header_src_gates_host():
+    r = parse_rule('alert any a.com any -> any any (sid:1; content:"x";)')
+    b = batch(["x", "x", "y"], hosts=["a.com", "b.com", "a.com"])
+    assert rule_mask(b, r).tolist() == [True, False, False]
+
+
+def test_header_negated_src():
+    r = parse_rule('alert any !a.com any -> any any (sid:1; content:"x";)')
+    b = batch(["x", "x"], hosts=["a.com", "b.com"])
+    assert rule_mask(b, r).tolist() == [False, True]
+
+
+def test_header_dst_gates_lang():
+    r = parse_rule('alert any any any -> de any (sid:1; content:"x";)')
+    b = batch(["x", "x"], langs=["en", "de"])
+    assert rule_mask(b, r).tolist() == [False, True]
+
+
+def test_header_bidirectional():
+    # <> matches either (host in src, lang in dst) or flipped
+    r = parse_rule('alert any a.com any <> en any (sid:1; content:"x";)')
+    b = batch(
+        ["x", "x", "x"],
+        hosts=["a.com", "en", "z.com"],
+        langs=["en", "a.com", "zz"],
+    )
+    assert rule_mask(b, r).tolist() == [True, True, False]
+
+
+def test_header_glob():
+    r = parse_rule('alert any h0* any -> any any (sid:1; content:"x";)')
+    b = batch(["x", "x"], hosts=["h01.example", "g01"])
+    assert rule_mask(b, r).tolist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# fail-closed gates
+# ---------------------------------------------------------------------------
+
+
+def test_gate_fails_closed_when_column_missing():
+    r = parse_rule('alert any any any -> any any (sid:1; level:"warn"; content:"x";)')
+    b = batch(["x", "x"])  # no `source` column
+    assert rule_mask(b, r).tolist() == [False, False]
+    r2 = parse_rule('alert any any any -> any any (sid:2; event_id:"7"; content:"x";)')
+    assert rule_mask(b, r2).tolist() == [False, False]
+    r3 = parse_rule(
+        'alert any any any -> any any (sid:3; content:"x"; '
+        "country_code: track by_host, is [US];)"
+    )
+    assert rule_mask(b, r3).tolist() == [False, False]
+
+
+# ---------------------------------------------------------------------------
+# latin-1 rawbytes + chain bound parity
+# ---------------------------------------------------------------------------
+
+
+def test_rawbytes_latin1_high_bytes(ray_session):
+    """Non-UTF8 html bytes (0xFF) must not crash, and |hex| patterns over
+    bytes >0x7F must match via the latin-1 mapping."""
+    import ray.data as rd
+
+    from sagan_ray.stages.match import match_alerts
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"hi-byte"; sid:9; '
+        'content:"|FF FE|mark"; rawbytes; classtype:misc-activity;)'
+    )
+    t = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "warc_ts": pa.array([0, 0], type=pa.timestamp("us")),
+            "host": pa.array(["h", "h"]),
+            "lang": pa.array(["en", "en"]),
+            "text": pa.array(["clean text", "clean text"]),
+            "html": pa.array([b"\xff\xfemark body", b"plain"], type=pa.binary()),
+        }
+    )
+    out = match_alerts(rd.from_arrow(t), rules).to_pandas()
+    assert out["url"].tolist() == ["u1"]
+
+
+def test_chain_slow_fast_parity_rawbytes():
+    """Regression (ADVICE): unconstrained content bound is len(base) in
+    BOTH checkers — a rawbytes hit beyond len(text) must agree."""
+    r = parse_rule(
+        'alert any any any -> any any (sid:1; content:"tail"; rawbytes;)'
+    )
+    text = "short"
+    raw = "x" * 50 + "tail"
+    plan = _chain_plan(r)
+    assert check_content_chain(text, r.contents, raw) is True
+    assert _check_chain_fast(text, raw, plan) is True
+
+
+# ---------------------------------------------------------------------------
+# noalert routing
+# ---------------------------------------------------------------------------
+
+
+def test_noalert_without_xbits_routes_nothing(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import alerts_pipeline
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"silent"; sid:50; content:"x"; '
+        "noalert; classtype:misc-activity;)\n"
+        'alert any any any -> any any (msg:"loud"; sid:51; content:"x"; '
+        "classtype:misc-activity;)"
+    )
+    t = batch(["x here"])
+    out = alerts_pipeline(rd.from_arrow(t), rules).to_pandas()
+    assert out["sid"].tolist() == [51]
+
+
+# ---------------------------------------------------------------------------
+# parse_proto kernels
+# ---------------------------------------------------------------------------
+
+
+def test_proto_from_text():
+    from sagan_ray.functions.extract import proto_from_text
+
+    arr = pa.array(
+        ["conn over TCP port 80", "udp flood", "ping icmp", "nothing here", None]
+    )
+    assert proto_from_text(arr).to_pylist() == ["tcp", "udp", "icmp", None, None]
+
+
+def test_proto_priority_tcp_first():
+    from sagan_ray.functions.extract import proto_from_text
+
+    arr = pa.array(["udp then tcp"])
+    assert proto_from_text(arr).to_pylist() == ["tcp"]
+
+
+def test_proto_from_program():
+    from sagan_ray.functions.extract import proto_from_program
+
+    arr = pa.array(["sshd", "named", "unknownd", None])
+    assert proto_from_program(arr).to_pylist() == ["tcp", "udp", None, None]
+
+
+def test_parse_proto_rule_option(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.match import match_alerts
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"p"; sid:60; content:"conn"; '
+        "parse_proto; classtype:misc-activity;)"
+    )
+    t = batch(["conn via udp", "conn no proto"])
+    out = match_alerts(rd.from_arrow(t), rules).to_pandas()
+    assert sorted(out["proto"].fillna("-").tolist()) == ["-", "udp"]
+
+
+# ---------------------------------------------------------------------------
+# CIDR blacklist + DNS cache
+# ---------------------------------------------------------------------------
+
+
+def test_cidr_membership():
+    from sagan_ray.stages.enrich import compile_cidrs, ips_in_cidrs
+
+    starts, ends = compile_cidrs(["10.0.3.0/24", "192.168.0.0/16"])
+    ips = ["10.0.3.7", "10.0.4.1", "192.168.255.1", "8.8.8.8", None, "bogus"]
+    assert ips_in_cidrs(ips, starts, ends).tolist() == [
+        True, False, True, False, False, False,
+    ]
+
+
+def test_dns_cache_resolves_once():
+    from sagan_ray.stages.enrich import DnsCache
+
+    c = DnsCache({"a.com": "1.2.3.4"})
+    t = pa.table({"host": pa.array(["a.com", "a.com", "b.com"])})
+    out = c(t)
+    assert out["resolved_ip"].to_pylist() == ["1.2.3.4", "1.2.3.4", None]
+    # second batch with the same hosts: all served from cache
+    c(t)
+    assert c.misses == 2  # a.com and b.com resolved exactly once each
+    assert c.hits >= 1
+
+
+# ---------------------------------------------------------------------------
+# hamming pair kernel (vs brute force)
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_pairs_matches_bruteforce():
+    from sagan_ray.stages.dedup import _hamming_pairs
+
+    rng = np.random.RandomState(7)
+    sig = rng.randint(0, 2**63, size=200, dtype=np.int64).view(np.uint64)
+    # plant close pairs
+    sig[10] = sig[11] ^ np.uint64(0b101)  # hamming 2
+    sig[20] = sig[21]  # hamming 0
+    a, b, h = _hamming_pairs(sig, 3, chunk=17)  # odd chunk crosses bounds
+    got = set(zip(a.tolist(), b.tolist()))
+    expect = set()
+    for i in range(len(sig)):
+        for j in range(i + 1, len(sig)):
+            if bin(int(sig[i]) ^ int(sig[j])).count("1") <= 3:
+                expect.add((i, j))
+    assert got == expect
+    for ai, bi, hi in zip(a.tolist(), b.tolist(), h.tolist()):
+        assert bin(int(sig[ai]) ^ int(sig[bi])).count("1") == hi
+
+
+# ---------------------------------------------------------------------------
+# lineage partition ids
+# ---------------------------------------------------------------------------
+
+
+def test_partition_id_distinct_for_same_basename():
+    from sagan_ray.state.lineage import partition_id
+
+    a = partition_id("/data/day=01/part-0.parquet")
+    b = partition_id("/data/day=02/part-0.parquet")
+    assert a != b
+    assert partition_id("/data/day=01/part-0.parquet") == a  # stable
+
+
+# ---------------------------------------------------------------------------
+# md5 sample determinism
+# ---------------------------------------------------------------------------
+
+
+def test_md5_sample_rate():
+    import hashlib
+
+    keep = [
+        hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1")
+        for i in range(10000)
+    ]
+    assert 0.1 < sum(keep) / len(keep) < 0.15  # ~2/16
