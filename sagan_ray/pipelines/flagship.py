@@ -91,20 +91,20 @@ def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
     columns are only decoration for the routed records, so the pool runs
     over the (orders-of-magnitude smaller) gated alert stream — at
     10^12 rows that removes an actor hop per input row."""
+    if enrich and concurrency is None:
+        # size the actor pool to ~half the CPUs so the match/read
+        # stages aren't starved (a pool reserving every CPU
+        # serializes the pipeline)
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        concurrency = max(2, cpus // 2)
     pre_enrich = enrich and rules_need_enrichment(rules)
     if pre_enrich:
-        if concurrency is None:
-            # size the actor pool to ~half the CPUs so the match/read
-            # stages aren't starved (a pool reserving every CPU
-            # serializes the pipeline)
-            import ray
-
-            cpus = (
-                int(ray.cluster_resources().get("CPU", 8))
-                if ray.is_initialized()
-                else 8
-            )
-            concurrency = max(2, cpus // 2)
         geo, bl, intel = default_lookups()
         webpages_ds = enrich_stage(webpages_ds, geo, bl, intel,
                                    concurrency=concurrency)
@@ -112,8 +112,7 @@ def alerts_pipeline(webpages_ds, rules: list[Rule], enrich: bool = False,
     gated = gate_alerts(alerts, rules)
     if enrich and not pre_enrich:
         geo, bl, intel = default_lookups()
-        gated = enrich_stage(gated, geo, bl, intel,
-                             concurrency=concurrency or 2)
+        gated = enrich_stage(gated, geo, bl, intel, concurrency=concurrency)
     return gated
 
 

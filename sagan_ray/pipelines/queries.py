@@ -283,13 +283,23 @@ def q_wp_extract(sf_dir):
     return ds.map_batches(ex, batch_format="pyarrow")
 
 
-def _npart() -> int:
-    """Hash-join partition count sized from the cluster, not hard-coded
-    (8 partitions would serialize the probe on a big cluster)."""
+def _npart(rows: int | None = None) -> int:
+    """Hash-join partition count: sized from the probe-side row count
+    when known (one partition per ~2M rows — each partition spawns an
+    aggregator actor, so width is pure overhead on small inputs),
+    clamped to [8, 2x cluster CPUs] so big inputs use the whole cluster."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(8, cpus)
+    if rows is None:
+        return max(8, cpus)
+    return max(8, min(2 * cpus, rows // 2_000_000 + 8))
+
+
+def _nrows(sf_dir: str, name: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
 
 
 def q_wp_enrich_join(sf_dir):
@@ -303,7 +313,8 @@ def q_wp_enrich_join(sf_dir):
     geo_ds = rd.from_items(
         [{"g_host": h, "country": c} for h, c in sorted(geo.items())]
     )
-    j = ds.join(geo_ds, join_type="inner", num_partitions=_npart(),
+    j = ds.join(geo_ds, join_type="inner",
+                num_partitions=_npart(_nrows(sf_dir, "documents")),
                 on=("host",), right_on=("g_host",))
     return j.select_columns(["url", "country"])
 
@@ -443,7 +454,8 @@ def q_tpch_join_agg(sf_dir):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     j = orders.join(
-        cust, join_type="inner", num_partitions=_npart(), on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_npart(_nrows(sf_dir, "orders")),
+        on=("o_custkey",), right_on=("c_custkey",)
     )
     out = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
@@ -466,7 +478,8 @@ def q_tpch_semi(sf_dir):
     Datasets — no driver-side key-set build."""
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return ds.join(orders, join_type="left_semi", num_partitions=_npart(),
+    return ds.join(orders, join_type="left_semi",
+                   num_partitions=_npart(_nrows(sf_dir, "orders")),
                    on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -482,7 +495,8 @@ def q_tpch_anti(sf_dir):
         batch_format="pyarrow",
     )
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return ds.join(big, join_type="left_anti", num_partitions=_npart(),
+    return ds.join(big, join_type="left_anti",
+                   num_partitions=_npart(_nrows(sf_dir, "orders")),
                    on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -497,8 +511,9 @@ def q_tpch_multi_join(sf_dir):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    j = li.join(orders, join_type="inner", num_partitions=_npart(), on=("l_orderkey",), right_on=("o_orderkey",))
-    j = j.join(cust, join_type="inner", num_partitions=_npart(), on=("o_custkey",), right_on=("c_custkey",))
+    npj = _npart(_nrows(sf_dir, "lineitem"))
+    j = li.join(orders, join_type="inner", num_partitions=npj, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=npj, on=("o_custkey",), right_on=("c_custkey",))
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     nref = ray.put(nmap)

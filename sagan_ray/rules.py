@@ -172,18 +172,22 @@ class Rule:
     programs: tuple[str, ...] = ()  # host glob patterns, |-separated in DSL
     facility: str | None = None  # → lang column
     level: str | None = None  # → source-like column
+    tag: str | None = None  # → tag column (syslog tag gate)
     # matchers
     contents: tuple[Content, ...] = ()
     pcres: tuple[Pcre, ...] = ()
     meta_contents: tuple[MetaContent, ...] = ()
     json_contents: tuple[tuple[str, str], ...] = ()  # (json key path, value)
     json_pcres: tuple[tuple[str, Pcre], ...] = ()
+    # (path, literal OR-list, nocase) — meta_content against a json key
+    json_metas: tuple[tuple[str, tuple[str, ...], bool], ...] = ()
     event_ids: tuple[int, ...] = ()
     # header (flow.c analogue; None == `any any any -> any any`)
     header: Header | None = None
     # extraction
     normalize: str | None = None  # named-group regex
     parse_src_ip: int | None = None
+    parse_dst_ip: int | None = None
     parse_port: bool = False
     parse_hash: str | None = None
     parse_proto: bool = False  # proto from message keywords
@@ -410,6 +414,7 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
     xbits: list[Xbits] = []
     jsonc: list[tuple[str, str]] = []
     jsonp: list[tuple[str, Pcre]] = []
+    jsonm: list[tuple[str, tuple[str, ...], bool]] = []
     pending_meta_nocase = False
 
     for opt in _split_options(body):
@@ -438,6 +443,8 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.facility = _unquote(val)
         elif key == "level":
             r.level = _unquote(val)
+        elif key == "tag":
+            r.tag = _unquote(val)
         elif key == "content":
             raw = _unquote(val)
             negated = raw.startswith("!")
@@ -480,12 +487,25 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
         elif key == "json_pcre":
             path, jv = val.split(",", 1)
             jsonp.append((_unquote(path), _parse_pcre(jv)))
+        elif key == "json_meta_content":
+            # json_meta_content:".path", $VAR;  or  ".path", a|b|c
+            path, ref = val.split(",", 1)
+            ref = ref.strip()
+            if ref.startswith("$"):
+                values = tuple(var_table.get(ref[1:], ()))
+                if not values:
+                    raise ValueError(f"undefined var {ref}")
+            else:
+                values = tuple(_unquote(ref).split("|"))
+            jsonm.append((_unquote(path), values, False))
         elif key == "event_id":
             r.event_ids = tuple(int(x) for x in _unquote(val).split(",") if x.strip())
         elif key == "normalize":
             r.normalize = _unquote(val) if val else None
         elif key == "parse_src_ip":
             r.parse_src_ip = int(val) if val else 1
+        elif key == "parse_dst_ip":
+            r.parse_dst_ip = int(val) if val else 2
         elif key == "parse_port":
             r.parse_port = True
         elif key == "parse_hash":
@@ -557,6 +577,7 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
     r.xbits = tuple(xbits)
     r.json_contents = tuple(jsonc)
     r.json_pcres = tuple(jsonp)
+    r.json_metas = tuple(jsonm)
     if r.sid == 0:
         raise ValueError("rule missing sid")
     return compile_rule(r)

@@ -44,7 +44,20 @@ N_GROUP_BUCKETS = 512
 
 
 def _track_col(track: str) -> str:
-    return "lang" if track in ("by_lang", "by_facility") else "host"
+    """Track spec -> alert column. by_src/by_host -> host (the reporting
+    endpoint), by_lang/by_facility -> lang, by_username -> the username
+    column (populated by normalize extraction), by_string -> the
+    liblognorm-extracted string (our `extracted` JSON column). A missing
+    column keys to '' (one group) rather than crashing — matching
+    upstream, which falls back to the empty string when the normalized
+    field is absent."""
+    if track in ("by_lang", "by_facility"):
+        return "lang"
+    if track == "by_username":
+        return "username"
+    if track == "by_string":
+        return "extracted"
+    return "host"
 
 
 def corr_specs(rules: list[Rule]) -> dict[int, dict]:
@@ -85,15 +98,25 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
     sid = np.asarray(batch["sid"].combine_chunks(), dtype=np.int64)
     n = batch.num_rows
     ts_s = _ts_us(batch) // 1_000_000
-    host = np.asarray(batch["host"].to_pandas(), dtype=object)
-    lang = np.asarray(batch["lang"].to_pandas(), dtype=object)
+    colcache: dict[str, np.ndarray] = {}
+
+    def col(name: str) -> np.ndarray:
+        if name not in colcache:
+            if name in batch.column_names:
+                vals = np.asarray(batch[name].to_pandas(), dtype=object)
+                vals = np.where(vals == None, "", vals)  # noqa: E711
+            else:
+                vals = np.full(n, "", dtype=object)
+            colcache[name] = vals
+        return colcache[name]
+
     ckey = np.empty(n, dtype=object)
     bucket = np.full(n, -1, dtype=np.int64)
     for s, spec in specs.items():
         m = sid == s
         if not m.any():
             continue
-        ckey[m] = host[m] if spec["track"] == "host" else lang[m]
+        ckey[m] = col(spec["track"])[m]
         bucket[m] = ts_s[m] // spec["seconds"]
     ckey[bucket == -1] = ""
     return batch.append_column(
@@ -332,7 +355,10 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
                 continue
             m = rsub.num_rows
             for xb in xbs:
-                xkey_col = rsub["lang"] if _track_col(xb.track) == "lang" else rsub["host"]
+                xc = _track_col(xb.track)
+                xkey_col = (
+                    rsub[xc] if xc in rsub.column_names else rsub["host"]
+                )
                 t2 = (
                     rsub.append_column("ckey", _const(m, "", "str"))
                     .append_column("bucket", _const(m, -1, "int"))
@@ -488,9 +514,8 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
                 r2 = rows.copy()
                 r2["xname"] = xb.name
                 r2["xaction"] = xb.action
-                r2["xkey"] = (
-                    rows["lang"] if _track_col(xb.track) == "lang" else rows["host"]
-                )
+                xc = _track_col(xb.track)
+                r2["xkey"] = rows[xc] if xc in rows.columns else rows["host"]
                 r2["xexpire"] = np.int64(xb.expire if xb.expire is not None else -1)
                 parts.append(r2)
         if not parts:

@@ -61,6 +61,7 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
+_N_COARSE = 256  # coarse co-location buckets for bucket/pair shuffles
 
 
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -201,36 +202,85 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
             }
         )
 
-    exploded = ds.map_batches(bands, batch_format="pyarrow")
+    def bands_gb(t: pa.Table) -> pa.Table:
+        # coarse co-location bucket per (band_id, band_hash): the
+        # bucket-groupby ships each LSH bucket to ONE partition, and the
+        # per-partition pass below is vectorized over ALL buckets in the
+        # partition — never one pandas call per tiny LSH bucket (the
+        # per-tiny-group overhead measured at ~24 s for 30k buckets)
+        out = bands(t)
+        bh = np.asarray(out["band_hash"]).view(np.uint64)
+        bi = np.asarray(out["band_id"]).astype(np.uint64)
+        gb = ((bh * np.uint64(17) + bi) % np.uint64(_N_COARSE)).astype(np.int64)
+        return out.append_column("gb", pa.array(gb))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(int(x) for x in g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_id_a": pd.Series(dtype=np.int64),
-                 "doc_id_b": pd.Series(dtype=np.int64)}
-            )
-        a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame(
-            {"doc_id_a": np.asarray(a, dtype=np.int64),
-             "doc_id_b": np.asarray(b, dtype=np.int64)}
+    exploded = ds.map_batches(bands_gb, batch_format="pyarrow")
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id_a": pd.Series(dtype=np.int64),
+             "doc_id_b": pd.Series(dtype=np.int64),
+             "gb2": pd.Series(dtype=np.int64)}
         )
+        if len(g) < 2:
+            return empty
+        # only rows whose (band_id, band_hash) occurs >= twice matter
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        if dup.empty:
+            return empty
+        key = (
+            dup["band_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+            * np.uint64(1099511628211)
+            + dup["band_id"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = dup[id_col].to_numpy(dtype=np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):  # loops only over collided buckets
+            if e - s < 2:
+                continue
+            grp = np.sort(ids[s:e])
+            ii, jj = np.triu_indices(len(grp), k=1)
+            out_a.append(grp[ii])
+            out_b.append(grp[jj])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        gb2 = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B185EBCA87)
+             ^ b.view(np.uint64)) % np.uint64(_N_COARSE)
+        ).astype(np.int64)
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b, "gb2": gb2})
 
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # dedup pairs found in multiple bands: one groupby-count over the
-    # REDUCED (id, id) set — never a per-tiny-group map_groups
+    found = exploded.groupby("gb").map_groups(pairs_part, batch_format="pandas")
+    # dedup pairs found in multiple bands: second coarse-bucket pass,
+    # vectorized drop_duplicates per partition
     cand = (
-        cand.groupby(["doc_id_a", "doc_id_b"])
-        .count()
+        found.groupby("gb2")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+            batch_format="pandas",
+        )
         .select_columns(["doc_id_a", "doc_id_b"])
     )
+    # pin the (reduced) pair set and size the verify joins from it: each
+    # Dataset.join spins num_partitions aggregator actors, so a 32-wide
+    # join over a few thousand pairs is pure fixed cost. ~250k pairs per
+    # partition keeps partitions chunky; the cap keeps big runs wide.
+    cand = cand.materialize()
+    n_pairs = cand.count()
+    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
 
     texts = ds.map_batches(
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     )
-    np_join = _join_width()
     ta = _rename_cols(texts, {id_col: "doc_id_a", text_col: "text_a"})
     tb = _rename_cols(texts, {id_col: "doc_id_b", text_col: "text_b"})
     j = cand.join(ta, join_type="inner", num_partitions=np_join,
@@ -338,44 +388,81 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             lo = seg * seg_bits
             width = seg_bits if seg < n_seg - 1 else 64 - lo
             vals[:, seg] = (s >> np.uint64(lo)) & np.uint64((1 << width) - 1)
+        flat_vals = vals.reshape(-1)  # row-major: (doc0 segs..., doc1 segs...)
+        seg_u = seg_col.astype(np.uint64)
+        gb = ((flat_vals * np.uint64(17) + seg_u) % np.uint64(_N_COARSE)).astype(np.int64)
         return pa.table(
             {
-                "seg": pa.array(seg_col),
-                "seg_val": pa.array(vals.reshape(-1).view(np.int64)),
+                "seg": pa.array(np.tile(np.arange(n_seg, dtype=np.int32), n)),
+                "seg_val": pa.array(flat_vals.view(np.int64)),
                 id_col: pa.array(np.repeat(ids, n_seg)),
                 "sig": pa.array(np.repeat(s.view(np.int64), n_seg)),
+                "gb": pa.array(gb),
             }
         )
 
     exploded = ds.map_batches(sigs, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_id_a": pd.Series(dtype=np.int64),
-                 "doc_id_b": pd.Series(dtype=np.int64),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sig = g["sig"].to_numpy(dtype=np.int64)[order].view(np.uint64)
-        a_idx, b_idx, hams = _hamming_pairs(sig, max_hamming)
-        keep = ids[a_idx] != ids[b_idx]
-        return pd.DataFrame(
-            {"doc_id_a": ids[a_idx[keep]], "doc_id_b": ids[b_idx[keep]],
-             "hamming": hams[keep]}
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition -> candidate pairs: vectorized XOR-popcount
+        per exact (seg, seg_val) block, never one call per tiny block."""
+        empty = pd.DataFrame(
+            {"doc_id_a": pd.Series(dtype=np.int64),
+             "doc_id_b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64),
+             "gb2": pd.Series(dtype=np.int64)}
         )
+        if len(g) < 2:
+            return empty
+        dup = g[g.duplicated(["seg", "seg_val"], keep=False)]
+        if dup.empty:
+            return empty
+        key = (
+            dup["seg_val"].to_numpy(dtype=np.int64).view(np.uint64)
+            * np.uint64(1099511628211)
+            + dup["seg"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = dup[id_col].to_numpy(dtype=np.int64)[order]
+        sig = dup["sig"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_ids = ids[s:e]
+            o2 = np.argsort(sub_ids, kind="stable")
+            sub_ids = sub_ids[o2]
+            sub_sig = sig[s:e][o2]
+            ai, bi, hh = _hamming_pairs(sub_sig, max_hamming)
+            keep = sub_ids[ai] != sub_ids[bi]
+            out_a.append(sub_ids[ai[keep]])
+            out_b.append(sub_ids[bi[keep]])
+            out_h.append(hh[keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        h = np.concatenate(out_h)
+        gb2 = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B185EBCA87)
+             ^ b.view(np.uint64)) % np.uint64(_N_COARSE)
+        ).astype(np.int64)
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b, "hamming": h, "gb2": gb2})
 
-    found = exploded.groupby(["seg", "seg_val"]).map_groups(pairs, batch_format="pandas")
-    # a pair can surface from several segments: ONE groupby-aggregate
-    # dedups (hamming is identical per pair, Min is just a projection)
-    from ray.data.aggregate import Min
-
-    out = found.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    found = exploded.groupby("gb").map_groups(pairs_part, batch_format="pandas")
+    # a pair can surface from several segments (identical hamming):
+    # second coarse-bucket pass dedups vectorized per partition
+    return (
+        found.groupby("gb2")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+            batch_format="pandas",
+        )
+        .select_columns(["doc_id_a", "doc_id_b", "hamming"])
     )
-    return out
 
 
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -459,16 +546,21 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                     << np.arange(n_planes, dtype=np.uint64)
                 ).sum(axis=1).astype(np.int64)
             ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            tbl = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+            buckets = keys.reshape(-1)
+            gb = (
+                (buckets.view(np.uint64) * np.uint64(17)
+                 + tbl.astype(np.uint64)) % np.uint64(_N_COARSE)
+            ).astype(np.int64)
             return pa.table(
                 {
-                    "tbl": pa.array(
-                        np.repeat(np.arange(n_tables, dtype=np.int32), n)
-                    ),
-                    "bucket": pa.array(keys.reshape(-1)),
+                    "tbl": pa.array(tbl),
+                    "bucket": pa.array(buckets),
                     id_col: pa.array(np.tile(ids, n_tables)),
                     vec_col: pa.concat_arrays(
                         [t[vec_col].combine_chunks()] * n_tables
                     ),
+                    "gb": pa.array(gb),
                 }
             )
 
@@ -478,48 +570,74 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     dim = len(first[0][vec_col])
     bucketed = ds.map_batches(bucketize_factory(dim), batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64),
-                 "id_b": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=np.float64)}
-            )
-        ids = g[id_col].astype(int).to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)[order]
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        # chunked upper-triangle scan: O(chunk·g) memory, no Python pairs
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        n = len(ids)
-        chunk = 1024
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            sims = unit[s:e] @ unit.T  # (c, n)
-            ii, jj = np.nonzero(sims >= threshold)
-            gi = ii + s
-            keep = (gi < jj) & (ids[gi] != ids[jj])
-            out_a.append(ids[gi[keep]])
-            out_b.append(ids[jj[keep]])
-            out_c.append(np.round(sims[ii[keep], jj[keep]], 4))
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
-                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
-            }
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition -> verified pairs: chunked upper-triangle
+        cosine per exact (tbl, bucket) block, vectorized throughout."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64),
+             "id_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64),
+             "gb2": pd.Series(dtype=np.int64)}
         )
+        if len(g) < 2:
+            return empty
+        dup = g[g.duplicated(["tbl", "bucket"], keep=False)]
+        if dup.empty:
+            return empty
+        key = (
+            dup["bucket"].to_numpy(dtype=np.int64).view(np.uint64)
+            * np.uint64(1099511628211)
+            + dup["tbl"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids_all = dup[id_col].to_numpy(dtype=np.int64)[order]
+        vecs_all = np.array(dup[vec_col].tolist(), dtype=np.float64)[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a, out_b, out_c = [], [], []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            ids = ids_all[s0:e0]
+            o2 = np.argsort(ids, kind="stable")
+            ids = ids[o2]
+            vecs = vecs_all[s0:e0][o2]
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            n = len(ids)
+            chunk = 1024
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                sims = unit[s:e] @ unit.T  # (c, n)
+                ii, jj = np.nonzero(sims >= threshold)
+                gi = ii + s
+                keep = (gi < jj) & (ids[gi] != ids[jj])
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[jj[keep]])
+                out_c.append(np.round(sims[ii[keep], jj[keep]], 4))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        if not len(a):
+            return empty
+        gb2 = (
+            (a.view(np.uint64) * np.uint64(0x9E3779B185EBCA87)
+             ^ b.view(np.uint64)) % np.uint64(_N_COARSE)
+        ).astype(np.int64)
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c, "gb2": gb2})
 
-    found = bucketed.groupby(["tbl", "bucket"]).map_groups(
-        verify, batch_format="pandas"
-    )
-    from ray.data.aggregate import Min
-
-    return found.groupby(["id_a", "id_b"]).aggregate(
-        Min("cosine", alias_name="cosine")
+    found = bucketed.groupby("gb").map_groups(verify_part, batch_format="pandas")
+    # cross-table duplicate pairs carry identical cosine: coarse-bucket
+    # drop_duplicates per partition
+    return (
+        found.groupby("gb2")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]),
+            batch_format="pandas",
+        )
+        .select_columns(["id_a", "id_b", "cosine"])
     )

@@ -220,6 +220,12 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         mask &= _to_np_bool(pc.equal(batch["source"], rule.level))
         if not mask.any():
             return mask
+    if rule.tag is not None:
+        if "tag" not in batch.column_names:
+            return np.zeros(n, dtype=bool)
+        mask &= _to_np_bool(pc.equal(batch["tag"], rule.tag))
+        if not mask.any():
+            return mask
     if rule.event_ids:
         if "event_id" not in batch.column_names:
             return np.zeros(n, dtype=bool)
@@ -340,7 +346,7 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             return mask
 
     # --- json matchers (flat {"k": v} payload column `props`) ---
-    if rule.json_contents or rule.json_pcres:
+    if rule.json_contents or rule.json_pcres or rule.json_metas:
         if "props" not in batch.column_names:
             return np.zeros(n, dtype=bool)
         # decode ONLY rows still masked (candidates after the cheap
@@ -367,11 +373,21 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
                 [bool(rx.search(str(d.get(key, "")))) for d in decoded], dtype=bool
             )
             sub &= ~jm if p.negated else jm
+        for path, lits, nocase in rule.json_metas:
+            key = path.lstrip(".")
+            vals = [str(d.get(key, "")) for d in decoded]
+            if nocase:
+                vals = [v.lower() for v in vals]
+                lits = tuple(x.lower() for x in lits)
+            sub &= np.array(
+                [any(lit in v for lit in lits) for v in vals], dtype=bool
+            )
         mask[idxs[~sub]] = False
     return mask
 
 
-_EXTRACT_FIELDS = ("src_ip", "src_port", "hash_value", "extracted", "proto")
+_EXTRACT_FIELDS = ("src_ip", "dst_ip", "src_port", "hash_value", "extracted",
+                   "proto")
 _EMPTY_ALERTS = ALERTS_SCHEMA.empty_table()
 for _f in _EXTRACT_FIELDS:
     _t = pa.int32() if _f == "src_port" else pa.string()
@@ -387,11 +403,12 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
 
     m = sub.num_rows
     cols: dict[str, pa.Array] = {
-        "src_ip": pa.array([None] * m, type=pa.string()),
-        "src_port": pa.array([None] * m, type=pa.int32()),
-        "hash_value": pa.array([None] * m, type=pa.string()),
-        "extracted": pa.array([None] * m, type=pa.string()),
-        "proto": pa.array([None] * m, type=pa.string()),
+        "src_ip": pa.nulls(m, type=pa.string()),
+        "dst_ip": pa.nulls(m, type=pa.string()),
+        "src_port": pa.nulls(m, type=pa.int32()),
+        "hash_value": pa.nulls(m, type=pa.string()),
+        "extracted": pa.nulls(m, type=pa.string()),
+        "proto": pa.nulls(m, type=pa.string()),
     }
     if rule.parse_proto:
         cols["proto"] = fx.proto_from_text(sub[text_col])
@@ -400,12 +417,17 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
         # on the webpages schema (the program-gate convention)
         pcol = "program" if "program" in sub.column_names else "host"
         cols["proto"] = fx.proto_from_program(sub[pcol])
-    if not (rule.parse_src_ip or rule.parse_port or rule.parse_hash or rule.normalize):
+    if not (rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port
+            or rule.parse_hash or rule.normalize):
         return cols
     texts = sub[text_col].to_pylist()
     if rule.parse_src_ip:
         cols["src_ip"] = pa.array(
             fx.nth_ip(texts, rule.parse_src_ip), type=pa.string()
+        )
+    if rule.parse_dst_ip:
+        cols["dst_ip"] = pa.array(
+            fx.nth_ip(texts, rule.parse_dst_ip), type=pa.string()
         )
     if rule.parse_port:
         cols["src_port"] = pa.array(fx.first_port(texts), type=pa.int32())

@@ -294,3 +294,72 @@ def test_md5_sample_rate():
         for i in range(10000)
     ]
     assert 0.1 < sum(keep) / len(keep) < 0.15  # ~2/16
+
+
+# ---------------------------------------------------------------------------
+# tag gate, parse_dst_ip, json_meta_content
+# ---------------------------------------------------------------------------
+
+
+def test_tag_gate():
+    r = parse_rule('alert any any any -> any any (sid:1; tag:"kernel"; content:"x";)')
+    b = batch(["x", "x"], tag=pa.array(["kernel", "cron"]))
+    assert rule_mask(b, r).tolist() == [True, False]
+    # fail closed without the column
+    assert rule_mask(batch(["x"]), r).tolist() == [False]
+
+
+def test_parse_dst_ip(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.match import match_alerts
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:70; content:"to"; '
+        "parse_src_ip:1; parse_dst_ip:2; classtype:misc-activity;)"
+    )
+    t = batch(["from 1.2.3.4 to 5.6.7.8"])
+    out = match_alerts(rd.from_arrow(t), rules).to_pandas()
+    assert out["src_ip"].tolist() == ["1.2.3.4"]
+    assert out["dst_ip"].tolist() == ["5.6.7.8"]
+
+
+def test_json_meta_content():
+    import json as _json
+
+    rules, _ = parse_rules(
+        "var BADK [6, 7]\n"
+        'alert any any any -> any any (sid:71; content:"e"; '
+        'json_meta_content:".k", $BADK;)'
+    )
+    props = [_json.dumps({"k": 63}), _json.dumps({"k": 12}), _json.dumps({"k": 7})]
+    b = batch(["e1", "e2", "e3"], props=pa.array(props))
+    # substring semantics: "6" in "63" -> hit; "7" in "7" -> hit
+    assert rule_mask(b, rules[0]).tolist() == [True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# threshold track by_string (liblognorm-extracted key)
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_track_by_string(ray_session):
+    """threshold tracked by the normalize-extracted string: limit 1 per
+    distinct extracted user per window, regardless of host."""
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import alerts_pipeline
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"per-user"; sid:80; '
+        'content:"login"; normalize:"user=(?P<user>\\w+)"; '
+        "classtype:misc-activity; "
+        "threshold: type limit, track by_string, count 1, seconds 86400;)"
+    )
+    texts = ["login user=alice", "login user=alice", "login user=bob"]
+    t = batch(texts, hosts=["h1", "h2", "h3"])
+    out = alerts_pipeline(rd.from_arrow(t), rules).to_pandas()
+    # one alert per distinct user (alice once, bob once), though hosts differ
+    assert len(out) == 2
+    users = sorted(out["extracted"].tolist())
+    assert users == ['{"user": "alice"}', '{"user": "bob"}']
