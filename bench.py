@@ -90,10 +90,11 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # ---- headline: full flagship over the synthetic webpages ----
-    # best of 2 (the executor's first run pays worker-pool warmup; the
-    # second measures steady-state — what a long-running job sees)
+    # best of 3 (the executor's first run pays worker-pool warmup; the
+    # later ones measure steady-state — what a long-running job sees;
+    # sandbox wall-clock noise across runs is ±20%)
     headline = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         out_dir = "/tmp/sagan_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()

@@ -15,6 +15,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 IPV4_RE = re.compile(r"(?<![\d.])((?:\d{1,3}\.){3}\d{1,3})(?![\d.])")
+# IPv6 candidate tokens (hex+colons, token-bounded); compressed forms
+# (::) make a closed-form regex error-prone, so candidates are validated
+# with ipaddress (parse-ip.c accepts both families in message order).
+IPV6_CAND_RE = re.compile(
+    r"(?<![0-9A-Fa-f:.])([0-9A-Fa-f]{0,4}:[0-9A-Fa-f:]{1,38})(?![0-9A-Fa-f:.])"
+)
+
+
+def _ips_in_order(text: str) -> list[str]:
+    import ipaddress
+
+    found: list[tuple[int, str]] = []
+    for m in IPV4_RE.finditer(text):
+        found.append((m.start(), m.group(1)))
+    for m in IPV6_CAND_RE.finditer(text):
+        tok = m.group(1)
+        if ":" not in tok:
+            continue
+        try:
+            ipaddress.IPv6Address(tok)
+        except ValueError:
+            continue
+        found.append((m.start(), tok))
+    found.sort()
+    return [ip for _pos, ip in found]
 PORT_RE = re.compile(r"(?:\d{1,3}\.){3}\d{1,3}:(\d{1,5})|port\s+(\d{1,5})", re.I)
 HASH_RES = {
     "md5": re.compile(r"\b[0-9a-fA-F]{32}\b"),
@@ -31,13 +56,14 @@ def url_host(url: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def nth_ip(texts: list[str | None], n: int = 1) -> list[str | None]:
-    """Nth IPv4-looking token per text (1-based), None if absent."""
+    """Nth IP-looking token per text (1-based, v4 or v6 in message
+    order), None if absent."""
     out: list[str | None] = []
     for t in texts:
         if t is None:
             out.append(None)
             continue
-        found = IPV4_RE.findall(t)
+        found = _ips_in_order(t)
         out.append(found[n - 1] if len(found) >= n else None)
     return out
 

@@ -363,3 +363,58 @@ def test_threshold_track_by_string(ray_session):
     assert len(out) == 2
     users = sorted(out["extracted"].tolist())
     assert users == ['{"user": "alice"}', '{"user": "bob"}']
+
+
+# ---------------------------------------------------------------------------
+# IPv6 extraction, CSV source, enrich mode equality
+# ---------------------------------------------------------------------------
+
+
+def test_nth_ip_v6_and_mixed():
+    from sagan_ray.functions.extract import nth_ip
+
+    texts = [
+        "from 2001:db8::1 to 10.0.0.1",
+        "v6 fe80:0:0:0:1:2:3:4 only",
+        "none here",
+    ]
+    assert nth_ip(texts, 1) == ["2001:db8::1", "fe80:0:0:0:1:2:3:4", None]
+    assert nth_ip(texts, 2) == ["10.0.0.1", None, None]
+
+
+def test_csv_source(ray_session, tmp_path):
+    from sagan_ray.sources.readers import read_csv_logs
+
+    p = tmp_path / "logs.csv"
+    p.write_text("host,level,message\nh1,info,hello\nh2,warn,world\n")
+    out = read_csv_logs(str(p)).to_pandas().sort_values("host")
+    assert out["message"].tolist() == ["hello", "world"]
+    assert list(out.columns) == ["host", "level", "message"]
+
+
+def test_enrich_task_vs_actor_mode_identical(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.enrich import default_lookups, enrich_stage
+
+    geo, bl, intel = default_lookups()
+    t = batch(
+        ["needle-alpha inside", "clean"],
+        hosts=["src3.example.com", "src7.example.com"],
+    )
+    a = (
+        enrich_stage(rd.from_arrow(t), geo, bl, intel, mode="task")
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    b = (
+        enrich_stage(rd.from_arrow(t), geo, bl, intel, mode="actor",
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["blacklisted"].tolist() == [False, True]  # src7: 7 % 7 == 0
+    assert a["intel_hit"].tolist() == [True, False]
