@@ -418,3 +418,79 @@ def test_enrich_task_vs_actor_mode_identical(ray_session):
     assert a.equals(b)
     assert a["blacklisted"].tolist() == [False, True]  # src7: 7 % 7 == 0
     assert a["intel_hit"].tolist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# html -> text extraction (north-star byte-identity function)
+# ---------------------------------------------------------------------------
+
+
+def test_html_to_text_roundtrip_byte_identical(ray_session):
+    """The extraction is the exact inverse of the webpages wrapping:
+    extracted text == documents.text, byte for byte, for every url."""
+    import ray.data as rd
+
+    from sagan_ray.sources.webpages import webpages_from_documents
+    from sagan_ray.stages.html import extract_text_stage
+
+    ds = webpages_from_documents("/root/testdata/sf0.001")
+    ex = extract_text_stage(
+        ds.drop_columns(["text"]), html_col="html", out_col="text"
+    )
+    pdf = ex.select_columns(["url", "text"]).to_pandas()
+    orig = (
+        webpages_from_documents("/root/testdata/sf0.001")
+        .select_columns(["url", "text"])
+        .to_pandas()
+    )
+    m = dict(zip(orig.url, orig.text))
+    assert len(pdf) == len(orig)
+    for u, t in zip(pdf.url, pdf.text):
+        assert t == m[u]
+
+
+def test_html_to_text_strips_and_decodes():
+    import pyarrow as pa
+
+    from sagan_ray.stages.html import html_to_text
+
+    arr = pa.array(
+        [
+            "<html><head><script>var x=1; </script></head>"
+            "<body><p>Hello   <b>world</b></p>&amp; more &lt;tags&gt;</body></html>",
+            "<style>.a{color:red}</style>plain",
+            None,
+        ]
+    )
+    out = html_to_text(arr).to_pylist()
+    assert out[0] == "Hello world & more <tags>"
+    assert out[1] == "plain"
+    assert out[2] is None
+
+
+def test_run_flagship_hive_layout_duplicate_basenames(ray_session, tmp_path):
+    """Hive layouts repeat basenames (day=01/part-0.parquet,
+    day=02/part-0.parquet): every partition must checkpoint separately
+    and the manifest must cover all rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.pipelines.flagship import load_default_rules, run_flagship
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    files = []
+    for i, day in enumerate(("01", "02")):
+        d = tmp_path / f"day={day}"
+        d.mkdir()
+        f = str(d / "part-0.parquet")  # SAME basename in both dirs
+        pq.write_table(t.slice(i * 250, 250), f)
+        files.append(f)
+    run_dir = str(tmp_path / "run")
+    m = run_flagship(files, run_dir, load_default_rules())
+    recs = [
+        f for f in os.listdir(os.path.join(run_dir, "_lineage"))
+        if f.endswith(".json")
+    ]
+    assert len(recs) == 2  # two distinct partitions, no collision
+    assert len(m["partitions"]) == 2
