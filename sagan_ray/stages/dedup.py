@@ -436,11 +436,14 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             o2 = np.argsort(sub_ids, kind="stable")
             sub_ids = sub_ids[o2]
             sub_sig = sig[s:e][o2]
-            ai, bi, hh = _hamming_pairs(sub_sig, max_hamming)
-            keep = sub_ids[ai] != sub_ids[bi]
-            out_a.append(sub_ids[ai[keep]])
-            out_b.append(sub_ids[bi[keep]])
-            out_h.append(hh[keep])
+            segs = dup["seg"].to_numpy(dtype=np.int64)[order][s:e][o2]
+            a3, b3, h3 = _group_pairs_bounded(
+                sub_ids, sub_sig, int(segs[0]), n_seg, seg_bits, max_hamming
+            )
+            keep = sub_ids[a3] != sub_ids[b3]
+            out_a.append(sub_ids[a3[keep]])
+            out_b.append(sub_ids[b3[keep]])
+            out_h.append(h3[keep])
         if not out_a:
             return empty
         a = np.concatenate(out_a)
@@ -466,6 +469,66 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+# Above this size a (seg, seg_val) group is sub-split with a SECOND
+# pigeonhole level instead of an O(g²) scan: a popular 16-bit segment
+# value at web scale must not cost quadratic work.
+_MAX_SEG_GROUP = 8192
+
+
+def _group_pairs_bounded(
+    ids: np.ndarray, sig: np.ndarray, seg: int, n_seg: int, seg_bits: int,
+    max_hamming: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hamming pairs within one (seg, seg_val) group, with an EXACT
+    secondary pigeonhole for oversized groups: a pair with total
+    Hamming <= d that agrees on this segment has all <= d differing bits
+    among the remaining 64-width bits, so splitting those into d+1
+    sub-segments guarantees the pair shares at least one sub-segment
+    value — recall stays 1.0 while compute drops from O(g²) to
+    Σ O(subgroup²). Returns LOCAL index pairs into ids/sig."""
+    n = len(sig)
+    if n <= _MAX_SEG_GROUP:
+        return _hamming_pairs(sig, max_hamming)
+    lo = seg * seg_bits
+    width = seg_bits if seg < n_seg - 1 else 64 - lo
+    # concatenate the bits outside [lo, lo+width) into one value
+    low_mask = np.uint64((1 << lo) - 1) if lo else np.uint64(0)
+    rem = ((sig >> np.uint64(lo + width)) << np.uint64(lo)) | (sig & low_mask)
+    rem_bits = 64 - width
+    n_sub = max_hamming + 1
+    sub_bits = rem_bits // n_sub
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    for k in range(n_sub):
+        shift = k * sub_bits
+        width_k = sub_bits if k < n_sub - 1 else rem_bits - shift
+        vals = (rem >> np.uint64(shift)) & np.uint64((1 << width_k) - 1)
+        order = np.argsort(vals, kind="stable")
+        sv = vals[order]
+        bstarts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        bends = np.r_[bstarts[1:], n]
+        for bs, be in zip(bstarts, bends):
+            if be - bs < 2:
+                continue
+            loc = order[bs:be]
+            ai, bi, hh = _hamming_pairs(sig[loc], max_hamming)
+            ga, gb_ = loc[ai], loc[bi]
+            flip = ga > gb_
+            ga2 = np.where(flip, gb_, ga)
+            gb2 = np.where(flip, ga, gb_)
+            out_a.append(ga2)
+            out_b.append(gb2)
+            out_h.append(hh)
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, z.copy()
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    h = np.concatenate(out_h)
+    codes, idx = np.unique(a.astype(np.int64) * n + b, return_index=True)
+    return a[idx], b[idx], h[idx]
 
 
 def _hamming_pairs(

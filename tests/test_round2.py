@@ -494,3 +494,23 @@ def test_run_flagship_hive_layout_duplicate_basenames(ray_session, tmp_path):
     ]
     assert len(recs) == 2  # two distinct partitions, no collision
     assert len(m["partitions"]) == 2
+
+
+def test_simhash_hot_group_split_exact(monkeypatch):
+    """The secondary pigeonhole for oversized segment groups finds
+    EXACTLY the same pairs as the direct O(g²) scan."""
+    import sagan_ray.stages.dedup as dd
+
+    rng = np.random.RandomState(3)
+    sig = rng.randint(0, 2**63, size=400, dtype=np.int64).view(np.uint64)
+    for i in range(0, 60, 2):  # plant close pairs
+        sig[i + 1] = sig[i] ^ np.uint64(1 << (i % 60))
+    ids = np.arange(400, dtype=np.int64)
+    direct = set(zip(*dd._hamming_pairs(sig, 3)[:2]))
+    monkeypatch.setattr(dd, "_MAX_SEG_GROUP", 50)
+    a, b, h = dd._group_pairs_bounded(ids, sig, seg=1, n_seg=4,
+                                      seg_bits=16, max_hamming=3)
+    split = set(zip(a.tolist(), b.tolist()))
+    assert split == {(int(x), int(y)) for x, y in direct}
+    for ai, bi, hi in zip(a.tolist(), b.tolist(), h.tolist()):
+        assert bin(int(sig[ai]) ^ int(sig[bi])).count("1") == hi
