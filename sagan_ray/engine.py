@@ -56,12 +56,15 @@ class EngineConfig:
         """Load the sagan.yaml-analogue config file. Recognized keys:
         rules (list of file paths), vars (name -> list), ignore (list of
         substrings), enrich (bool), enrich_concurrency (int),
-        write_eve (bool)."""
+        write_eve (bool), and lookup-table files mirroring upstream's
+        processor config: geo_file (CSV ``host,country``), blacklist_file
+        (one host or CIDR per line), intel_file (one indicator substring
+        per line — the zeek-intel TSV analogue)."""
         import yaml
 
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
-        return cls(
+        cfg = cls(
             rules_files=list(raw.get("rules", [])),
             var_table={k: list(v) for k, v in (raw.get("vars") or {}).items()},
             ignore_patterns=list(raw.get("ignore", [])),
@@ -69,6 +72,34 @@ class EngineConfig:
             enrich_concurrency=int(raw.get("enrich_concurrency", 4)),
             write_eve=bool(raw.get("write_eve", False)),
         )
+        base = __import__("os").path.dirname(__import__("os").path.abspath(path))
+
+        def _resolve(p: str) -> str:
+            import os
+
+            return p if os.path.isabs(p) else os.path.join(base, p)
+
+        if raw.get("geo_file"):
+            with open(_resolve(raw["geo_file"])) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    host, _, country = line.partition(",")
+                    cfg.geo[host.strip()] = country.strip()
+        if raw.get("blacklist_file"):
+            with open(_resolve(raw["blacklist_file"])) as f:
+                cfg.blacklist = {
+                    line.strip() for line in f
+                    if line.strip() and not line.startswith("#")
+                }
+        if raw.get("intel_file"):
+            with open(_resolve(raw["intel_file"])) as f:
+                cfg.intel = [
+                    line.strip() for line in f
+                    if line.strip() and not line.startswith("#")
+                ]
+        return cfg
 
     def load_rules(self):
         from .rules import load_rules_file

@@ -45,6 +45,12 @@ def route_alerts(
     """Write alerts partitioned by classification; return the manifest."""
     partition_cols = partition_cols or ["classification"]
     sink_dir = os.path.join(out_dir, "sinks")
+    if os.path.isdir(sink_dir):
+        # a re-route is a fresh fan-out: stale part files from a prior
+        # run must not double-count in the manifest
+        import shutil
+
+        shutil.rmtree(sink_dir)
     os.makedirs(sink_dir, exist_ok=True)
     alerts_ds = alerts_ds.map_batches(normalize_alerts, batch_format="pyarrow")
     if write_eve:

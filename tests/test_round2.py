@@ -514,3 +514,36 @@ def test_simhash_hot_group_split_exact(monkeypatch):
     assert split == {(int(x), int(y)) for x, y in direct}
     for ai, bi, hi in zip(a.tolist(), b.tolist(), h.tolist()):
         assert bin(int(sig[ai]) ^ int(sig[bi])).count("1") == hi
+
+
+def test_engine_yaml_lookup_files(tmp_path):
+    from sagan_ray.engine import EngineConfig
+
+    (tmp_path / "geo.csv").write_text("a.com,US\nb.com,DE\n# comment\n")
+    (tmp_path / "bl.txt").write_text("bad.com\n10.0.3.0/24\n")
+    (tmp_path / "intel.txt").write_text("needle-one\nneedle-two\n")
+    (tmp_path / "engine.yaml").write_text(
+        "enrich: true\ngeo_file: geo.csv\nblacklist_file: bl.txt\n"
+        "intel_file: intel.txt\n"
+    )
+    cfg = EngineConfig.from_yaml(str(tmp_path / "engine.yaml"))
+    assert cfg.geo == {"a.com": "US", "b.com": "DE"}
+    assert cfg.blacklist == {"bad.com", "10.0.3.0/24"}
+    assert cfg.intel == ["needle-one", "needle-two"]
+
+
+def test_route_rerun_does_not_double_count(ray_session, tmp_path):
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import alerts_pipeline, load_default_rules
+    from sagan_ray.sources.webpages import webpages_from_documents
+    from sagan_ray.stages.route import route_alerts
+
+    out = str(tmp_path / "rr")
+    ds = webpages_from_documents("/root/testdata/sf0.001", include_html=False)
+    alerts = alerts_pipeline(ds, load_default_rules())
+    m1 = route_alerts(alerts, out)
+    ds2 = webpages_from_documents("/root/testdata/sf0.001", include_html=False)
+    alerts2 = alerts_pipeline(ds2, load_default_rules())
+    m2 = route_alerts(alerts2, out)  # same out dir — must not accumulate
+    assert m1 == m2
