@@ -8,19 +8,23 @@ Scale shapes:
 * exact:     hash-partition on content digest → per-group first.
              One shuffle of (digest, doc_id) pairs only.
 * MinHash+LSH: per-batch shingle→minhash (vectorized numpy), explode to
-             (band_id, band_hash, doc_id) rows → groupby bands → candidate
-             pairs → exact-Jaccard verify on the (small) candidate set.
-             Shuffles only band keys + doc ids, never the text.
+             (band_id, band_hash, doc_id) rows → coarse-bucket groupby →
+             candidate pairs → co-partitioned text join → exact-Jaccard
+             verify. Shuffles band keys + doc ids + candidate texts only.
 * SimHash:   64-bit signature; Hamming ≤ d via pigeonhole segment
-             blocking (d+1 segments) → groupby segment value → verify.
-* embedding: cosine ≥ t via random-hyperplane LSH bucketing → verify
-             with exact dot products (brute-force per bucket).
+             blocking (d+1 segments); oversized groups sub-split with an
+             exact second pigeonhole level; vectorized XOR-popcount scan.
+* embedding: cosine ≥ t via multi-table random-hyperplane LSH (recall→1)
+             → chunked vectorized exact verify per bucket.
+
+All pair-generating groupbys ride ~256 coarse co-location buckets (one
+vectorized pandas pass per partition — the per-tiny-group map_groups
+overhead measured at ~24 s for 30k LSH buckets at sf0.1).
 """
 
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -165,15 +169,17 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     Scale-safe end to end — nothing funnels through the driver:
 
     1. map_batches(minhash+bands) → explode (band_id, band_hash, id) —
-       ids only, never text;
-    2. groupby band key → per-bucket candidate pairs, then ONE
-       groupby(a,b).count() dedups pairs found in multiple bands;
-    3. the (reduced) pair set joins TEXT back in via two co-partitioned
-       ``Dataset.join``s on id — the texts shuffle only for candidate
-       ids, inside partitions, never as one driver-side dict;
-    4. exact-Jaccard verify runs inside the joined partitions.
+       ids only, never text — tagged with a coarse co-location bucket;
+    2. ONE coarse-bucket groupby generates candidate pairs vectorized
+       per partition (never one pandas call per tiny LSH bucket);
+    3. a second coarse-bucket pass dedups pairs found in several bands;
+    4. the (reduced, materialized) pair set joins TEXT back in via two
+       co-partitioned ``Dataset.join``s sized from the candidate count —
+       texts shuffle only for candidate ids, never as a driver dict;
+    5. exact-Jaccard verify runs inside the joined partitions.
 
-    Returns a Dataset (doc_id_a, doc_id_b, jaccard:double rounded to 4).
+    Returns a Dataset (doc_id_a, doc_id_b, jaccard:double — RAW, callers
+    derive integer comparison columns).
     """
     import ray.data as rd
 
