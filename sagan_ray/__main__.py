@@ -33,7 +33,32 @@ def main(argv: list[str] | None = None) -> int:
     chk = sub.add_parser("check", help="validate config + rules (the `sagan -T` analogue)")
     chk.add_argument("--config", help="engine.yaml")
     chk.add_argument("--rules", action="append", default=[], help=".rules file")
+    pk = sub.add_parser("peek", help="inspect a run's lineage/manifest (sagan-peek analogue)")
+    pk.add_argument("--run", required=True, help="run directory")
     args = ap.parse_args(argv)
+
+    if args.cmd == "peek":
+        import os
+
+        from .state import lineage as _lin
+
+        done = _lin.completed_partitions(args.run)
+        manifest = {}
+        mp = os.path.join(args.run, "manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                manifest = json.load(f)
+        rows_in = sum(r.get("rows_in", 0) for r in done.values())
+        alerts = sum(r.get("alerts", 0) for r in done.values())
+        print(json.dumps({
+            "partitions_done": len(done),
+            "rows_in": rows_in,
+            "alerts_checkpointed": alerts,
+            "alert_rate": round(alerts / rows_in, 4) if rows_in else None,
+            "sinks": manifest.get("sinks", {}),
+            "routed_total": manifest.get("total"),
+        }, sort_keys=True))
+        return 0
 
     if args.cmd == "check":
         from .engine import EngineConfig

@@ -547,3 +547,43 @@ def test_route_rerun_does_not_double_count(ray_session, tmp_path):
     alerts2 = alerts_pipeline(ds2, load_default_rules())
     m2 = route_alerts(alerts2, out)  # same out dir — must not accumulate
     assert m1 == m2
+
+
+def test_cli_peek(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.__main__ import main
+    from sagan_ray.pipelines.flagship import load_default_rules, run_flagship
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    f = str(tmp_path / "d.parquet")
+    pq.write_table(t.slice(0, 250), f)
+    run_dir = str(tmp_path / "run")
+    run_flagship([f], run_dir, load_default_rules())
+    assert main(["peek", "--run", run_dir]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["partitions_done"] == 1
+    assert rep["rows_in"] == 250
+    assert rep["routed_total"] == sum(rep["sinks"].values())
+
+
+def test_flagship_on_native_webpages_schema(ray_session, tmp_path):
+    """The north-rule input shape (url, warc_ts, html, text, lang) runs
+    directly — no documents derivation step."""
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import load_default_rules, run_streaming
+    from sagan_ray.synth import generate_webpages
+
+    inp = str(tmp_path / "wp")
+    generate_webpages(5_000).write_parquet(inp)
+    out = str(tmp_path / "out")
+    m = run_streaming(rd.read_parquet(inp), load_default_rules(), out)
+    assert m["total"] > 0
+    assert set(m["sinks"]) <= {
+        "attempted-recon", "bad-unknown", "correlated-attack",
+        "misc-activity", "not-suspicious", "policy-violation",
+        "suspicious-traffic", "web-application-activity",
+    }
