@@ -145,14 +145,24 @@ def gate_alerts(alerts, rules: list[Rule]):
         # fragmented (reads with override_num_blocks never are)
         alerts = alerts.repartition(width).materialize()
     if can_fuse(rules):
-        return apply_correlation_fused(alerts, rules)
+        gated = apply_correlation_fused(alerts, rules)
+        return _normalize_schema(gated)
     alerts = apply_correlation(alerts, rules)
     if any(r.xbits for r in rules):
         alerts = alerts.materialize()
         if alerts.num_blocks() > 2 * width:
             alerts = alerts.repartition(width).materialize()
     alerts = apply_xbits(alerts, rules)
-    return alerts
+    return _normalize_schema(alerts)
+
+
+def _normalize_schema(alerts):
+    """The gated branches round-trip through pandas, which types all-null
+    columns as `null` — downstream unions/writes then see mixed block
+    schemas. One cast pass restores the canonical alert schema."""
+    from ..stages.route import normalize_alerts
+
+    return alerts.map_batches(normalize_alerts, batch_format="pyarrow")
 
 
 def _drop_noalert(alerts, rules: list[Rule]):

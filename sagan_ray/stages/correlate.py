@@ -409,9 +409,12 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     gated = tagged.groupby("gb").map_groups(
         gate_and_resolve, batch_format="pandas"
     )
-    # map_groups emits pandas blocks; unioning them with the arrow-block
-    # bypass branch breaks downstream aggregates — re-encode as arrow
-    gated = gated.map_batches(lambda t: t, batch_format="pyarrow")
+    # map_groups emits pandas blocks whose all-null columns degrade to
+    # null type; re-encode to the canonical arrow schema BEFORE the
+    # union so both branches stream identical block schemas
+    from .route import normalize_alerts
+
+    gated = gated.map_batches(normalize_alerts, batch_format="pyarrow")
     return plain.union(gated)
 
 

@@ -21,6 +21,22 @@ import pyarrow.parquet as pq
 from ..schema import ALERTS_SCHEMA
 
 _ALERT_TYPES = {f.name: f.type for f in ALERTS_SCHEMA}
+# extraction + enrichment columns ride on alerts; all-null blocks from
+# pandas round-trips must cast back to these, not stay `null`-typed
+_ALERT_TYPES.update(
+    {
+        "src_ip": pa.string(),
+        "dst_ip": pa.string(),
+        "src_port": pa.int32(),
+        "hash_value": pa.string(),
+        "extracted": pa.string(),
+        "proto": pa.string(),
+        "country": pa.string(),
+        "blacklisted": pa.bool_(),
+        "intel_hit": pa.bool_(),
+        "part_id": pa.string(),
+    }
+)
 
 
 def normalize_alerts(batch: pa.Table) -> pa.Table:
