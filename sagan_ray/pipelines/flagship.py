@@ -145,8 +145,9 @@ def gate_alerts(alerts, rules: list[Rule]):
         # fragmented (reads with override_num_blocks never are)
         alerts = alerts.repartition(width).materialize()
     if can_fuse(rules):
-        gated = apply_correlation_fused(alerts, rules)
-        return _normalize_schema(gated)
+        # the fused path normalizes its gated branch internally (before
+        # the union), so block schemas are already uniform
+        return apply_correlation_fused(alerts, rules)
     alerts = apply_correlation(alerts, rules)
     if any(r.xbits for r in rules):
         alerts = alerts.materialize()
