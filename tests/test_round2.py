@@ -587,3 +587,63 @@ def test_flagship_on_native_webpages_schema(ray_session, tmp_path):
         "misc-activity", "not-suspicious", "policy-violation",
         "suspicious-traffic", "web-application-activity",
     }
+
+
+# ---------------------------------------------------------------------------
+# JSON input mapping (parse-json-message analogue)
+# ---------------------------------------------------------------------------
+
+
+def test_json_map_stage_nested_and_malformed(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data as rd
+
+    from sagan_ray.sources.jsonmap import read_json_logs_mapped
+    from sagan_ray.stages.match import match_alerts
+
+    lines = [
+        _json.dumps({"id": "e1", "timestamp": "2024-01-01T00:00:05",
+                     "host": "h1", "facility": "auth",
+                     "message": "login failed badly", "k": 7}),
+        _json.dumps({"id": "e2", "timestamp": "2024-01-01T00:00:06",
+                     "meta": {"deep": "x"},
+                     "host": "h2", "facility": "auth",
+                     "message": "login ok"}),
+        "NOT JSON AT ALL",
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    ds = read_json_logs_mapped(str(p))
+    pdf = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(pdf) == 3  # malformed line kept with null fields
+    assert pdf.loc[0, "host"] == "h1" and pdf.loc[1, "text"] == "login ok"
+    assert pdf.loc[2, "url"] is None or pd_isna(pdf.loc[2, "url"])
+    # the mapped stream feeds the rule engine directly (drop null-url rows)
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:90; facility:"auth"; '
+        'content:"failed"; json_content:".k","7"; classtype:misc-activity;)'
+    )
+    clean = ds.filter(lambda r: r["url"] is not None)
+    out = match_alerts(clean, rules).to_pandas()
+    assert out["url"].tolist() == ["e1"]
+
+
+def pd_isna(v):
+    import pandas as _pd
+
+    return _pd.isna(v)
+
+
+def test_json_map_custom_mapping():
+    import json as _json
+
+    from sagan_ray.sources.jsonmap import json_map_batch
+
+    t = pa.table({"json": pa.array([
+        _json.dumps({"src": {"addr": "1.2.3.4"}, "msg": "hi"})])})
+    out = json_map_batch(
+        t, {"host": ".src.addr", "text": ".msg"}, keep_raw=False
+    )
+    assert out["host"].to_pylist() == ["1.2.3.4"]
+    assert out["text"].to_pylist() == ["hi"]
