@@ -192,6 +192,8 @@ class Rule:
     parse_hash: str | None = None
     parse_proto: bool = False  # proto from message keywords
     parse_proto_program: bool = False  # proto from the program column
+    default_proto: str | None = None  # fills proto when parsers find none
+    default_src_port: int | None = None  # fills src_port when unparsed
     # predicates
     alert_time: AlertTime | None = None
     country_code: CountryCode | None = None
@@ -514,6 +516,10 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.parse_proto = True
         elif key == "parse_proto_program":
             r.parse_proto_program = True
+        elif key == "default_proto":
+            r.default_proto = _unquote(val).lower()
+        elif key == "default_src_port":
+            r.default_src_port = int(val)
         elif key == "alert_time":
             kv = _parse_kv_list(_unquote(val))
             days = frozenset(int(c) for c in kv.get("days", "0123456"))

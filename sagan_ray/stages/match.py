@@ -417,9 +417,20 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
         # on the webpages schema (the program-gate convention)
         pcol = "program" if "program" in sub.column_names else "host"
         cols["proto"] = fx.proto_from_program(sub[pcol])
+    def _apply_defaults(c: dict) -> dict:
+        # parse-proto.c / parse-port.c: unparsed values fall back to the
+        # rule's defaults (applied AFTER all parsers have run)
+        if rule.default_proto is not None:
+            c["proto"] = pc.fill_null(c["proto"], rule.default_proto)
+        if rule.default_src_port is not None:
+            c["src_port"] = pc.fill_null(
+                c["src_port"], pa.scalar(rule.default_src_port, type=pa.int32())
+            )
+        return c
+
     if not (rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port
             or rule.parse_hash or rule.normalize):
-        return cols
+        return _apply_defaults(cols)
     texts = sub[text_col].to_pylist()
     if rule.parse_src_ip:
         cols["src_ip"] = pa.array(
@@ -442,7 +453,7 @@ def _extraction_columns(rule: Rule, sub: pa.Table, text_col: str) -> dict:
             mm = rx.search(t or "")
             vals.append(_json.dumps(mm.groupdict(), sort_keys=True) if mm else None)
         cols["extracted"] = pa.array(vals, type=pa.string())
-    return cols
+    return _apply_defaults(cols)
 
 
 def _rule_prefilter_literals(rule: Rule) -> list[tuple[str, bool]] | None:

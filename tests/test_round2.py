@@ -647,3 +647,53 @@ def test_json_map_custom_mapping():
     )
     assert out["host"].to_pylist() == ["1.2.3.4"]
     assert out["text"].to_pylist() == ["hi"]
+
+
+def test_default_proto_and_port(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.match import match_alerts
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:95; content:"conn"; parse_proto; '
+        "parse_port; default_proto:tcp; default_src_port:514; "
+        "classtype:misc-activity;)"
+    )
+    t = batch(["conn via udp port 2222", "conn no hints"])
+    out = match_alerts(rd.from_arrow(t), rules).to_pandas().sort_values("url")
+    assert out["proto"].tolist() == ["udp", "tcp"]  # parsed beats default
+    assert out["src_port"].tolist() == [2222, 514]
+
+
+def test_bluedot_cache_ttl_and_batching():
+    from sagan_ray.stages.bluedot import BluedotLookup
+
+    calls = []
+
+    def resolver(keys):
+        calls.append(sorted(keys))
+        return {k: "malicious" for k in keys}
+
+    clk = [0.0]
+    b = BluedotLookup(resolver=resolver, ttl_s=10.0, clock=lambda: clk[0])
+    t = pa.table({"host": pa.array(["a", "b", "a", "b"])})
+    out = b(t)
+    assert out["reputation"].to_pylist() == ["malicious"] * 4
+    assert calls == [["a", "b"]]  # ONE deduped batch call
+    b(t)
+    assert calls == [["a", "b"]]  # all cached
+    clk[0] = 11.0  # past TTL
+    b(t)
+    assert calls == [["a", "b"], ["a", "b"]]  # re-resolved after expiry
+    assert b.hits == 2 and b.misses == 4
+
+
+def test_bluedot_stage_plumbing(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.bluedot import bluedot_stage
+
+    t = batch(["x", "y"], hosts=["h1.example", "h2.example"])
+    out = bluedot_stage(rd.from_arrow(t)).to_pandas()
+    assert set(out["reputation"]) <= {"clean", "suspicious", "malicious"}
+    assert len(out) == 2
