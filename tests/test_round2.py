@@ -697,3 +697,37 @@ def test_bluedot_stage_plumbing(ray_session):
     out = bluedot_stage(rd.from_arrow(t)).to_pandas()
     assert set(out["reputation"]) <= {"clean", "suspicious", "malicious"}
     assert len(out) == 2
+
+
+def test_external_sink(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data as rd
+
+    from sagan_ray.pipelines.flagship import alerts_pipeline, load_default_rules
+    from sagan_ray.sources.webpages import webpages_from_documents
+    from sagan_ray.stages.external import external_sink
+
+    sink_file = tmp_path / "ext.ndjson"
+    script = tmp_path / "collect.sh"
+    script.write_text(f"#!/bin/sh\ncat >> {sink_file}\n")
+    script.chmod(0o755)
+    ds = webpages_from_documents("/root/testdata/sf0.001", include_html=False)
+    alerts = alerts_pipeline(ds, load_default_rules())
+    stats = external_sink(alerts, [str(script)])
+    assert stats["n_fail"] == 0
+    lines = [l for l in sink_file.read_text().splitlines() if l]
+    assert stats["n_ok"] == len(lines) == 2373  # golden total
+    rec = _json.loads(lines[0])
+    assert rec["event_type"] == "alert" and "sid" in rec
+
+
+def test_external_sink_failure_counted(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.external import external_sink
+
+    t = batch(["x"])
+    t = t.append_column("sid", pa.array([1], type=pa.int64()))
+    stats = external_sink(rd.from_arrow(t), ["/nonexistent/program"])
+    assert stats["n_fail"] == 1 and stats["n_ok"] == 0
