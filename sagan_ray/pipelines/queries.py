@@ -749,10 +749,16 @@ def q_doc_textstats(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
+        from ..stages.text import BPE_TOKEN_RE
+
         q = quality_batch(t)
         toks = pc.split_pattern(t["text"], " ")
         n_uniq = [len(set(x)) for x in toks.to_pylist()]
-        return q.append_column("n_unique", pa.array(n_uniq, type=pa.int64()))
+        q = q.append_column("n_unique", pa.array(n_uniq, type=pa.int64()))
+        n_bpe = pc.cast(
+            pc.count_substring_regex(t["text"], BPE_TOKEN_RE), pa.int64()
+        )
+        return q.append_column("n_bpe_tokens", n_bpe)
 
     return ds.map_batches(stats, batch_format="pyarrow")
 
@@ -1132,7 +1138,8 @@ ORACLES = {
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+               CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
         FROM documents""",
     # exact SQL restatement of text.LangId.predict: CJK check on the
     # first 200 chars, else first-max stopword vote over [de,en,es,fr]

@@ -19,11 +19,23 @@ import pyarrow.compute as pc
 
 STOPWORDS = ("a", "the")
 
+# GPT2-style pretokenizer shape (contractions | space+letters |
+# space+digits | space+punct | whitespace runs) — RE2-compatible, so the
+# SAME pattern counts identically in Arrow and DuckDB (the oracle uses
+# len(regexp_extract_all(text, ...)) with this exact string).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
 
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish pretoken count, both vectorized."""
     n_tok = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+    n_bpe = pc.count_substring_regex(t[text_col], BPE_TOKEN_RE)
     return pa.table(
-        {"doc_id": t["doc_id"], "n_tokens": pc.cast(n_tok, pa.int64())}
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+        }
     )
 
 
