@@ -92,9 +92,12 @@ def run_bench() -> dict:
     # ---- headline: full flagship over the synthetic webpages ----
     # best of 3 (the executor's first run pays worker-pool warmup; the
     # later ones measure steady-state — what a long-running job sees;
-    # sandbox wall-clock noise across runs is ±20%)
+    # sandbox wall-clock noise across runs is ±20%). Scaling mode runs
+    # 2 per leg — the interleaved two-pass protocol already gives each
+    # leg four samples total within the time budget.
     headline = float("inf")
-    for _ in range(3):
+    n_reps = 2 if os.environ.get("GRAFT_BENCH_LITE") else 3
+    for _ in range(n_reps):
         out_dir = "/tmp/sagan_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -200,8 +203,18 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # two interleaved passes per leg, best throughput each: the sandbox
+    # shares physical cores (hypervisor steal comes in minutes-long
+    # windows), and alternating legs keeps one bad window from skewing
+    # the ratio — each leg is itself best-of-3 inside the subprocess
     r_lo = sub(lo)
     r_hi = sub(hi)
+    r_lo2 = sub(lo)
+    r_hi2 = sub(hi)
+    if r_lo2["rows_per_sec"] > r_lo["rows_per_sec"]:
+        r_lo = r_lo2
+    if r_hi2["rows_per_sec"] > r_hi["rows_per_sec"]:
+        r_hi = r_hi2
     thr_lo = r_lo["rows_per_sec"]
     thr_hi = r_hi["rows_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
