@@ -40,7 +40,19 @@ import pyarrow.compute as pc
 
 from ..rules import Rule
 
-N_GROUP_BUCKETS = 512
+N_GROUP_BUCKETS = 512  # legacy constant; _n_buckets() is what's used
+
+
+def _n_buckets() -> int:
+    """Coarse co-location bucket count for the correlation exchange:
+    ~4 per core, floored at 64. At 32 cpus this gives 128, measured
+    equal to the old fixed 512 (within run noise); the point is the
+    CLUSTER direction — a fixed 512 would cap the gate at 512 parallel
+    units on a 256-node run, while 4x cores keeps every core fed."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    return max(64, 4 * cpus)
 
 
 def _track_col(track: str) -> str:
@@ -124,7 +136,8 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
     ).append_column("bucket", pa.array(bucket))
 
 
-def _attach_gb(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+def _attach_gb(pdf: pd.DataFrame, cols: list[str],
+               nb: int | None = None) -> pd.DataFrame:
     """Coarse co-location key: hash of the logical group key.
 
     Vectorized (pandas siphash). The gb value only controls WHICH
@@ -135,7 +148,7 @@ def _attach_gb(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
         h = h * np.uint64(31) + pd.util.hash_pandas_object(
             pdf[c], index=False
         ).to_numpy()
-    pdf["gb"] = (h % np.uint64(N_GROUP_BUCKETS)).astype(np.int64)
+    pdf["gb"] = (h % np.uint64(nb or _n_buckets())).astype(np.int64)
     return pdf
 
 
@@ -300,13 +313,16 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     def bypass(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["sid"], value_set=bypass_keep))
 
+    nb = np.uint64(_n_buckets())  # captured once at plan build — every
+    # task must use the SAME modulus within a run
+
     def _hash_gb_arrays(*cols) -> pa.Array:
         h = pd.util.hash_array(np.asarray(cols[0], dtype=object))
         for c in cols[1:]:
             h = h * np.uint64(31) + pd.util.hash_array(
                 np.asarray(c) if not isinstance(c, np.ndarray) else c
             )
-        return pa.array((h % np.uint64(N_GROUP_BUCKETS)).astype(np.int64))
+        return pa.array((h % nb).astype(np.int64))
 
     def _const(n: int, val, typ) -> pa.Array:
         if typ == "str":
