@@ -344,6 +344,10 @@ def _parse_host_spec(tok: str, var_table: dict[str, list[str]]) -> HostSpec:
         items = tuple(x.strip() for x in tok[1:-1].split(",") if x.strip())
     else:
         items = (tok,)
+    if not negated and any(x.lower() == "any" for x in items):
+        # `var HOME_NET [any]` is the standard open config — an `any`
+        # member makes the allowlist match-all
+        return HostSpec()
     return HostSpec(globs=items, negated=negated)
 
 

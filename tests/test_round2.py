@@ -731,3 +731,46 @@ def test_external_sink_failure_counted(ray_session):
     t = t.append_column("sid", pa.array([1], type=pa.int64()))
     stats = external_sink(rd.from_arrow(t), ["/nonexistent/program"])
     assert stats["n_fail"] == 1 and stats["n_ok"] == 0
+
+
+# ---------------------------------------------------------------------------
+# upstream-style ruleset (a Sagan user's rules drop in unchanged)
+# ---------------------------------------------------------------------------
+
+
+def test_upstream_style_ruleset_parses_and_runs(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.rules import CLASSIFICATIONS, load_rules_file
+    from sagan_ray.pipelines.flagship import alerts_pipeline
+
+    CLASSIFICATIONS.setdefault("unsuccessful-user", 2)
+    CLASSIFICATIONS.setdefault("brute-force", 1)
+    rules = load_rules_file("tests/fixtures/rules/openssh-style.rules")
+    assert len(rules) == 6
+    assert rules[0].parse_src_ip == 1 and rules[0].programs == ("sshd", "ssh")
+    assert rules[1].threshold.count == 5
+    assert rules[3].noalert and rules[3].xbits[0].action == "set"
+
+    # syslog-shaped stream: host=program-analogue, text=message
+    rows = []
+    base = 1_700_000_000_000_000
+    for i in range(8):  # brute-force storm from sshd
+        rows.append(("sshd", f"Failed password for root from 10.0.0.{i}", base + i * 1_000_000))
+    rows.append(("sshd", "Accepted password for root from 10.0.0.9", base + 9_000_000))
+    rows.append(("cron", "Failed password should not match (wrong program)", base))
+    t = pa.table(
+        {
+            "url": pa.array([f"log://{i}" for i in range(len(rows))]),
+            "warc_ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "host": pa.array([r[0] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = alerts_pipeline(rd.from_arrow(t), rules).to_pandas()
+    by_sid = out.groupby("sid").size().to_dict()
+    assert by_sid.get(5000002) == 5  # threshold limit 5 of 8 failures
+    assert by_sid.get(5000003) == 1  # success fired only because bit set
+    assert 5000004 not in by_sid  # noalert state rule routes nothing
+    assert out[out.sid == 5000002]["src_ip"].notna().all()  # parse_src_ip
