@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--raw-documents", action="store_true",
                      help="input is a documents table; derive webpages")
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--follow", action="store_true",
+                     help="daemon mode: poll --input's directory for new files")
+    run.add_argument("--poll-seconds", type=float, default=5.0)
     chk = sub.add_parser("check", help="validate config + rules (the `sagan -T` analogue)")
     chk.add_argument("--config", help="engine.yaml")
     chk.add_argument("--rules", action="append", default=[], help=".rules file")
@@ -116,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.raw_documents:
                 ds = ds.map_batches(derive_batch, batch_format="pyarrow")
             manifest = cfg.run(ds, args.out)
+        elif args.follow:
+            import os as _os
+
+            from .pipelines.flagship import follow_directory
+
+            manifest = follow_directory(
+                _os.path.dirname(files[0]), args.out, cfg.load_rules(),
+                poll_s=args.poll_seconds,
+                derive_from_documents=args.raw_documents,
+            )
         else:
             from .pipelines.flagship import run_flagship
 

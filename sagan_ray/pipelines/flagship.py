@@ -305,6 +305,47 @@ def run_flagship(
     return manifest
 
 
+def follow_directory(
+    input_dir: str,
+    run_dir: str,
+    rules: list[Rule] | None = None,
+    poll_s: float = 5.0,
+    max_iterations: int | None = None,
+    derive_from_documents: bool = True,
+    pattern: str = "*.parquet",
+) -> dict:
+    """Daemon-mode analogue of the reference's FIFO tail: poll
+    ``input_dir`` for parquet files and run the checkpointed pipeline
+    over whatever is new. Each iteration is a :func:`run_flagship` call,
+    so completed partitions are skipped via lineage, a kill mid-wave
+    resumes exactly, and correlation stays globally correct because
+    stage B always re-gates over ALL checkpointed alerts (late-arriving
+    files can change window outcomes — the batch-mode answer to the
+    reference's mutable mmap state).
+
+    Stops after ``max_iterations`` (None = until a ``STOP`` file appears
+    in ``run_dir``). Returns the last manifest."""
+    import glob as _glob
+    import time as _time
+
+    rules = rules or load_default_rules()
+    manifest: dict = {}
+    it = 0
+    while True:
+        files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+        if files:
+            manifest = run_flagship(
+                files, run_dir, rules,
+                derive_from_documents=derive_from_documents,
+            )
+        it += 1
+        if max_iterations is not None and it >= max_iterations:
+            return manifest
+        if os.path.exists(os.path.join(run_dir, "STOP")):
+            return manifest
+        _time.sleep(poll_s)
+
+
 def run_streaming(webpages_ds, rules: list[Rule], out_dir: str,
                   enrich: bool = False) -> dict:
     """Single-pass streaming variant (no checkpoint): used by bench —

@@ -774,3 +774,35 @@ def test_upstream_style_ruleset_parses_and_runs(ray_session):
     assert by_sid.get(5000003) == 1  # success fired only because bit set
     assert 5000004 not in by_sid  # noalert state rule routes nothing
     assert out[out.sid == 5000002]["src_ip"].notna().all()  # parse_src_ip
+
+
+def test_follow_directory_incremental(ray_session, tmp_path):
+    """Daemon-mode polling: a second wave of files is picked up and
+    correlation re-gates globally (manifest grows, earlier partitions
+    not reprocessed)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.pipelines.flagship import follow_directory, load_default_rules
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t.slice(0, 250), str(inp / "wave1.parquet"))
+    run_dir = str(tmp_path / "run")
+    rules = load_default_rules()
+    m1 = follow_directory(str(inp), run_dir, rules, poll_s=0.0,
+                          max_iterations=1)
+    assert m1["total"] > 0
+    w1_mtime = {
+        f: os.path.getmtime(os.path.join(run_dir, "ckpt", f))
+        for f in os.listdir(os.path.join(run_dir, "ckpt"))
+    }
+    pq.write_table(t.slice(250, 250), str(inp / "wave2.parquet"))
+    m2 = follow_directory(str(inp), run_dir, rules, poll_s=0.0,
+                          max_iterations=1)
+    assert m2["total"] > m1["total"]
+    assert len(m2["partitions"]) == 2
+    for f, mt in w1_mtime.items():  # wave1 checkpoints untouched
+        assert os.path.getmtime(os.path.join(run_dir, "ckpt", f)) == mt
