@@ -53,12 +53,19 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = json.load(f)
         rows_in = sum(r.get("rows_in", 0) for r in done.values())
         alerts = sum(r.get("alerts", 0) for r in done.values())
+        per_rule = {}
+        sink_dir = os.path.join(args.run, "sinks")
+        if os.path.isdir(sink_dir):
+            from .stages.route import rule_stats
+
+            per_rule = {str(k): v for k, v in rule_stats(sink_dir).items()}
         print(json.dumps({
             "partitions_done": len(done),
             "rows_in": rows_in,
             "alerts_checkpointed": alerts,
             "alert_rate": round(alerts / rows_in, 4) if rows_in else None,
             "sinks": manifest.get("sinks", {}),
+            "per_rule": per_rule,
             "routed_total": manifest.get("total"),
         }, sort_keys=True))
         return 0

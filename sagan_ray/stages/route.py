@@ -191,6 +191,25 @@ def write_fast_log(alerts_ds, fast_dir: str) -> None:
     alerts_ds.map_batches(dump, batch_format="pyarrow").count()
 
 
+def rule_stats(sink_dir: str) -> dict[int, int]:
+    """Per-rule routed-alert counts (upstream per-rule stats / perfmon
+    analogue), computed from the written sinks by reading ONLY the sid
+    column — columnar projection keeps this cheap even for huge alert
+    volumes."""
+    import collections
+
+    dataset = pads.dataset(sink_dir, partitioning="hive")
+    counts: collections.Counter = collections.Counter()
+    for batch in dataset.to_batches(columns=["sid"]):
+        arr = batch.column(0)
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(arr)
+        for item in vc.to_pylist():
+            counts[int(item["values"])] += int(item["counts"])
+    return dict(sorted(counts.items()))
+
+
 def read_sink(sink_dir: str, classification: str | None = None):
     """Read routed rows back (hive-partitioned)."""
     dataset = pads.dataset(sink_dir, partitioning="hive")

@@ -567,6 +567,8 @@ def test_cli_peek(ray_session, tmp_path, capsys):
     assert rep["partitions_done"] == 1
     assert rep["rows_in"] == 250
     assert rep["routed_total"] == sum(rep["sinks"].values())
+    assert rep["routed_total"] == sum(rep["per_rule"].values())
+    assert all(int(k) >= 1000001 for k in rep["per_rule"])
 
 
 def test_flagship_on_native_webpages_schema(ray_session, tmp_path):
