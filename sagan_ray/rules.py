@@ -504,6 +504,10 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             else:
                 values = tuple(_unquote(ref).split("|"))
             jsonm.append((_unquote(path), values, False))
+        elif key == "json_meta_nocase":
+            if jsonm:
+                pth, vals_, _nc = jsonm[-1]
+                jsonm[-1] = (pth, vals_, True)
         elif key == "event_id":
             r.event_ids = tuple(int(x) for x in _unquote(val).split(",") if x.strip())
         elif key == "normalize":

@@ -808,3 +808,16 @@ def test_follow_directory_incremental(ray_session, tmp_path):
     assert len(m2["partitions"]) == 2
     for f, mt in w1_mtime.items():  # wave1 checkpoints untouched
         assert os.path.getmtime(os.path.join(run_dir, "ckpt", f)) == mt
+
+
+def test_json_meta_nocase():
+    import json as _json
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:72; content:"e"; '
+        'json_meta_content:".tag", WARN|CRIT; json_meta_nocase;)'
+    )
+    assert rules[0].json_metas[0][2] is True
+    props = [_json.dumps({"tag": "warning"}), _json.dumps({"tag": "info"})]
+    b = batch(["e1", "e2"], props=pa.array(props))
+    assert rule_mask(b, rules[0]).tolist() == [True, False]
