@@ -332,12 +332,27 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     helper_order = ["ckey", "bucket", "xname", "xaction", "xkey", "xexpire",
                     "kind", "gb"]
 
+    # sid-constant columns never ride the exchange: msg / classification
+    # / priority / rev are pure functions of sid (rule metadata), so the
+    # tagged branch drops them pre-shuffle and re-attaches post-gate
+    # from a broadcast sid-indexed map — less payload per shuffled row.
+    _SID_CONST = ("msg", "classification", "priority", "rev")
+    _sid_arr = np.array(sorted(by_sid), dtype=np.int64)
+    _const_vals = {
+        "msg": np.array([by_sid[s].msg for s in _sid_arr], dtype=object),
+        "classification": np.array(
+            [by_sid[s].classtype for s in _sid_arr], dtype=object
+        ),
+        "priority": np.array([by_sid[s].priority for s in _sid_arr],
+                             dtype=np.int64),
+        "rev": np.array([by_sid[s].rev for s in _sid_arr], dtype=np.int64),
+    }
     def explode_safe(batch: pa.Table) -> pa.Table:
-        """Arrow-native tagged explode: wide columns (text/msg/url) never
+        """Arrow-native tagged explode: wide columns (text/url) never
         round-trip through pandas pre-shuffle; key-only pandas frames
         drive the pre-prune mask and gb hashes."""
         parts: list[pa.Table] = []
-        base_names = batch.column_names
+        base_names = [c for c in batch.column_names if c not in _SID_CONST]
         csub = batch.filter(pc.is_in(batch["sid"], value_set=corr_sids))
         if csub.num_rows:
             csub = _attach_keys(csub, specs)
@@ -420,17 +435,40 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
         )
         return out.drop(columns=[c for c in helper_cols + ["gb"] if c in out.columns])
 
+    _CANON = ["url", "warc_ts", "host", "lang", "text", "sid", "rev",
+              "msg", "classification", "priority", "src_ip", "dst_ip",
+              "src_port", "hash_value", "extracted", "proto", "part_id",
+              "country", "blacklisted", "intel_hit"]
+
+    def reattach(t: pa.Table) -> pa.Table:
+        """Re-attach the sid-constant columns dropped pre-shuffle and
+        restore the canonical column order + types (matching the bypass
+        branch block-for-block)."""
+        from .route import normalize_alerts
+
+        sidv = t["sid"]
+        sid = np.asarray(
+            sidv.combine_chunks() if isinstance(sidv, pa.ChunkedArray) else sidv,
+            dtype=np.int64,
+        )
+        idx = np.searchsorted(_sid_arr, sid)
+        for name in _SID_CONST:
+            vals = _const_vals[name][idx]
+            typ = pa.string() if name in ("msg", "classification") else pa.int64()
+            t = t.append_column(name, pa.array(vals.tolist(), type=typ))
+        cols = t.column_names
+        order = [c for c in _CANON if c in cols] + [c for c in cols if c not in _CANON]
+        return normalize_alerts(t.select(order))
+
     plain = alerts_ds.map_batches(bypass, batch_format="pyarrow")
     tagged = alerts_ds.map_batches(explode_safe, batch_format="pyarrow")
     gated = tagged.groupby("gb").map_groups(
         gate_and_resolve, batch_format="pandas"
     )
     # map_groups emits pandas blocks whose all-null columns degrade to
-    # null type; re-encode to the canonical arrow schema BEFORE the
-    # union so both branches stream identical block schemas
-    from .route import normalize_alerts
-
-    gated = gated.map_batches(normalize_alerts, batch_format="pyarrow")
+    # null type; reattach + re-encode to the canonical arrow schema
+    # BEFORE the union so both branches stream identical block schemas
+    gated = gated.map_batches(reattach, batch_format="pyarrow")
     return plain.union(gated)
 
 
