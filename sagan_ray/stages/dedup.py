@@ -602,7 +602,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                     {"tbl": pa.array([], type=pa.int32()),
                      "bucket": pa.array([], type=pa.int64()),
                      id_col: pa.array([], type=pa.int64()),
-                     vec_col: pa.array([], type=pa.list_(pa.float32()))}
+                     vec_col: pa.array([], type=pa.list_(pa.float32())),
+                     "gb": pa.array([], type=pa.int64())}
                 )
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
