@@ -197,10 +197,10 @@ def q_wp_dns_cache(sf_dir):
 
     ds = webpages_from_documents(sf_dir, include_html=False)
     ds = dns_stage(ds, default_dns_table(), concurrency=2)
-    starts, ends = compile_cidrs(["10.0.3.0/24", "10.0.7.0/24"])
+    starts, ends, v6 = compile_cidrs(["10.0.3.0/24", "10.0.7.0/24"])
 
     def flag(t: pa.Table) -> pa.Table:
-        bl = ips_in_cidrs(t["resolved_ip"].to_pylist(), starts, ends)
+        bl = ips_in_cidrs(t["resolved_ip"].to_pylist(), starts, ends, v6)
         return pa.table(
             {
                 "url": t["url"],

@@ -178,36 +178,58 @@ def default_dns_table(hosts: list[str] | None = None) -> dict[str, str]:
     return out
 
 
-def compile_cidrs(cidrs: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """CIDR list -> sorted (start, end) uint32 interval arrays.
+def compile_cidrs(cidrs: list[str]):
+    """CIDR list -> compiled intervals: sorted (start, end) uint32
+    arrays for IPv4 (the vectorized searchsorted fast path) plus a
+    sorted python-int interval list for IPv6 (128-bit doesn't fit numpy;
+    v6 hits bisect per distinct address, which is rare traffic anyway).
 
     The reference keeps its blacklist as a sorted CIDR table and binary-
-    searches per event (``src/processors/blacklist.c``); this is the
-    vectorized equivalent (searchsorted over all rows at once)."""
+    searches per event (``src/processors/blacklist.c``)."""
     import ipaddress
 
-    ivals = []
+    v4 = []
+    v6 = []
     for c in cidrs:
         net = ipaddress.ip_network(c, strict=False)
-        ivals.append((int(net.network_address), int(net.broadcast_address)))
-    ivals.sort()
-    if not ivals:
-        return np.array([], dtype=np.uint32), np.array([], dtype=np.uint32)
-    starts, ends = zip(*ivals)
-    return np.array(starts, dtype=np.uint32), np.array(ends, dtype=np.uint32)
+        iv = (int(net.network_address), int(net.broadcast_address))
+        (v4 if net.version == 4 else v6).append(iv)
+    v4.sort()
+    v6.sort()
+    if v4:
+        starts, ends = zip(*v4)
+        s4 = np.array(starts, dtype=np.uint32)
+        e4 = np.array(ends, dtype=np.uint32)
+    else:
+        s4 = np.array([], dtype=np.uint32)
+        e4 = np.array([], dtype=np.uint32)
+    return s4, e4, tuple(v6)
 
 
 def ips_in_cidrs(ips: list[str | None], starts: np.ndarray,
-                 ends: np.ndarray) -> np.ndarray:
-    """Membership mask of dotted-quad IPs against compiled CIDR intervals."""
+                 ends: np.ndarray, v6_ivals: tuple = ()) -> np.ndarray:
+    """Membership mask of textual IPs against compiled CIDR intervals."""
+    import bisect
+
     n = len(ips)
     out = np.zeros(n, dtype=bool)
-    if not len(starts):
-        return out
     vals = np.zeros(n, dtype=np.uint32)
     ok = np.zeros(n, dtype=bool)
+    v6_starts = [iv[0] for iv in v6_ivals]
     for i, s in enumerate(ips):
         if not s:
+            continue
+        if ":" in s:
+            if v6_ivals:
+                import ipaddress
+
+                try:
+                    v = int(ipaddress.IPv6Address(s))
+                except ValueError:
+                    continue
+                j = bisect.bisect_right(v6_starts, v) - 1
+                if j >= 0 and v <= v6_ivals[j][1]:
+                    out[i] = True
             continue
         parts = s.split(".")
         if len(parts) != 4:
@@ -218,9 +240,10 @@ def ips_in_cidrs(ips: list[str | None], starts: np.ndarray,
             continue
         vals[i] = v
         ok[i] = True
-    idx = np.searchsorted(starts, vals, side="right") - 1
-    valid = ok & (idx >= 0)
-    out[valid] = vals[valid] <= ends[idx[valid]]
+    if len(starts):
+        idx = np.searchsorted(starts, vals, side="right") - 1
+        valid = ok & (idx >= 0)
+        out[valid] |= vals[valid] <= ends[idx[valid]]
     return out
 
 

@@ -222,10 +222,13 @@ def test_parse_proto_rule_option(ray_session):
 def test_cidr_membership():
     from sagan_ray.stages.enrich import compile_cidrs, ips_in_cidrs
 
-    starts, ends = compile_cidrs(["10.0.3.0/24", "192.168.0.0/16"])
-    ips = ["10.0.3.7", "10.0.4.1", "192.168.255.1", "8.8.8.8", None, "bogus"]
-    assert ips_in_cidrs(ips, starts, ends).tolist() == [
-        True, False, True, False, False, False,
+    starts, ends, v6 = compile_cidrs(
+        ["10.0.3.0/24", "192.168.0.0/16", "2001:db8::/32"]
+    )
+    ips = ["10.0.3.7", "10.0.4.1", "192.168.255.1", "8.8.8.8", None, "bogus",
+           "2001:db8::42", "2001:db9::1"]
+    assert ips_in_cidrs(ips, starts, ends, v6).tolist() == [
+        True, False, True, False, False, False, True, False,
     ]
 
 
