@@ -338,8 +338,11 @@ def q_ev_json_decode(sf_dir):
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def dec(t: pa.Table) -> pa.Table:
-        ks = [json.loads(s)["k"] if s else None for s in t["props"].to_pylist()]
-        return pa.table({"event_id": t["event_id"], "k": pa.array(ks, type=pa.int64())})
+        from ..sources.jsonmap import _extract_paths
+
+        ks = _extract_paths(t["props"], [".k"])[0]
+        return pa.table({"event_id": t["event_id"],
+                         "k": pc.cast(ks, pa.int64())})
 
     return ds.map_batches(dec, batch_format="pyarrow")
 

@@ -27,17 +27,19 @@ FROM events
 
 
 def adapt_batch(batch: pa.Table) -> pa.Table:
-    import json
+    from .jsonmap import _extract_paths
 
-    ks = [str(json.loads(s)["k"]) if s else "" for s in batch["props"].to_pylist()]
+    # vectorized $.k extraction (polars Rust kernel — no per-row loop at
+    # input scale); empty/missing props render as "" like the reference's
+    # empty-field posture
+    ks = pc.fill_null(_extract_paths(batch["props"], [".k"])[0], "")
     eid = pc.cast(batch["event_id"], pa.string())
     url = pc.binary_join_element_wise(pa.scalar("evt://"), eid, "")
     host = pc.binary_join_element_wise(
         pa.scalar("u"), pc.cast(batch["user_id"], pa.string()), ""
     )
     text = pc.binary_join_element_wise(
-        pa.scalar("ev "), batch["event_type"], pa.scalar(" k="),
-        pa.array(ks, type=pa.string()), ""
+        pa.scalar("ev "), batch["event_type"], pa.scalar(" k="), ks, ""
     )
     return pa.table(
         {

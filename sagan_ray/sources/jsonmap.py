@@ -39,34 +39,54 @@ def _get_path(obj: dict, path: str):
     return cur
 
 
+def _extract_paths(raw: pa.ChunkedArray | pa.Array,
+                   paths: list[str]) -> list[pa.Array]:
+    """Vectorized dotted-path extraction from a raw-JSON string column.
+
+    Fast path: polars ``str.json_path_match`` — one Rust pass per path,
+    no per-row Python; malformed lines and missing keys yield null
+    (matching DuckDB ``json_extract_string`` semantics, which the
+    oracles use). Fallback: the original per-row ``json.loads`` loop.
+    """
+    try:
+        import polars as pl
+
+        s = pl.Series("j", pa.chunked_array([raw]) if isinstance(raw, pa.Array)
+                      else raw.combine_chunks())
+        out = []
+        for path in paths:
+            jp = "$." + path.lstrip(".")
+            out.append(s.str.json_path_match(jp).to_arrow().cast(pa.string()))
+        return out
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        decoded = []
+        for v in raw.to_pylist():
+            try:
+                decoded.append(json.loads(v) if v else {})
+            except (ValueError, TypeError):
+                decoded.append({})
+        return [
+            pa.array([None if (x := _get_path(d, p)) is None else str(x)
+                      for d in decoded], type=pa.string())
+            for p in paths
+        ]
+
+
 def json_map_batch(batch: pa.Table, mapping: dict[str, str],
                    json_col: str = "json", keep_raw: bool = True) -> pa.Table:
     """raw-JSON string column -> canonical engine columns per mapping."""
-    raws = batch[json_col].to_pylist()
-    decoded = []
-    for s in raws:
-        try:
-            decoded.append(json.loads(s) if s else {})
-        except (ValueError, TypeError):
-            decoded.append({})  # reference skips malformed lines' fields
+    items = list(mapping.items())
+    arrays = _extract_paths(batch[json_col], [p for _, p in items])
     cols: dict[str, pa.Array] = {}
-    for col, path in mapping.items():
-        vals = [_get_path(d, path) for d in decoded]
+    for (col, _), arr in zip(items, arrays):
         if col == "warc_ts":
-            arr = pa.array(
-                [str(v) if v is not None else None for v in vals],
-                type=pa.string(),
-            )
             cols[col] = pc.cast(
                 pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S", unit="us",
                             error_is_null=True),
                 pa.timestamp("us"),
             )
         else:
-            cols[col] = pa.array(
-                [str(v) if v is not None else None for v in vals],
-                type=pa.string(),
-            )
+            cols[col] = arr
     if keep_raw:
         cols["props"] = batch[json_col]  # json matchers read the raw object
     return pa.table(cols)

@@ -86,8 +86,14 @@ class LangId:
     def __init__(self):
         self.tables = {k: v for k, v in _LANG_STOPWORDS.items()}
         self.order = sorted(self.tables)
+        # per-actor compiled value sets (model-load-once pattern)
+        self._value_sets = {
+            lang: pa.array(sorted(ws)) for lang, ws in self.tables.items()
+        }
 
     def predict(self, text: str) -> str:
+        """Scalar reference predictor (kept for tests/docs); __call__ is
+        the vectorized equivalent — a differential test pins them equal."""
         if any("一" <= ch <= "鿿" for ch in text[:200]):
             return "zh"
         words = text.lower().split()
@@ -99,7 +105,32 @@ class LangId:
         return best
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = [self.predict(x or "") for x in t["text"].to_pylist()]
+        texts = pc.fill_null(t["text"], "")
+        n = len(texts)
+        # CJK gate: any codepoint in [一..鿿] within the first 200 chars
+        prefix = pc.utf8_slice_codeunits(texts, 0, 200)
+        is_cjk = pc.greater(
+            pc.count_substring_regex(prefix, "[一-鿿]"), 0
+        ).to_numpy(zero_copy_only=False)
+        # stopword votes: one flatten, one is_in per language, reduceat
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(toks)
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=idx[1:])
+        scores = np.zeros((n, len(self.order)), dtype=np.int64)
+        if len(flat):
+            for j, lang in enumerate(self.order):
+                hit = pc.cast(
+                    pc.is_in(flat, value_set=self._value_sets[lang]), pa.int8()
+                ).to_numpy(zero_copy_only=False)
+                col = np.add.reduceat(hit, idx[:-1]).astype(np.int64)
+                col[lengths == 0] = 0
+                scores[:, j] = col
+        # strict-> argmax in sorted-lang order == predict()'s first-max-wins
+        order_arr = np.array(self.order)
+        preds = order_arr[np.argmax(scores, axis=1)]
+        preds = np.where(is_cjk, "zh", preds)
         return pa.table(
             {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, type=pa.string())}
         )
