@@ -530,16 +530,42 @@ def q_tpch_multi_join(sf_dir):
     return _rename(out, {"count()": "n"})
 
 
-def q_tpch_distinct(sf_dir):
-    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).count()
-    return out.select_columns(["l_returnflag", "l_linestatus"])
-
-
-def q_tpch_union(sf_dir):
+def q_tpch_set_ops(sf_dir):
+    """union + distinct in one judged query (frees a registry slot):
+    region and nation names unioned (nation twice, so distinct has
+    real duplicates to collapse), then distinct via groupby."""
     r = _rename(_read(sf_dir, "region", columns=["r_name"]), {"r_name": "name"})
     n = _rename(_read(sf_dir, "nation", columns=["n_name"]), {"n_name": "name"})
-    return r.union(n)
+    u = r.union(n).union(n)
+    return u.groupby("name").count().select_columns(["name"])
+
+
+def q_ev_asof_join(sf_dir):
+    """As-of join (custom operator — Ray Data has no native one): for
+    each purchase event, the latest click by the same user at or before
+    its timestamp. One co-partitioning exchange, vectorized
+    pd.merge_asof per partition (stages/window.py asof_join); oracle is
+    DuckDB ASOF LEFT JOIN."""
+    from ..stages.window import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"]
+    )
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["click_event_id" if c == "event_id" else c
+                 for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(purchases, clicks, keys=["user_id"], ts_col="ts")
+    return out.select_columns(["event_id", "user_id", "click_event_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -894,8 +920,8 @@ QUERIES = {
     "tpch_semi": q_tpch_semi,
     "tpch_anti": q_tpch_anti,
     "tpch_multi_join": q_tpch_multi_join,
-    "tpch_distinct": q_tpch_distinct,
-    "tpch_union": q_tpch_union,
+    "tpch_set_ops": q_tpch_set_ops,
+    "ev_asof_join": q_ev_asof_join,
     "src_fifo_parse": q_src_fifo_parse,
     "src_ndjson_agg": q_src_ndjson_agg,
     "dedup_exact": q_dedup_exact,
@@ -1076,8 +1102,18 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""",
-    "tpch_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    "tpch_union": "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    "tpch_set_ops": """
+        SELECT DISTINCT name FROM (
+          SELECT r_name AS name FROM region
+          UNION ALL SELECT n_name FROM nation
+          UNION ALL SELECT n_name FROM nation)""",
+    "ev_asof_join": """
+        SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "src_fifo_parse": """
         SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
                'daemon' AS facility, 'info' AS level,

@@ -23,7 +23,6 @@ with the task definition (rules are small). Use as
 
 from __future__ import annotations
 
-import json
 
 import numpy as np
 import pyarrow as pa
@@ -349,39 +348,52 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
     if rule.json_contents or rule.json_pcres or rule.json_metas:
         if "props" not in batch.column_names:
             return np.zeros(n, dtype=bool)
-        # decode ONLY rows still masked (candidates after the cheap
-        # vectorized gates) — json.loads is the expensive scalar kernel
+        # extract ONLY rows still masked (candidates after the cheap
+        # vectorized gates), and ONLY the dotted paths the rule names —
+        # one Rust json_path_match pass per path (jsonmap._extract_paths)
+        # instead of json.loads of the whole object per row. Missing keys
+        # and malformed payloads yield null, which fails every matcher —
+        # the same null-safe semantics DuckDB's json_extract_string
+        # oracles use.
+        from ..sources.jsonmap import _extract_paths
+
         idxs = np.flatnonzero(mask)
         props_col = batch["props"]
-        cand = pc.take(
+        cand_arr = pc.take(
             props_col.combine_chunks()
             if isinstance(props_col, pa.ChunkedArray)
             else props_col,
             pa.array(idxs),
-        ).to_pylist()
-        decoded = [json.loads(s) if s else {} for s in cand]
+        )
+        paths = (
+            [p for p, _ in rule.json_contents]
+            + [p for p, _ in rule.json_pcres]
+            + [p for p, _, _ in rule.json_metas]
+        )
+        cols = _extract_paths(cand_arr, paths)
+        it = iter(cols)
         sub = np.ones(len(idxs), dtype=bool)
-        for path, val in rule.json_contents:
-            key = path.lstrip(".")
-            sub &= np.array([str(d.get(key)) == val for d in decoded], dtype=bool)
-        for path, p in rule.json_pcres:
-            key = path.lstrip(".")
+        for (_, val), col in zip(rule.json_contents, it):
+            sub &= _to_np_bool(pc.equal(col, val))
+        for (_, p), col in zip(rule.json_pcres, it):
             import re as _stdre
 
             rx = _stdre.compile(p.pattern, p.flags)
-            jm = np.array(
-                [bool(rx.search(str(d.get(key, "")))) for d in decoded], dtype=bool
+            vals = pc.fill_null(col, "").to_pylist()
+            jm = np.fromiter(
+                (rx.search(v) is not None for v in vals), dtype=bool,
+                count=len(vals),
             )
             sub &= ~jm if p.negated else jm
-        for path, lits, nocase in rule.json_metas:
-            key = path.lstrip(".")
-            vals = [str(d.get(key, "")) for d in decoded]
+        for (_, lits, nocase), col in zip(rule.json_metas, it):
+            vals = pc.fill_null(col, "")
             if nocase:
-                vals = [v.lower() for v in vals]
+                vals = pc.utf8_lower(vals)
                 lits = tuple(x.lower() for x in lits)
-            sub &= np.array(
-                [any(lit in v for lit in lits) for v in vals], dtype=bool
-            )
+            hit = np.zeros(len(idxs), dtype=bool)
+            for lit in lits:
+                hit |= _to_np_bool(pc.match_substring(vals, lit))
+            sub &= hit
         mask[idxs[~sub]] = False
     return mask
 

@@ -7,8 +7,6 @@ pool) because it holds compiled tables — the model-load-once pattern.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -141,30 +139,53 @@ class LangId:
 # ---------------------------------------------------------------------------
 
 
+_WINNOW_B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _poly_weights(k: int) -> np.ndarray:
+    """[B^(k-1), ..., B, 1] in wrapping uint64 arithmetic."""
+    w = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for i in range(k - 1, -1, -1):
+        w[i] = acc
+        acc = (acc * 1099511628211) & ((1 << 64) - 1)  # wrapping mul
+    return w
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> list[int]:
     """Standard winnowing: k-gram hashes, per-window minimum (rightmost
-    min kept), deduplicated in order. Deterministic (blake2b)."""
-    if len(text) < k:
-        grams = [text]
+    min kept), deduplicated in order. Deterministic: 64-bit polynomial
+    codepoint hash (wrapping), >>1 so every fingerprint fits int64.
+    Fully vectorized — rolling hash + sliding-window argmin in numpy,
+    no per-gram hashlib calls (a pure-int differential test pins the
+    numpy arithmetic to the scalar definition)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    n = len(cps)
+    if n < k:
+        # single gram = the whole (short) text; empty text hashes to 0
+        hs = np.array(
+            [(cps * _poly_weights(n)).sum(dtype=np.uint64) >> np.uint64(1)]
+            if n
+            else [np.uint64(0)],
+            dtype=np.uint64,
+        )
     else:
-        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
-    hs = [
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
-        for g in grams
-    ]
+        win = np.lib.stride_tricks.sliding_window_view(cps, k)
+        hs = (win * _poly_weights(k)).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
     if len(hs) <= window:
-        return [min(hs)] if hs else []
-    out: list[int] = []
-    last = -1
-    for i in range(len(hs) - window + 1):
-        w = hs[i : i + window]
-        m = min(w)
-        j = i + max(idx for idx, v in enumerate(w) if v == m)
-        if j != last:
-            out.append(hs[j - i + i])
-            last = j
-    # keep order, drop consecutive duplicates only (standard winnowing)
-    return out
+        return [int(hs.min())]
+    wv = np.lib.stride_tricks.sliding_window_view(hs, window)
+    # rightmost min per window: first min of the reversed window
+    rev_arg = np.argmin(wv[:, ::-1], axis=1)
+    j = np.arange(len(wv)) + (window - 1 - rev_arg)
+    keep = np.r_[True, j[1:] != j[:-1]]  # drop consecutive re-picks
+    return [int(x) for x in hs[j[keep]]]
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:

@@ -44,6 +44,91 @@ def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame
     return out
 
 
+def asof_join(left, right, keys: list[str], ts_col: str,
+              direction: str = "backward"):
+    """Per-key as-of join — a custom operator Ray Data lacks natively.
+
+    For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (direction="backward") sharing ``keys``.
+    Left-join semantics: unmatched left rows keep nulls — exactly
+    DuckDB's ``ASOF LEFT JOIN`` for oracle parity.
+
+    Scale shape: both sides ride ONE hash exchange — rows are
+    side-tagged, unioned, co-partitioned on coarse key buckets
+    (grouped_apply), and each partition runs a single vectorized
+    ``pd.merge_asof(by=keys)`` over ALL its logical keys at once (no
+    per-key Python). Partitioning assumption: all rows of one logical
+    key fit in one partition; salt or pre-aggregate hot keys upstream
+    if a single key's history outgrows a worker. Ties on (key, ts) in
+    the right side resolve to the row last in payload sort order —
+    keep the right side unique per (key, ts) for deterministic output.
+
+    Payload column names must be disjoint across sides (rename before
+    calling); integer right payloads come back as nullable int64.
+    """
+    shared = set(keys) | {ts_col}
+    lschema, rschema = left.schema(), right.schema()
+    lpay = [c for c in lschema.names if c not in shared]
+    rpay = [c for c in rschema.names if c not in shared]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(f"payload columns must be disjoint, got {clash}")
+
+    def _pad(missing: list[tuple[str, pa.DataType]], side: int):
+        def pad(t: pa.Table) -> pa.Table:
+            for name, typ in missing:
+                t = t.append_column(name, pa.nulls(len(t), type=typ))
+            return t.append_column("side", pa.array([side] * len(t),
+                                                    type=pa.int8()))
+        return pad
+
+    rtype_by_name = dict(zip(rschema.names, rschema.types))
+    ltype_by_name = dict(zip(lschema.names, lschema.types))
+    rtypes = [(c, rtype_by_name[c]) for c in rpay]
+    ltypes = [(c, ltype_by_name[c]) for c in lpay]
+    cols = keys + [ts_col] + lpay + rpay + ["side"]
+    tagged = (
+        left.map_batches(_pad(rtypes, 0), batch_format="pyarrow")
+        .select_columns(cols)
+        .union(right.map_batches(_pad(ltypes, 1), batch_format="pyarrow")
+               .select_columns(cols))
+    )
+    # nullable pandas dtype per right payload so matched and unmatched
+    # partitions produce one uniform arrow schema
+    out_dtypes = {
+        c: ("Int64" if pa.types.is_integer(t) else
+            "float64" if pa.types.is_floating(t) else None)
+        for c, t in rtypes
+    }
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = keys + [ts_col] + lpay + rpay
+        lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
+        rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
+        if lg.empty:
+            empty = g.iloc[0:0][out_cols].copy()
+            for c, d in out_dtypes.items():
+                if d:
+                    empty[c] = empty[c].astype(d)
+            return empty
+        lg = lg.sort_values([ts_col] + keys, kind="mergesort")
+        if rg.empty:
+            out = lg.copy()
+            for c, t in rtypes:
+                out[c] = pd.array([pd.NA] * len(out),
+                                  dtype=out_dtypes[c] or "object")
+        else:
+            rg = rg.sort_values([ts_col] + keys + rpay, kind="mergesort")
+            for c, d in out_dtypes.items():
+                if d:
+                    rg[c] = rg[c].astype(d)
+            out = pd.merge_asof(lg, rg, on=ts_col, by=keys,
+                                direction=direction)
+        return out[out_cols]
+
+    return grouped_apply(tagged, keys, fn)
+
+
 # ---- vectorized per-partition kernels (each groups by its keys) ----
 
 

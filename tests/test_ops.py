@@ -106,6 +106,72 @@ def test_langid_heuristic():
     assert li.predict("中文文本在这里") == "zh"
 
 
+def test_langid_vectorized_matches_scalar():
+    """Differential: the vectorized __call__ is byte-identical to the
+    scalar predict() reference on adversarial inputs (empties, nulls,
+    whitespace runs, ties, CJK past/inside the 200-char prefix)."""
+    import random
+
+    li = LangId()
+    texts = ["", None, "the of and to the", "der die das und",
+             "le la les et", "el la los y", "一二三 hello",
+             "x" * 300 + " 一", "  the\t der\nle ", "THE A OF",
+             "le el the der", "la la la", "word", "   "]
+    rng = random.Random(7)
+    vocab = ("the a of und der le la el los y is den pour que dans "
+             "hello world foo bar").split()
+    texts += [" ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+              for _ in range(500)]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, type=pa.string())})
+    assert (li(t)["lang_pred"].to_pylist()
+            == [li.predict(x or "") for x in texts])
+
+
+def test_winnowing_matches_pure_int_reference():
+    """Differential: the numpy rolling-hash winnowing equals a pure
+    Python-int reimplementation of the definition (wrapping 64-bit
+    polynomial hash, rightmost-min window pick, consecutive dedup)."""
+    import random
+
+    B, MASK = 1099511628211, (1 << 64) - 1
+
+    def ref(text, k=8, window=6):
+        cps = [ord(c) for c in text]
+        if len(cps) < k:
+            h = 0
+            for c in cps:
+                h = (h * B + c) & MASK
+            hs = [h >> 1]
+        else:
+            hs = []
+            for i in range(len(cps) - k + 1):
+                h = 0
+                for c in cps[i : i + k]:
+                    h = (h * B + c) & MASK
+                hs.append(h >> 1)
+        if len(hs) <= window:
+            return [min(hs)]
+        out, last = [], -1
+        for i in range(len(hs) - window + 1):
+            w = hs[i : i + window]
+            m = min(w)
+            j = i + max(idx for idx, v in enumerate(w) if v == m)
+            if j != last:
+                out.append(hs[j])
+                last = j
+        return out
+
+    rng = random.Random(11)
+    cases = ["", "a", "short", "abcdefgh", "aaaaaaaaaaaaaaaaaaaa",
+             "the quick brown fox jumps over the lazy dog" * 3,
+             "中文 mixed ascii 文本"]
+    cases += ["".join(rng.choices("abcab ", k=rng.randint(0, 120)))
+              for _ in range(200)]
+    for t in cases:
+        assert winnow_fingerprints(t) == ref(t), repr(t)
+
+
 def test_winnowing_deterministic_and_local():
     t = "abcdefghijklmnopqrstuvwxyz" * 3
     f1 = winnow_fingerprints(t)
@@ -151,3 +217,45 @@ def test_exact_dedup_finds_duplicates(ray_session):
     assert len(out) == 2
     grp = out[out["n"] == 2].iloc[0]
     assert grp["keeper_doc_id"] == 0
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join == DuckDB ASOF LEFT JOIN on a frame with unmatched
+    lefts, exact-ts matches, multiple keys, and keys with no right rows."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import asof_join
+
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "ts": [ts(1), ts(5), ts(9), ts(4), ts(2)],
+        "lv": [10, 11, 12, 20, 30],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2, 2, 4],
+        "ts": [ts(2), ts(5), ts(1), ts(8), ts(0)],
+        "rv": [100, 101, 200, 201, 400],
+    })
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  keys=["k"], ts_col="ts")
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.execute(
+        "SELECT l.k, l.ts, l.lv, r.rv FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts"
+    ).df()
+    assert out["lv"].tolist() == ref["lv"].tolist()
+    assert out["rv"].astype("float").where(out["rv"].notna()).tolist() == \
+        ref["rv"].tolist() or out["rv"].isna().equals(ref["rv"].isna())
+    # element-wise: nulls align, values align
+    for a, b in zip(out["rv"].tolist(), ref["rv"].tolist()):
+        assert (pd.isna(a) and pd.isna(b)) or int(a) == int(b)
