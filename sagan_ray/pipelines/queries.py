@@ -476,9 +476,59 @@ def q_tpch_topk(sf_dir):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
-def q_tpch_semi(sf_dir):
-    """Distributed semi join (Dataset.join left_semi): both sides stay
+def q_tpch_semi_anti(sf_dir):
+    """Distributed semi AND anti join in one judged query (slot freed
+    for ev_range_join): customers with at least one order, union
+    customers with no big order, tagged by kind. Both sides stay
     Datasets — no driver-side key-set build."""
+    semi = _tpch_semi(sf_dir).map_batches(
+        lambda t: t.append_column("kind", pa.array(["semi"] * len(t))),
+        batch_format="pyarrow",
+    )
+    anti = _tpch_anti(sf_dir).map_batches(
+        lambda t: t.append_column("kind", pa.array(["anti"] * len(t))),
+        batch_format="pyarrow",
+    )
+    return semi.union(anti)
+
+
+def q_ev_range_join(sf_dir):
+    """Banded range join (custom operator — no native Ray Data
+    equivalent): every click by the same user within (0, 24h] after an
+    error event. One co-partitioning exchange; per-partition match
+    ranges via two vectorized merge_asof probes + numpy range
+    expansion (stages/window.py range_join). Oracle: DuckDB inequality
+    join."""
+    from ..stages.window import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    errors = (
+        ev.filter(expr="event_type == 'error'")
+        .drop_columns(["event_type"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["err_id" if c == "event_id" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .drop_columns(["event_type"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["click_id" if c == "event_id" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = range_join(errors, clicks, keys=["user_id"], ts_col="ts",
+                     lo=pd.Timedelta(0), hi=pd.Timedelta(days=1))
+    return out.select_columns(["user_id", "err_id", "click_id"])
+
+
+def _tpch_semi(sf_dir):
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return ds.join(orders, join_type="left_semi",
@@ -486,10 +536,7 @@ def q_tpch_semi(sf_dir):
                    on=("c_custkey",), right_on=("o_custkey",))
 
 
-def q_tpch_anti(sf_dir):
-    """Distributed anti join (Dataset.join left_anti): customers with no
-    big order. The build side is value-filtered so the result is
-    non-empty at every scale factor."""
+def _tpch_anti(sf_dir):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     big = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(
@@ -917,8 +964,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_join_agg": q_tpch_join_agg,
     "tpch_topk": q_tpch_topk,
-    "tpch_semi": q_tpch_semi,
-    "tpch_anti": q_tpch_anti,
+    "tpch_semi_anti": q_tpch_semi_anti,
+    "ev_range_join": q_ev_range_join,
     "tpch_multi_join": q_tpch_multi_join,
     "tpch_set_ops": q_tpch_set_ops,
     "ev_asof_join": q_ev_asof_join,
@@ -1089,13 +1136,19 @@ ORACLES = {
     "tpch_topk": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-    "tpch_semi": """
-        SELECT c_custkey, c_name FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
-    "tpch_anti": """
-        SELECT c_custkey, c_name FROM customer c
+    "tpch_semi_anti": """
+        SELECT c_custkey, c_name, 'semi' AS kind FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, 'anti' AS kind FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "ev_range_join": """
+        SELECT e1.user_id, e1.event_id AS err_id, e2.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e1
+        JOIN (SELECT * FROM events WHERE event_type = 'click') e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 DAY""",
     "tpch_multi_join": """
         SELECT n_name, count(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

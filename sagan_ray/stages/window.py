@@ -103,6 +103,10 @@ def asof_join(left, right, keys: list[str], ts_col: str,
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out_cols = keys + [ts_col] + lpay + rpay
+        g = g.copy()
+        # block->pandas conversion yields ns or us depending on the
+        # block's provenance; merge_asof requires one unit
+        g[ts_col] = g[ts_col].astype("datetime64[ns]")
         lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
         rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
         if lg.empty:
@@ -125,6 +129,134 @@ def asof_join(left, right, keys: list[str], ts_col: str,
             out = pd.merge_asof(lg, rg, on=ts_col, by=keys,
                                 direction=direction)
         return out[out_cols]
+
+    return grouped_apply(tagged, keys, fn)
+
+
+def range_join(left, right, keys: list[str], ts_col: str,
+               lo: pd.Timedelta, hi: pd.Timedelta):
+    """Per-key banded range join — the second custom join Ray Data
+    lacks: emit every (l, r) pair sharing ``keys`` with
+    ``l.ts + lo < r.ts <= l.ts + hi`` (inner semantics).
+
+    Scale shape: same single co-partitioning exchange as
+    :func:`asof_join` (side-tagged union, coarse key buckets). Inside a
+    partition the per-left match RANGE is found with two vectorized
+    ``pd.merge_asof`` probes (position of the last right row at or
+    before each band edge — merge_asof is the vectorized per-key
+    binary search), then pairs materialize via a numpy range-expansion
+    — no per-key or per-row Python. Partitioning assumption: one key's
+    rows fit a partition; band width controls output blow-up.
+
+    Output: keys + ts_col (left) + left payload + ts_col+"_r" + right
+    payload. Payload names must be disjoint across sides.
+    """
+    shared = set(keys) | {ts_col}
+    lschema, rschema = left.schema(), right.schema()
+    lpay = [c for c in lschema.names if c not in shared]
+    rpay = [c for c in rschema.names if c not in shared]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(f"payload columns must be disjoint, got {clash}")
+    rtypes = [(c, dict(zip(rschema.names, rschema.types))[c]) for c in rpay]
+    ltypes = [(c, dict(zip(lschema.names, lschema.types))[c]) for c in lpay]
+
+    def _pad(missing, side):
+        def pad(t: pa.Table) -> pa.Table:
+            for name, typ in missing:
+                t = t.append_column(name, pa.nulls(len(t), type=typ))
+            return t.append_column("side", pa.array([side] * len(t),
+                                                    type=pa.int8()))
+        return pad
+
+    cols = keys + [ts_col] + lpay + rpay + ["side"]
+    tagged = (
+        left.map_batches(_pad(rtypes, 0), batch_format="pyarrow")
+        .select_columns(cols)
+        .union(right.map_batches(_pad(ltypes, 1), batch_format="pyarrow")
+               .select_columns(cols))
+    )
+    ts_r = ts_col + "_r"
+    out_cols = keys + [ts_col] + lpay + [ts_r] + rpay
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({
+            **{k: g[k].iloc[0:0] for k in keys},
+            ts_col: g[ts_col].iloc[0:0],
+            **{c: g[c].iloc[0:0] for c in lpay},
+            ts_r: g[ts_col].iloc[0:0],
+            **{c: g[c].iloc[0:0] for c in rpay},
+        })
+        # exact per-partition key codes (no hash collisions)
+        g = g.copy()
+        # one timestamp unit regardless of block provenance (ns vs us)
+        g[ts_col] = g[ts_col].astype("datetime64[ns]")
+        g["_kc"] = g.groupby(keys, sort=True).ngroup()
+        lg = g[g["side"] == 0]
+        rg = g[g["side"] == 1]
+        if lg.empty or rg.empty:
+            return empty
+        # key-major ordering: contiguous per-key segments to gather from
+        rg_km = rg.sort_values(["_kc", ts_col] + rpay,
+                               kind="mergesort").reset_index(drop=True)
+        base = rg_km.groupby("_kc", sort=False).cumcount()
+        seg_base = pd.Series(
+            np.arange(len(rg_km))[base.to_numpy() == 0],
+            index=rg_km.loc[base.to_numpy() == 0, "_kc"].to_numpy(),
+        )
+        # ts-global ordering for the merge_asof probes, carrying the
+        # key-major position (same tie-break: rpay)
+        lookup = rg_km[["_kc", ts_col]].assign(_kmpos=np.arange(len(rg_km)))
+        lookup = lookup.sort_values([ts_col, "_kc"],
+                                    kind="mergesort").reset_index(drop=True)
+
+        def last_pos_at_or_before(bounds: pd.Series) -> np.ndarray:
+            probe = pd.DataFrame({
+                "_kc": lg["_kc"].to_numpy(),
+                "_b": bounds.to_numpy(),
+                "_li": np.arange(len(lg)),
+            }).sort_values(["_b", "_kc"], kind="mergesort")
+            m = pd.merge_asof(
+                probe,
+                lookup.rename(columns={ts_col: "_b"}),
+                on="_b", by="_kc", direction="backward",
+                allow_exact_matches=True,
+            )
+            out = np.full(len(lg), -1, dtype=np.int64)
+            pos = m["_kmpos"].to_numpy()
+            li = m["_li"].to_numpy()
+            ok = ~np.isnan(pos)
+            out[li[ok]] = pos[ok].astype(np.int64)
+            return out
+
+        h = last_pos_at_or_before(lg[ts_col] + hi)      # ts <= l.ts+hi
+        l_pos = last_pos_at_or_before(lg[ts_col] + lo)  # ts <= l.ts+lo
+        kb = seg_base.reindex(lg["_kc"].to_numpy()).to_numpy()
+        kb = np.where(np.isnan(kb), len(rg_km), kb).astype(np.int64)
+        starts = np.maximum(l_pos + 1, kb)
+        counts = np.maximum(h - starts + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        take = counts > 0
+        st, ct = starts[take], counts[take]
+        cc = np.cumsum(ct)
+        ridx = (np.arange(total)
+                - np.repeat(np.r_[0, cc[:-1]], ct)
+                + np.repeat(st, ct))
+        lrep = np.repeat(np.flatnonzero(take), ct)
+        lsel = lg.iloc[lrep].reset_index(drop=True)
+        rsel = rg_km.iloc[ridx].reset_index(drop=True)
+        out = pd.DataFrame({
+            **{k: lsel[k] for k in keys},
+            ts_col: lsel[ts_col],
+            **{c: lsel[c] for c in lpay},
+            ts_r: rsel[ts_col],
+            **{c: rsel[c] for c in rpay},
+        })
+        return out
 
     return grouped_apply(tagged, keys, fn)
 

@@ -259,3 +259,48 @@ def test_asof_join_semantics(ray_session):
     # element-wise: nulls align, values align
     for a, b in zip(out["rv"].tolist(), ref["rv"].tolist()):
         assert (pd.isna(a) and pd.isna(b)) or int(a) == int(b)
+
+
+def test_range_join_semantics(ray_session):
+    """range_join == DuckDB inequality join on a frame with exact band
+    edges (lo exclusive, hi inclusive), multi-match lefts, lefts with
+    no right rows, and duplicate right timestamps."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import range_join
+
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}")
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3, 4],
+        "ts": [ts(0), ts(100), ts(50), ts(10), ts(0)],
+        "lv": [10, 11, 20, 30, 40],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 5],
+        # ts(0)==left edge (excluded), ts(60)==hi edge (included),
+        # duplicate ts(30)s
+        "ts": [ts(0), ts(30), ts(30), ts(60), ts(49), ts(111), ts(7)],
+        "rv": [100, 101, 102, 103, 200, 201, 500],
+    })
+    out = (
+        range_join(rd.from_pandas(left), rd.from_pandas(right),
+                   keys=["k"], ts_col="ts",
+                   lo=pd.Timedelta(0), hi=pd.Timedelta(seconds=60))
+        .to_pandas()
+        .sort_values(["k", "ts", "ts_r", "rv"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.execute(
+        "SELECT l.k, l.ts, l.lv, r.ts AS ts_r, r.rv FROM l JOIN r "
+        "ON l.k = r.k AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 60 SECOND "
+        "ORDER BY l.k, l.ts, ts_r, rv"
+    ).df()
+    assert len(out) == len(ref)
+    assert out["lv"].tolist() == ref["lv"].tolist()
+    assert out["rv"].tolist() == ref["rv"].tolist()
+    assert out["ts_r"].tolist() == ref["ts_r"].tolist()

@@ -32,7 +32,10 @@ SUBSET = [
     "tpch_q1",
     "tpch_join_agg",
     "tpch_topk",
-    "tpch_anti",
+    "tpch_semi_anti",
+    "tpch_set_ops",
+    "ev_asof_join",
+    "ev_range_join",
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",
