@@ -174,6 +174,8 @@ def run_bench() -> dict:
     timeit("dedup_minhash", Q.q_dedup_minhash)
     timeit("doc_textstats", Q.q_doc_textstats)
     timeit("emb_ann_topk", Q.q_emb_ann_topk)
+    timeit("ev_asof_join", Q.q_ev_asof_join)
+    timeit("ev_range_join", Q.q_ev_range_join)
 
     result = {
         "metric": "flagship parse->match->correlate->route wall time (synthetic webpages)",

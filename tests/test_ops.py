@@ -304,3 +304,51 @@ def test_range_join_semantics(ray_session):
     assert out["lv"].tolist() == ref["lv"].tolist()
     assert out["rv"].tolist() == ref["rv"].tolist()
     assert out["ts_r"].tolist() == ref["ts_r"].tolist()
+
+
+def test_pack_counts_greedy_invariants():
+    """Differential vs a pure-Python greedy packer + invariants: no
+    sequence over budget unless a single oversized doc; greedy means
+    the next doc would not have fit; order preserved."""
+    import random
+
+    from sagan_ray.stages.pack import pack_counts
+
+    def ref(counts, cap):
+        seq, sid, acc = [], 0, 0
+        for c in counts:
+            if acc > 0 and acc + c > cap:
+                sid += 1
+                acc = 0
+            seq.append(sid)
+            acc += c
+        return seq
+
+    rng = random.Random(5)
+    for _ in range(100):
+        counts = np.array([rng.randint(1, 300) for _ in
+                           range(rng.randint(0, 60))], dtype=np.int64)
+        cap = rng.randint(1, 500)
+        got = pack_counts(counts, cap).tolist()
+        assert got == ref(counts.tolist(), cap), (counts, cap)
+    assert pack_counts(np.array([], dtype=np.int64), 10).tolist() == []
+    # oversized doc sits alone
+    assert pack_counts(np.array([5, 99, 5], dtype=np.int64), 10).tolist() \
+        == [0, 1, 2]
+
+
+def test_pack_batch_shape(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import pack_stage
+
+    rows = [{"doc_id": i, "text": " ".join(["tok"] * (i % 7 + 1))}
+            for i in range(50)]
+    out = pack_stage(rd.from_items(rows), cap=10).to_pandas()
+    assert out["n_tokens"].sum() == sum(i % 7 + 1 for i in range(50))
+    assert (out["n_docs"] >= 1).all()
+    assert not out["truncated"].any()
+    flat = [d for ids in out["doc_ids"] for d in ids]
+    assert sorted(flat) == list(range(50))
+    # within blocks, no sequence over budget
+    assert (out[~out["truncated"]]["n_tokens"] <= 10).all()
