@@ -36,12 +36,15 @@ class Enrich:
         self.intel: tuple[str, ...] = tuple(_get(intel_ref) or ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         # factorize hosts (low-cardinality) so dict probes run once per
-        # DISTINCT host, not once per row
+        # DISTINCT host, not once per row; pd.factorize is hash-based
+        # O(n) — np.unique on object strings is O(n log n) comparisons
         hosts = np.asarray(batch["host"].to_pandas(), dtype=object)
         langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
         geo = self.geo
-        uh, inv = np.unique(hosts, return_inverse=True)
+        inv, uh = pd.factorize(hosts, use_na_sentinel=False)
         mapped = np.array([geo.get(h) for h in uh], dtype=object)
         country = mapped[inv]
         missing = country == None  # noqa: E711  (vectorized null check)
@@ -73,6 +76,22 @@ class Enrich:
 # same-node) is ~free and a dedicated pool is pure overhead.
 _TASK_MODE_MAX_ENTRIES = 1_000_000
 
+#: per-worker-process Enrich instances keyed by broadcast-ref identity
+_ENRICH_BY_REFS: dict = {}
+
+
+def _enrich_cached(geo_ref, bl_ref, intel_ref) -> "Enrich":
+    import ray
+
+    key = tuple(
+        r.hex() if isinstance(r, ray.ObjectRef) else id(r)
+        for r in (geo_ref, bl_ref, intel_ref)
+    )
+    e = _ENRICH_BY_REFS.get(key)
+    if e is None:
+        e = _ENRICH_BY_REFS[key] = Enrich(geo_ref, bl_ref, intel_ref)
+    return e
+
 
 def enrich_stage(ds, geo: dict, blacklist: set, intel: list,
                  concurrency: int | tuple[int, int] = 4,
@@ -100,7 +119,10 @@ def enrich_stage(ds, geo: dict, blacklist: set, intel: list,
         mode = "task" if n_entries <= _TASK_MODE_MAX_ENTRIES else "actor"
     if mode == "task":
         def enrich_batch(t: pa.Table) -> pa.Table:
-            return Enrich(geo_ref, bl_ref, intel_ref)(t)
+            # lookup structures built once per WORKER PROCESS, not per
+            # batch (ray.get is zero-copy, but frozenset/tuple builds
+            # aren't): cached by object-ref identity
+            return _enrich_cached(geo_ref, bl_ref, intel_ref)(t)
 
         return ds.map_batches(enrich_batch, batch_format="pyarrow")
     if isinstance(concurrency, int):
