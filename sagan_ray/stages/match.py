@@ -199,24 +199,39 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         mask &= _header_mask(batch, rule, n)
         if not mask.any():
             return mask
+    # gate columns: a REAL syslog field wins when the frame carries it
+    # (syslog/FIFO adapters); canonical-schema aliases otherwise
+    # (webpages: program≈host, facility≈lang, level≈source) — the same
+    # precedence parse_proto_program uses. Fail closed when neither
+    # column exists.
+    def _gate_col(real: str, alias: str):
+        if real in batch.column_names:
+            return batch[real]
+        if alias in batch.column_names:
+            return batch[alias]
+        return None
+
     if rule.programs:
-        if "host" not in batch.column_names:
+        col = _gate_col("program", "host")
+        if col is None:
             return np.zeros(n, dtype=bool)
         mask &= _to_np_bool(
-            pc.match_substring_regex(batch["host"], rule._program_re.pattern)
+            pc.match_substring_regex(col, rule._program_re.pattern)
         )
         if not mask.any():
             return mask
     if rule.facility is not None:
-        if "lang" not in batch.column_names:
+        col = _gate_col("facility", "lang")
+        if col is None:
             return np.zeros(n, dtype=bool)
-        mask &= _to_np_bool(pc.equal(batch["lang"], rule.facility))
+        mask &= _to_np_bool(pc.equal(col, rule.facility))
         if not mask.any():
             return mask
     if rule.level is not None:
-        if "source" not in batch.column_names:
+        col = _gate_col("level", "source")
+        if col is None:
             return np.zeros(n, dtype=bool)
-        mask &= _to_np_bool(pc.equal(batch["source"], rule.level))
+        mask &= _to_np_bool(pc.equal(col, rule.level))
         if not mask.any():
             return mask
     if rule.tag is not None:
@@ -607,7 +622,8 @@ def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
     needs_raw = any(c.rawbytes for r in rules for c in r.contents)
     keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
                         "event_id", "props", "country", "blacklisted",
-                        "part_id"] if c in ds.schema().names]
+                        "part_id", "facility", "level", "program", "tag"]
+            if c in ds.schema().names]
     if needs_raw and "html" in ds.schema().names:
         def _latin1(t: pa.Table) -> pa.Table:
             # latin-1, NOT a utf-8-validating cast: real html payloads

@@ -824,3 +824,40 @@ def test_json_meta_nocase():
     props = [_json.dumps({"tag": "warning"}), _json.dumps({"tag": "info"})]
     b = batch(["e1", "e2"], props=pa.array(props))
     assert rule_mask(b, rules[0]).tolist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# RFC3164 / RFC5424 syslog source (syslog-handler.c BSD + IETF formats)
+# ---------------------------------------------------------------------------
+
+
+def test_syslog_parse_and_rule_engine(ray_session, tmp_path):
+    from sagan_ray.sources.readers import read_syslog_text, syslog_as_events
+    from sagan_ray.stages.match import match_alerts
+
+    lines = [
+        "<34>Oct 11 22:14:15 box1 su[230]: su root failed for lonvick",
+        "<13>Feb  5 17:32:18 10.0.0.99 myapp: Use the BFG!",
+        "<165>1 2003-10-11T22:14:15.003Z host.example.com evntslog 1234 "
+        'ID47 [x y="1"] su root failed again',
+        "<34>1 2003-10-11T22:14:15Z box2 su - - - plain ietf su failed too",
+        "NOT SYSLOG",
+    ]
+    p = tmp_path / "syslog.log"
+    p.write_text("\n".join(lines) + "\n")
+    ds = read_syslog_text(str(p))
+    pdf = ds.to_pandas()
+    assert len(pdf) == 4  # malformed line dropped
+    assert set(pdf["format"]) == {"rfc3164", "rfc5424"}
+    assert (pdf[pdf["format"] == "rfc3164"]["ts"].dt.year == 2024).all()
+    r3 = pdf[pdf["host"] == "box1"].iloc[0]
+    assert (r3["facility"], r3["level"], r3["program"]) \
+        == ("auth", "crit", "su")
+    # engine gates apply directly: program + facility + content
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:70; program:su; '
+        'facility:"auth"; content:"failed"; classtype:misc-activity;)'
+    )
+    ev = syslog_as_events(read_syslog_text(str(p)))
+    out = match_alerts(ev, rules).to_pandas()
+    assert sorted(out["host"].tolist()) == ["box1", "box2"]
