@@ -107,22 +107,24 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def batch_minhash(texts: list[str], k: int = 3) -> np.ndarray:
-    """Vectorized minhash signatures for a whole batch -> (n, 64) uint64.
+def _batch_shingle_hashes(texts: list[str],
+                          k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-k-shingle hashes for a whole batch, concatenated.
 
-    Word hashes come from pandas' siphash (vectorized, C); shingle
-    hashes mix k consecutive word hashes with odd constants. Signature
-    minima are computed with np.minimum.reduceat over per-doc segments —
-    no per-shingle Python. Signatures only steer LSH candidate
-    generation; the exact-Jaccard verify (blake2b shingles) decides."""
+    Returns (sh, doc_starts): uint64 hashes and int64 offsets such that
+    doc d's shingles are ``sh[doc_starts[d]:doc_starts[d+1]]`` (empty
+    docs contribute zero shingles). Word hashes come from pandas'
+    siphash (vectorized, C); shingle hashes mix k consecutive word
+    hashes with odd constants — no per-shingle Python."""
     n = len(texts)
-    sig = np.full((n, _N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
     words_per_doc = [t.split() if t else [] for t in texts]
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    for d, ws in enumerate(words_per_doc):
+        doc_starts[d + 1] = doc_starts[d] + (0 if not ws else max(1, len(ws) - k + 1))
     flat_words = [w for ws in words_per_doc for w in ws]
     if not flat_words:
-        return sig
+        return np.empty(0, dtype=np.uint64), doc_starts
     wh = pd.util.hash_array(np.array(flat_words, dtype=object))  # uint64
-    # shingle hash per doc: mix k consecutive word hashes
     c = [np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
          np.uint64(0x165667B19E3779F9)]
     sh_list = []
@@ -142,10 +144,46 @@ def batch_minhash(texts: list[str], k: int = 3) -> np.ndarray:
             for j in range(k):
                 s = s * c[j % 3] + h[j : j + (m - k + 1)]
         sh_list.append(s)
-    sh = np.concatenate(sh_list)
-    doc_starts = np.zeros(n + 1, dtype=np.int64)
-    for d, ws in enumerate(words_per_doc):
-        doc_starts[d + 1] = doc_starts[d] + (0 if not ws else max(1, len(ws) - k + 1))
+    return np.concatenate(sh_list), doc_starts
+
+
+def batch_jaccard(texts_a: list[str], texts_b: list[str],
+                  k: int = 3) -> np.ndarray:
+    """Exact shingle-set Jaccard for aligned text pairs, batched.
+
+    Shingle hashing is one vectorized pass per side (the same kernel
+    the signatures use); per pair only C-level numpy set ops run. Set
+    CARDINALITIES equal the string-set ones w.h.p. (64-bit hashes), so
+    values match the scalar blake2b ``exact_jaccard`` and the DuckDB
+    list_intersect/list_distinct oracles bit-for-bit (a differential
+    test pins this)."""
+    n = len(texts_a)
+    sha, sta = _batch_shingle_hashes(texts_a, k)
+    shb, stb = _batch_shingle_hashes(texts_b, k)
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        ua = np.unique(sha[sta[i]:sta[i + 1]])
+        ub = np.unique(shb[stb[i]:stb[i + 1]])
+        if not len(ua) and not len(ub):
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(ua, ub, assume_unique=True))
+        out[i] = inter / (len(ua) + len(ub) - inter)
+    return out
+
+
+def batch_minhash(texts: list[str], k: int = 3) -> np.ndarray:
+    """Vectorized minhash signatures for a whole batch -> (n, 64) uint64.
+
+    Shingle hashes from :func:`_batch_shingle_hashes`; signature minima
+    via np.minimum.reduceat over per-doc segments — no per-shingle
+    Python. Signatures only steer LSH candidate generation; the
+    exact-Jaccard verify decides."""
+    n = len(texts)
+    sig = np.full((n, _N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sh, doc_starts = _batch_shingle_hashes(texts, k)
+    if not len(sh):
+        return sig
     # per-permutation wraparound multiply-add then segment minima per
     # doc (row-wise loop: numpy's uint64 BROADCAST multiply falls off
     # the fast path — 0.84s vs 0.02s for the same 6M ops). doc_starts of
@@ -299,11 +337,14 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
         bb = t["doc_id_b"].to_pylist()
         # RAW double jaccard (no rounding): callers derive integer
         # comparison columns (floor(j*10000)) that must match the SQL
-        # oracle bit-for-bit, which rounding here would break
-        js = [
-            exact_jaccard(x or "", y or "", k)
-            for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
-        ]
+        # oracle bit-for-bit, which rounding here would break. Batched
+        # kernel: one vectorized shingle-hash pass per side, numpy set
+        # ops per pair (no per-shingle hashing in the hot verify).
+        js = batch_jaccard(
+            [x or "" for x in t["text_a"].to_pylist()],
+            [y or "" for y in t["text_b"].to_pylist()],
+            k,
+        )
         out = pa.table(
             {
                 "doc_id_a": pa.array([int(x) for x in aa], type=pa.int64()),

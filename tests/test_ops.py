@@ -352,3 +352,24 @@ def test_pack_batch_shape(ray_session):
     assert sorted(flat) == list(range(50))
     # within blocks, no sequence over budget
     assert (out[~out["truncated"]]["n_tokens"] <= 10).all()
+
+
+def test_batch_jaccard_matches_scalar():
+    """Differential: the batched numpy Jaccard equals the scalar blake2b
+    exact_jaccard on random and edge pairs (empties, short docs, k>len,
+    identical, disjoint)."""
+    import random
+
+    from sagan_ray.stages.dedup import batch_jaccard
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    pairs = [("", ""), ("", "a b c"), ("one two", "one two"),
+             ("a", "a"), ("a", "b"), ("x y z", "x y z w")]
+    for _ in range(300):
+        a = " ".join(rng.choices(vocab, k=rng.randint(0, 25)))
+        b = " ".join(rng.choices(vocab, k=rng.randint(0, 25)))
+        pairs.append((a, b))
+    got = batch_jaccard([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert abs(g - exact_jaccard(a, b)) < 1e-12, (a, b)
