@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -41,8 +42,6 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "peek":
-        import os
-
         from .state import lineage as _lin
 
         done = _lin.completed_partitions(args.run)
@@ -97,12 +96,17 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # honor a job-runner-provided cluster (`ray job submit` sets
+        # RAY_ADDRESS): attach instead of starting a local instance;
+        # num_cpus is only meaningful when we own a local session
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kw,
         )
     from ray.data import DataContext
 
