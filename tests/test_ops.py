@@ -373,3 +373,56 @@ def test_batch_jaccard_matches_scalar():
     got = batch_jaccard([p[0] for p in pairs], [p[1] for p in pairs])
     for (a, b), g in zip(pairs, got):
         assert abs(g - exact_jaccard(a, b)) < 1e-12, (a, b)
+
+
+def test_join_ops_randomized_vs_duckdb(ray_session):
+    """10 seeded random frames through BOTH custom joins, each checked
+    against DuckDB (ASOF LEFT JOIN / inequality join): random key
+    cardinality, ts collisions across sides, empty sides."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import asof_join, range_join
+
+    rng = np.random.RandomState(17)
+    con = duckdb.connect()
+    for trial in range(10):
+        nl, nr = rng.randint(0, 40), rng.randint(0, 40)
+        base = pd.Timestamp("2024-03-01")
+        mk = lambda n, vcol: pd.DataFrame({
+            "k": rng.randint(0, 5, size=n),
+            "ts": base + pd.to_timedelta(rng.randint(0, 3600, size=n), "s"),
+            vcol: np.arange(n, dtype=np.int64),
+        })
+        left, right = mk(nl, "lv"), mk(nr, "rv")
+        # unique (k, ts) on the right: deterministic asof/tie semantics
+        right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        if nl == 0:
+            continue  # empty left: nothing to compare
+        con.register("l", left)
+        con.register("r", right)
+        got_a = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                           keys=["k"], ts_col="ts").to_pandas()
+                 .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+        ref_a = con.execute(
+            "SELECT l.k, l.ts, l.lv, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts, l.lv"
+        ).df()
+        assert len(got_a) == len(ref_a), f"asof trial {trial}"
+        for a, b in zip(got_a["rv"].tolist(), ref_a["rv"].tolist()):
+            assert (pd.isna(a) and pd.isna(b)) or int(a) == int(b), \
+                f"asof trial {trial}"
+        got_r = (range_join(rd.from_pandas(left), rd.from_pandas(right),
+                            keys=["k"], ts_col="ts", lo=pd.Timedelta(0),
+                            hi=pd.Timedelta(minutes=10)).to_pandas()
+                 .sort_values(["k", "ts", "lv", "rv"]).reset_index(drop=True))
+        ref_r = con.execute(
+            "SELECT l.k, l.ts, l.lv, r.rv FROM l JOIN r ON l.k = r.k "
+            "AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE "
+            "ORDER BY l.k, l.ts, l.lv, r.rv"
+        ).df()
+        assert got_r["rv"].tolist() == ref_r["rv"].tolist(), \
+            f"range trial {trial}"
+        con.unregister("l")
+        con.unregister("r")
