@@ -549,10 +549,15 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
                 count=int(kv.get("count", "1")),
                 seconds=int(kv.get("seconds", "3600")),
             )
-        elif key in ("xbits", "flexbits"):
+        elif key in ("xbits", "flexbits", "flowbits"):
             # flexbits is the xbits predecessor (src/flexbit-mmap.c);
             # same surface here
             toks = [t.strip() for t in val.split(",")]
+            if toks[0] == "noalert" and len(toks) == 1:
+                # Snort-style `flowbits:noalert;` — suppress output,
+                # keep matching for state
+                r.noalert = True
+                continue
             action_x, name = toks[0], toks[1]
             track = "by_host"
             expire = None
@@ -576,8 +581,10 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.blacklist = val or "by_host"
         elif key == "noalert":
             r.noalert = True
-        elif key in ("reference", "metadata", "flowbits_noalert"):
-            pass  # informational
+        elif key in ("reference", "metadata", "flowbits_noalert",
+                     "fast_pattern", "gid", "sid_map", "target"):
+            pass  # informational / optimizer hints (the union-literal
+            # prefilter already multi-patterns every content)
         else:
             raise ValueError(f"unknown rule option {key!r} (sid-in-progress {r.sid})")
 

@@ -101,3 +101,22 @@ def test_content_chain_semantics():
     assert not check_content_chain((" " * 201) + "key value", r.contents)
     # value beyond within window
     assert not check_content_chain("key" + (" " * 125) + "value", r.contents)
+
+
+def test_snort_compat_options():
+    """Snort-compatible surface: flowbits alias (set/isset + bare
+    noalert), informational options (reference/metadata/gid/
+    fast_pattern/target) accepted and ignored."""
+    rules, _ = parse_rules(
+        'alert any any any -> any any (sid:1; msg:"t"; content:"x"; '
+        "reference:url,example.com/a; metadata:author foo; fast_pattern; "
+        "gid:1; rev:7; flowbits:set,brute.force; classtype:misc-activity;)\n"
+        'alert any any any -> any any (sid:2; content:"y"; '
+        "flowbits:isset,brute.force; classtype:misc-activity;)\n"
+        'alert any any any -> any any (sid:3; content:"z"; '
+        "flowbits:noalert; classtype:misc-activity;)"
+    )
+    assert rules[0].xbits[0].action == "set"
+    assert rules[0].xbits[0].name == "brute.force"
+    assert rules[1].xbits[0].action == "isset"
+    assert rules[2].noalert and not rules[2].xbits
