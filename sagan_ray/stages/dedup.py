@@ -218,6 +218,13 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
 
     Returns a Dataset (doc_id_a, doc_id_b, jaccard:double — RAW, callers
     derive integer comparison columns).
+
+    Contract: ``ds`` must be DETERMINISTIC under re-execution (a plain
+    read/map lineage) — the band pass and the two verify-join text
+    sides each re-execute it rather than pinning the whole corpus in
+    the object store. An unmaterialized nondeterministic input (e.g. a
+    branched ``limit`` under parallel execution) silently desynchronizes
+    the branches; materialize such inputs first.
     """
     import ray.data as rd
 
