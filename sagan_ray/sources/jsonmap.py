@@ -15,8 +15,6 @@ reference leaves fields empty).
 
 from __future__ import annotations
 
-import json
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -30,46 +28,26 @@ DEFAULT_MAPPING = {
 }
 
 
-def _get_path(obj: dict, path: str):
-    cur = obj
-    for part in path.lstrip(".").split("."):
-        if not isinstance(cur, dict) or part not in cur:
-            return None
-        cur = cur[part]
-    return cur
-
-
 def _extract_paths(raw: pa.ChunkedArray | pa.Array,
                    paths: list[str]) -> list[pa.Array]:
     """Vectorized dotted-path extraction from a raw-JSON string column.
 
-    Fast path: polars ``str.json_path_match`` — one Rust pass per path,
-    no per-row Python; malformed lines and missing keys yield null
-    (matching DuckDB ``json_extract_string`` semantics, which the
-    oracles use). Fallback: the original per-row ``json.loads`` loop.
+    polars ``str.json_path_match`` — one Rust pass per path, no per-row
+    Python; malformed lines and missing keys yield null (matching
+    DuckDB ``json_extract_string`` semantics, which the oracles use).
+    polars is a hard dependency of this stage: a silent Python
+    fallback would stringify booleans/nested objects differently
+    ('True' vs 'true'), making match results environment-dependent.
     """
-    try:
-        import polars as pl
+    import polars as pl  # hard dep — no divergent fallback by design
 
-        s = pl.Series("j", pa.chunked_array([raw]) if isinstance(raw, pa.Array)
-                      else raw.combine_chunks())
-        out = []
-        for path in paths:
-            jp = "$." + path.lstrip(".")
-            out.append(s.str.json_path_match(jp).to_arrow().cast(pa.string()))
-        return out
-    except ImportError:  # pragma: no cover - polars is baked into the env
-        decoded = []
-        for v in raw.to_pylist():
-            try:
-                decoded.append(json.loads(v) if v else {})
-            except (ValueError, TypeError):
-                decoded.append({})
-        return [
-            pa.array([None if (x := _get_path(d, p)) is None else str(x)
-                      for d in decoded], type=pa.string())
-            for p in paths
-        ]
+    s = pl.Series("j", pa.chunked_array([raw]) if isinstance(raw, pa.Array)
+                  else raw.combine_chunks())
+    out = []
+    for path in paths:
+        jp = "$." + path.lstrip(".")
+        out.append(s.str.json_path_match(jp).to_arrow().cast(pa.string()))
+    return out
 
 
 def json_map_batch(batch: pa.Table, mapping: dict[str, str],

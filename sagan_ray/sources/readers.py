@@ -58,7 +58,9 @@ _RFC3164_RE = (
 _RFC5424_RE = (
     r"^<(?P<pri>\d{1,3})>\d+ (?P<ts>\S+) (?P<host>\S+) "
     r"(?P<program>\S+) (?P<procid>\S+) (?P<msgid>\S+) "
-    r"(?:-|\[.*\]) ?(?P<message>.*)$"
+    # structured-data: '-' or one-or-more [..] elements, matched
+    # non-greedily so a ']' inside the free-form message is not eaten
+    r"(?:-|(?:\[[^\]]*\])+) ?(?P<message>.*)$"
 )
 
 _FACILITIES = pa.array(
@@ -76,6 +78,14 @@ def _pri_names(pri: pa.Array) -> tuple[pa.Array, pa.Array]:
     fac = pc.take(_FACILITIES, pc.shift_right(p, 3))
     lvl = pc.take(_LEVELS, pc.bit_wise_and(p, 7))
     return fac, lvl
+
+
+def _valid_pri_mask(pri: pa.Array) -> pa.Array:
+    """PRI is 0..191 (24 facilities × 8 levels). The regex admits up to
+    999; anything above 191 is a malformed line and must be DROPPED,
+    not crash the facility-table take (one hostile '<999>...' line
+    would otherwise kill the whole batch task)."""
+    return pc.less_equal(pc.cast(pri, pa.int32()), 191)
 
 
 def parse_syslog_batch(batch: pa.Table, line_col: str = "text",
@@ -101,6 +111,9 @@ def parse_syslog_batch(batch: pa.Table, line_col: str = "text",
         if not pc.any(ok).as_py():
             continue
         sub = m.filter(ok)
+        sub = sub.filter(_valid_pri_mask(sub.field("pri")))
+        if not len(sub):
+            continue
         fac, lvl = _pri_names(sub.field("pri"))
         raw_ts = sub.field("ts")
         if fmt == "rfc5424":

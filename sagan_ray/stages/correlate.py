@@ -40,9 +40,6 @@ import pyarrow.compute as pc
 
 from ..rules import Rule
 
-N_GROUP_BUCKETS = 512  # legacy constant; _n_buckets() is what's used
-
-
 def _n_buckets() -> int:
     """Coarse co-location bucket count for the correlation exchange:
     ~4 per core, floored at 64. At 32 cpus this gives 128, measured
@@ -234,7 +231,13 @@ def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
     sid_np = g["sid"].to_numpy(dtype=np.int64)
     ckey_codes = pd.factorize(g["ckey"], sort=False)[0]
     bucket = g["bucket"].to_numpy(dtype=np.int64)
-    ts = g["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    ts_dt = g["warc_ts"].to_numpy(dtype="datetime64[us]")
+    ts = ts_dt.astype(np.int64)
+    nat = np.isnat(ts_dt)
+    if nat.any():
+        # NaT casts to int64-min (sorts FIRST); the contract — pandas
+        # sort_values and the DuckDB oracle's ORDER BY — is NULLS LAST
+        ts[nat] = np.iinfo(np.int64).max
     order = np.lexsort((ts, bucket, ckey_codes, sid_np))
     ss, cc, bb, tt = sid_np[order], ckey_codes[order], bucket[order], ts[order]
     new_grp = np.r_[True, (ss[1:] != ss[:-1]) | (cc[1:] != cc[:-1]) | (bb[1:] != bb[:-1])]
@@ -534,10 +537,13 @@ def _resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
     order = {"set": 0, "unset": 1, "isset": 2, "isnotset": 3}
     g = g.assign(_ord=g["xaction"].map(order))
     g = g.sort_values(["xname", "xkey", "warc_ts", "_ord", "url"], kind="mergesort")
-    # resolution-proof µs epoch (pandas may carry ns OR us datetime64)
-    ts = pd.Series(
-        g["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64), index=g.index
-    )
+    # resolution-proof µs epoch (pandas may carry ns OR us datetime64);
+    # NaT would cast to int64-min — pin to max to match the NULLS-LAST
+    # ordering sort_values just applied
+    _ts_dt = g["warc_ts"].to_numpy(dtype="datetime64[us]")
+    _ts_i = _ts_dt.astype(np.int64)
+    _ts_i[np.isnat(_ts_dt)] = np.iinfo(np.int64).max
+    ts = pd.Series(_ts_i, index=g.index)
     keys = g[["xname", "xkey"]]
     grp = g.groupby(["xname", "xkey"], sort=False)
 

@@ -83,12 +83,16 @@ _ENRICH_BY_REFS: dict = {}
 def _enrich_cached(geo_ref, bl_ref, intel_ref) -> "Enrich":
     import ray
 
-    key = tuple(
-        r.hex() if isinstance(r, ray.ObjectRef) else id(r)
-        for r in (geo_ref, bl_ref, intel_ref)
-    )
+    if not all(isinstance(r, ray.ObjectRef)
+               for r in (geo_ref, bl_ref, intel_ref)):
+        # non-ref inputs (tests / direct callers): id() keys are unsafe
+        # after GC reuse — skip caching, construction is cheap there
+        return Enrich(geo_ref, bl_ref, intel_ref)
+    key = tuple(r.hex() for r in (geo_ref, bl_ref, intel_ref))
     e = _ENRICH_BY_REFS.get(key)
     if e is None:
+        if len(_ENRICH_BY_REFS) >= 4:  # bound: don't pin dead runs' state
+            _ENRICH_BY_REFS.clear()
         e = _ENRICH_BY_REFS[key] = Enrich(geo_ref, bl_ref, intel_ref)
     return e
 

@@ -2,7 +2,7 @@
 
 ``grouped_apply`` is the scale-shaped replacement for
 ``groupby(keys).map_groups(fn_per_group)``: logical keys are hashed into
-``N_GROUP_BUCKETS`` coarse partitions (one shuffle) and the caller's
+``_n_buckets()`` coarse partitions (one shuffle) and the caller's
 function runs ONCE per partition with vectorized pandas groupby inside —
 no per-tiny-group Python call overhead (the same fix that made the
 correlation gate scale; see correlate.py).
@@ -15,21 +15,64 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .correlate import N_GROUP_BUCKETS, _attach_gb
+from .correlate import _n_buckets
+
+
+def _cast_block(t: pa.Table, want: dict[str, pa.DataType]) -> pa.Table:
+    """Cast each block back to the captured input Arrow types.
+
+    The per-partition kernels run in pandas, where int64-with-nulls
+    degrades to float64 (and ``from_pandas`` re-emits double) — this
+    final map restores the contract: NaN→null, then a plain cast, so
+    inner-join int payloads come back as non-nullable int64 and only
+    genuinely unmatched left-join rows carry nulls. Also strips pandas
+    schema metadata (the source of the executor's "Failed to hash the
+    schemas: unhashable type: 'dict'" warnings)."""
+    arrays = []
+    for name in t.column_names:
+        arr = t[name]
+        wt = want.get(name)
+        # pandas-backed Datasets report python classes (e.g. `object`)
+        # for string columns via Dataset.schema().types — only real
+        # Arrow types are enforceable
+        if isinstance(wt, pa.DataType) and arr.type != wt:
+            if pa.types.is_floating(arr.type) and not pa.types.is_floating(wt):
+                arr = pc.if_else(
+                    pc.is_nan(arr), pa.scalar(None, type=arr.type), arr
+                )
+            arr = arr.cast(wt)
+        arrays.append(arr)
+    return pa.table(dict(zip(t.column_names, arrays)))
 
 
 def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame],
-                  output_cols: list[str] | None = None):
+                  output_cols: list[str] | None = None,
+                  out_schema: dict[str, pa.DataType] | None = None):
     """fn receives ONE co-location partition (many logical groups, all
     rows of each group co-located) and must group by ``keys`` itself
-    (vectorized)."""
+    (vectorized).
+
+    ``out_schema`` (col -> Arrow type) enforces output column types per
+    block — pass the input types so pandas' int→float null degradation
+    never leaks into the output schema."""
+    nb = np.uint64(_n_buckets())
 
     def tag(t: pa.Table) -> pa.Table:
-        pdf = _attach_gb(t.to_pandas(), keys)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        # Arrow-native: only the key columns round-trip through pandas
+        # (for the vectorized siphash); payload stays zero-copy Arrow.
+        kdf = t.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(kdf[keys[0]], index=False).to_numpy()
+        for c in keys[1:]:
+            h = h * np.uint64(31) + pd.util.hash_pandas_object(
+                kdf[c], index=False
+            ).to_numpy()
+        gb = pa.array((h % nb).astype(np.int64))
+        return t.append_column("gb", gb)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
@@ -38,7 +81,11 @@ def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame
         return out
 
     out = tagged.groupby("gb").map_groups(run, batch_format="pandas")
-    out = out.map_batches(lambda t: t, batch_format="pyarrow")
+    if out_schema:
+        out = out.map_batches(lambda t: _cast_block(t, out_schema),
+                              batch_format="pyarrow")
+    else:
+        out = out.map_batches(lambda t: t, batch_format="pyarrow")
     if output_cols:
         out = out.select_columns(output_cols)
     return out
@@ -86,6 +133,11 @@ def asof_join(left, right, keys: list[str], ts_col: str,
     ltype_by_name = dict(zip(lschema.names, lschema.types))
     rtypes = [(c, rtype_by_name[c]) for c in rpay]
     ltypes = [(c, ltype_by_name[c]) for c in lpay]
+    # output contract: every column keeps its INPUT Arrow type — left
+    # payload stays non-nullable (every left row survives), right
+    # payload is nullable int64/etc only where genuinely unmatched
+    out_schema = {c: ltype_by_name[c] for c in keys + [ts_col] + lpay}
+    out_schema.update({c: t for c, t in rtypes})
     cols = keys + [ts_col] + lpay + rpay + ["side"]
     tagged = (
         left.map_batches(_pad(rtypes, 0), batch_format="pyarrow")
@@ -93,12 +145,13 @@ def asof_join(left, right, keys: list[str], ts_col: str,
         .union(right.map_batches(_pad(ltypes, 1), batch_format="pyarrow")
                .select_columns(cols))
     )
-    # nullable pandas dtype per right payload so matched and unmatched
-    # partitions produce one uniform arrow schema
-    out_dtypes = {
+    # nullable pandas dtype per payload column so matched and unmatched
+    # partitions produce one uniform arrow schema (int64 stays int64
+    # through pandas null-padding instead of degrading to float64)
+    pd_dtypes = {
         c: ("Int64" if pa.types.is_integer(t) else
             "float64" if pa.types.is_floating(t) else None)
-        for c, t in rtypes
+        for c, t in rtypes + ltypes if isinstance(t, pa.DataType)
     }
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -110,27 +163,24 @@ def asof_join(left, right, keys: list[str], ts_col: str,
         lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
         rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
         if lg.empty:
-            empty = g.iloc[0:0][out_cols].copy()
-            for c, d in out_dtypes.items():
-                if d:
-                    empty[c] = empty[c].astype(d)
-            return empty
-        lg = lg.sort_values([ts_col] + keys, kind="mergesort")
-        if rg.empty:
-            out = lg.copy()
+            out = g.iloc[0:0][out_cols].copy()
+        elif rg.empty:
+            out = lg.sort_values([ts_col] + keys, kind="mergesort").copy()
             for c, t in rtypes:
                 out[c] = pd.array([pd.NA] * len(out),
-                                  dtype=out_dtypes[c] or "object")
+                                  dtype=pd_dtypes.get(c) or "object")
+            out = out[out_cols]
         else:
+            lg = lg.sort_values([ts_col] + keys, kind="mergesort")
             rg = rg.sort_values([ts_col] + keys + rpay, kind="mergesort")
-            for c, d in out_dtypes.items():
-                if d:
-                    rg[c] = rg[c].astype(d)
             out = pd.merge_asof(lg, rg, on=ts_col, by=keys,
-                                direction=direction)
-        return out[out_cols]
+                                direction=direction)[out_cols]
+        for c, d in pd_dtypes.items():
+            if d:
+                out[c] = out[c].astype(d)
+        return out
 
-    return grouped_apply(tagged, keys, fn)
+    return grouped_apply(tagged, keys, fn, out_schema=out_schema)
 
 
 def range_join(left, right, keys: list[str], ts_col: str,
@@ -158,8 +208,15 @@ def range_join(left, right, keys: list[str], ts_col: str,
     clash = set(lpay) & set(rpay)
     if clash:
         raise ValueError(f"payload columns must be disjoint, got {clash}")
-    rtypes = [(c, dict(zip(rschema.names, rschema.types))[c]) for c in rpay]
-    ltypes = [(c, dict(zip(lschema.names, lschema.types))[c]) for c in lpay]
+    rtype_by_name = dict(zip(rschema.names, rschema.types))
+    ltype_by_name = dict(zip(lschema.names, lschema.types))
+    rtypes = [(c, rtype_by_name[c]) for c in rpay]
+    ltypes = [(c, ltype_by_name[c]) for c in lpay]
+    # inner join: every output column keeps its INPUT Arrow type,
+    # non-nullable — no float degradation from the null padding
+    out_schema = {c: ltype_by_name[c] for c in keys + [ts_col] + lpay}
+    out_schema[ts_col + "_r"] = rtype_by_name[ts_col]
+    out_schema.update({c: t for c, t in rtypes})
 
     def _pad(missing, side):
         def pad(t: pa.Table) -> pa.Table:
@@ -178,6 +235,17 @@ def range_join(left, right, keys: list[str], ts_col: str,
     )
     ts_r = ts_col + "_r"
     out_cols = keys + [ts_col] + lpay + [ts_r] + rpay
+    pd_dtypes = {
+        c: ("Int64" if pa.types.is_integer(t) else
+            "float64" if pa.types.is_floating(t) else None)
+        for c, t in rtypes + ltypes if isinstance(t, pa.DataType)
+    }
+
+    def _fix_dtypes(out: pd.DataFrame) -> pd.DataFrame:
+        for c, d in pd_dtypes.items():
+            if d:
+                out[c] = out[c].astype(d)
+        return out
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -197,7 +265,7 @@ def range_join(left, right, keys: list[str], ts_col: str,
         lg = g[g["side"] == 0]
         rg = g[g["side"] == 1]
         if lg.empty or rg.empty:
-            return empty
+            return _fix_dtypes(empty)
         # key-major ordering: contiguous per-key segments to gather from
         rg_km = rg.sort_values(["_kc", ts_col] + rpay,
                                kind="mergesort").reset_index(drop=True)
@@ -239,7 +307,7 @@ def range_join(left, right, keys: list[str], ts_col: str,
         counts = np.maximum(h - starts + 1, 0)
         total = int(counts.sum())
         if total == 0:
-            return empty
+            return _fix_dtypes(empty)
         take = counts > 0
         st, ct = starts[take], counts[take]
         cc = np.cumsum(ct)
@@ -256,9 +324,9 @@ def range_join(left, right, keys: list[str], ts_col: str,
             ts_r: rsel[ts_col],
             **{c: rsel[c] for c in rpay},
         })
-        return out
+        return _fix_dtypes(out)
 
-    return grouped_apply(tagged, keys, fn)
+    return grouped_apply(tagged, keys, fn, out_schema=out_schema)
 
 
 # ---- vectorized per-partition kernels (each groups by its keys) ----

@@ -1,0 +1,129 @@
+"""Round-3 regression tests: ADVICE fixes (syslog PRI range, RFC5424
+structured-data greediness, NaT ordering in the correlation gate) and
+the asof/range-join dtype contract."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from sagan_ray.sources.readers import parse_syslog_batch
+from sagan_ray.stages.correlate import _gate_partition, corr_specs
+from sagan_ray.rules import parse_rule
+
+
+def _lines_table(lines):
+    return pa.table({"text": pa.array(lines, type=pa.string())})
+
+
+def test_syslog_pri_out_of_range_dropped_not_crash():
+    """PRI > 191 (regex admits up to 999) must drop the line as
+    malformed, not ArrowIndexError the whole batch (ADVICE high)."""
+    out = parse_syslog_batch(_lines_table([
+        "<999>Oct 11 22:14:15 box1 su[230]: evil pri",
+        "<192>Oct 11 22:14:15 box2 su[231]: one past the edge",
+        "<191>Oct 11 22:14:15 box3 su[232]: last valid pri",
+        "<34>Oct 11 22:14:15 box4 su[233]: normal line",
+    ]))
+    hosts = sorted(out["host"].to_pylist())
+    assert hosts == ["box3", "box4"]
+    r = out.to_pandas().set_index("host").loc["box3"]
+    assert (r["facility"], r["level"]) == ("local7", "debug")  # 191 = 23<<3|7
+
+
+def test_syslog_pri_all_invalid_batch():
+    out = parse_syslog_batch(_lines_table([
+        "<999>Oct 11 22:14:15 box1 su[230]: evil pri",
+    ]))
+    assert out.num_rows == 0
+    assert "host" in out.column_names  # stable empty schema
+
+
+def test_rfc5424_bracket_in_message_preserved():
+    """']' inside the free-form message must not be eaten by the
+    structured-data matcher (ADVICE medium)."""
+    out = parse_syslog_batch(_lines_table([
+        '<165>1 2003-10-11T22:14:15Z h1 app 1 ID1 [x y="1"] msg with ] bracket',
+        '<165>1 2003-10-11T22:14:15Z h2 app 1 ID1 [a b="2"][c d="3"] two sd elements',
+        "<165>1 2003-10-11T22:14:15Z h3 app 1 ID1 - nil sd [with] brackets",
+    ]))
+    msgs = dict(zip(out["host"].to_pylist(), out["message"].to_pylist()))
+    assert msgs["h1"] == "msg with ] bracket"
+    assert msgs["h2"] == "two sd elements"
+    assert msgs["h3"] == "nil sd [with] brackets"
+
+
+def test_gate_nat_timestamps_sort_last():
+    """A NaT warc_ts must order AFTER real timestamps (NULLS LAST — the
+    pandas sort_values / DuckDB ORDER BY contract), so `limit count N`
+    keeps the N earliest real rows, not the NaT row (ADVICE medium)."""
+    rule = parse_rule(
+        'alert any any any -> any any (sid:1; content:"x"; '
+        "threshold: type limit, track by_host, count 3, seconds 100;)"
+    )
+    specs = corr_specs([rule])
+    g = pd.DataFrame({
+        "sid": [1, 1, 1, 1],
+        "host": ["h1"] * 4,
+        "url": ["u3", "u1", "u2", "u0"],
+        "warc_ts": pd.Series(
+            [pd.NaT, pd.Timestamp(10, unit="s"), pd.Timestamp(20, unit="s"),
+             pd.Timestamp(30, unit="s")], dtype="datetime64[us]"),
+        "ckey": ["h1"] * 4,
+        "bucket": [0] * 4,
+    })
+    kept = _gate_partition(g, specs)
+    assert sorted(kept["url"].tolist()) == ["u0", "u1", "u2"]
+    assert kept["warc_ts"].notna().all()
+
+
+def test_asof_join_int_dtypes_preserved(ray_session):
+    """Int payload columns keep int64 through the asof join; only
+    genuinely-unmatched right payload carries nulls (r2 driver red)."""
+    import ray.data as rd
+    from sagan_ray.stages.window import asof_join
+
+    ts = pd.to_datetime([5, 15, 25], unit="s")
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "a", "b"], "ts": ts, "lval": [1, 2, 3]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "a"], "ts": pd.to_datetime([4, 14], unit="s"),
+         "rval": [10, 20]}))
+    out = asof_join(left, right, keys=["k"], ts_col="ts")
+    t = out.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    # lval: no nulls possible -> int64 end to end
+    assert str(t["lval"].dtype) == "int64"
+    # rval: one unmatched left row ("b") -> arrow int64-with-null ->
+    # pandas float64, exactly DuckDB's .df() rendering
+    assert str(t["rval"].dtype) == "float64"
+    assert t["rval"].tolist()[:2] == [10.0, 20.0] and np.isnan(t["rval"].iloc[2])
+
+
+def test_asof_join_all_matched_stays_int(ray_session):
+    import ray.data as rd
+    from sagan_ray.stages.window import asof_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": ["a"], "ts": pd.to_datetime([5], unit="s"), "lval": [1]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": ["a"], "ts": pd.to_datetime([4], unit="s"), "rval": [10]}))
+    t = asof_join(left, right, keys=["k"], ts_col="ts").to_pandas()
+    assert str(t["rval"].dtype) == "int64"  # no nulls -> int64 survives
+
+
+def test_range_join_int_dtypes_preserved(ray_session):
+    """Inner range join: every output column keeps its input Arrow type
+    (r2 driver red: int payloads degraded to float64)."""
+    import ray.data as rd
+    from sagan_ray.stages.window import range_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "b"], "ts": pd.to_datetime([0, 0], unit="s"),
+         "lid": [1, 2]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "a"], "ts": pd.to_datetime([10, 4000], unit="s"),
+         "rid": [7, 8]}))
+    t = range_join(left, right, keys=["k"], ts_col="ts",
+                   lo=pd.Timedelta(0), hi=pd.Timedelta(hours=1)).to_pandas()
+    assert str(t["lid"].dtype) == "int64"
+    assert str(t["rid"].dtype) == "int64"
+    assert t[["lid", "rid"]].values.tolist() == [[1, 7]]

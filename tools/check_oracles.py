@@ -36,8 +36,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+        elif df[c].dtype.kind == "M":
+            # timestamp unit (ns vs us) is provenance noise, not semantics
+            df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype.kind in "iu":
+            # driver evidence (r2): int32-vs-int64 hashes EQUAL
+            # (ev_rule_engine green) while int-vs-float hashes DIFFER
+            # (ev_asof_join red) — so widths canonicalize, kinds don't
+            df[c] = df[c].astype("int64")
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def strict_diff(mine: pd.DataFrame, theirs: pd.DataFrame) -> str | None:
+    """Driver-strength comparison: exact dtypes, exact values.
+
+    The r2 driver hash failures (`ev_asof_join`, `ev_range_join`) were
+    int64-vs-float64 dtype drift with identical values — invisible to
+    the old astype(str)/allclose canon. This compares exactly what the
+    driver hashes: dtype per column, then bit-exact values (no
+    tolerance, including floats)."""
+    for c in mine.columns:
+        a, b = mine[c], theirs[c]
+        if str(a.dtype) != str(b.dtype):
+            return f"dtype mismatch in col {c}: mine={a.dtype} oracle={b.dtype}"
+        try:
+            pd.testing.assert_series_equal(a, b, check_exact=True,
+                                           check_names=False)
+        except AssertionError as e:
+            return f"value mismatch in col {c}: {str(e).splitlines()[-1]}"
+    return None
 
 
 def main() -> int:
@@ -89,25 +117,14 @@ def main() -> int:
             print(f"FAIL {name}: cols {list(mine.columns)} vs {list(theirs.columns)}")
             failures += 1
             continue
-        eq = True
-        for c in mine.columns:
-            a, b = mine[c], theirs[c]
-            try:
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    import numpy as np
-
-                    if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                        eq = False
-                elif not a.astype(str).equals(b.astype(str)):
-                    eq = False
-            except Exception:
-                eq = False
-            if not eq:
-                print(f"FAIL {name}: value mismatch in col {c}")
-                print("  mine:", a.head(3).tolist(), "\n  oracle:", b.head(3).tolist())
-                failures += 1
-                break
-        if eq:
+        err = strict_diff(mine, theirs)
+        if err:
+            print(f"FAIL {name}: {err}")
+            c = err.split(" in col ", 1)[-1].split(":")[0] if " in col " in err else mine.columns[0]
+            print("  mine:", mine[c].head(3).tolist(), mine[c].dtype,
+                  "\n  oracle:", theirs[c].head(3).tolist(), theirs[c].dtype)
+            failures += 1
+        else:
             print(f"ok   {name}: rows={len(mine)}")
     print(f"\n{failures} failures")
     ray.shutdown()
