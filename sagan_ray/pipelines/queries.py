@@ -782,9 +782,16 @@ def q_dedup_minhash(sf_dir):
 
 
 def q_dedup_simhash(sf_dir):
+    """SimHash near-dup pairs with an EXACT DuckDB oracle: word hashes
+    are ``md5_number_lower`` (bytes 8..16 of md5, little-endian — the
+    same on both sides), and pigeonhole blocking provably loses no pair
+    within the Hamming radius, so the Ray pair set equals the oracle's
+    all-pairs restatement bit for bit."""
     from ..stages.dedup import simhash_pairs
 
-    return simhash_pairs(_documents_with_mutations(sf_dir), max_hamming=3)
+    return simhash_pairs(
+        _documents_with_mutations(sf_dir), max_hamming=3, hash_fn="md5"
+    )
 
 
 def q_dedup_embedding(sf_dir):
@@ -874,11 +881,16 @@ def q_emb_ann_topk(sf_dir):
 
 
 def q_emb_ann_ivf(sf_dir):
-    from ..stages.similarity import ivf_topk
+    """Inverted-file ANN, bit-sampling coarse quantizer (nprobe=1) —
+    the SQL-exact IVF variant: bucket = sign bits of the first 4 raw
+    coordinates, probe = the query's own bucket, exact cosine inside.
+    The k-means-quantizer variant (``ivf_topk``) has no SQL oracle and
+    is covered by pytest recall-vs-brute tests instead."""
+    from ..stages.similarity import ivf_bits_topk
 
     vecs, ids = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, vecs, ids, k=10)
+    return ivf_bits_topk(ds, vecs, ids, k=10, n_bits=4)
 
 
 def q_mm_decode(sf_dir):
@@ -1268,10 +1280,126 @@ ORACLES = {
         SELECT url,
                CAST(unnest(range(0, greatest(octet_length(html) // 100, 1), 10)) AS BIGINT) AS frame_id
         FROM w""",
-    # dedup_simhash / doc_fingerprint / emb_ann_ivf: intentionally no SQL
-    # oracle — the signature functions (siphash word hashes, winnowing
-    # rolling hash, k-means assignment) are not SQL-expressible; the
-    # driver records rows-only and exactness is covered by pytest
-    # property/golden tests (recall/precision, determinism, IVF-vs-brute
-    # recall).
+    # exact all-pairs restatement of the md5-based SimHash: word hash =
+    # md5_number_lower (== python md5 digest bytes 8..16 little-endian),
+    # per-bit ±1 vote, sign -> signature bit; pigeonhole blocking on the
+    # Ray side is provably lossless within the Hamming radius, so the
+    # pair sets are equal, not merely similar.
+    "dedup_simhash": """
+        WITH m AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(string_split(text,' ')[3:], ' ') AS text
+          FROM documents),
+        words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          FROM m),
+        bitsum AS (
+          SELECT doc_id, b.i,
+                 sum(CASE WHEN (md5_number_lower(w) >> b.i) & 1 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM words, (SELECT unnest(generate_series(0, 63)) AS i) b
+          GROUP BY doc_id, b.i),
+        sig0 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::UBIGINT << i)
+                          ELSE 0::UBIGINT END) AS sig
+          FROM bitsum GROUP BY doc_id),
+        sig AS (
+          SELECT m.doc_id, COALESCE(s.sig, 0)::UBIGINT AS sig
+          FROM m LEFT JOIN sig0 s USING (doc_id))
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+    # exact winnowing restatement (k=8, window=6): 64-bit wrapping
+    # polynomial codepoint hash via HUGEINT mod-2^64 (weight constants
+    # are B^e mod 2^64, B=1099511628211 — pinned by a pytest against
+    # text._poly_weights), rightmost-window-min selection via an
+    # arg_min window over the injective key h*1e9 + (1e9-1 - pos).
+    "doc_fingerprint": """
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        ch0 AS (
+          SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i
+          FROM d WHERE n > 0),
+        cp AS (
+          SELECT doc_id, n, i,
+                 CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS cp
+          FROM ch0),
+        g8 AS (
+          SELECT a.doc_id, a.i AS gpos,
+            CAST(((sum(b.cp * CASE b.i - a.i
+                 WHEN 0 THEN 14218562807570617051::HUGEINT
+                 WHEN 1 THEN 15895002104753931833::HUGEINT
+                 WHEN 2 THEN 913917546033277539::HUGEINT
+                 WHEN 3 THEN 11527715348014283921::HUGEINT
+                 WHEN 4 THEN 624165263380053675::HUGEINT
+                 WHEN 5 THEN 956575116354345::HUGEINT
+                 WHEN 6 THEN 1099511628211::HUGEINT
+                 ELSE 1::HUGEINT END))
+              % 18446744073709551616::HUGEINT) // 2::HUGEINT AS BIGINT) AS h
+          FROM cp a JOIN cp b
+            ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 7
+          WHERE a.n >= 8 AND a.i <= a.n - 7
+          GROUP BY a.doc_id, a.i),
+        gshort AS (
+          SELECT doc_id, 1 AS gpos,
+            CAST(((sum(cp * CASE n - i
+                 WHEN 0 THEN 1::HUGEINT
+                 WHEN 1 THEN 1099511628211::HUGEINT
+                 WHEN 2 THEN 956575116354345::HUGEINT
+                 WHEN 3 THEN 624165263380053675::HUGEINT
+                 WHEN 4 THEN 11527715348014283921::HUGEINT
+                 WHEN 5 THEN 913917546033277539::HUGEINT
+                 ELSE 15895002104753931833::HUGEINT END))
+              % 18446744073709551616::HUGEINT) // 2::HUGEINT AS BIGINT) AS h
+          FROM cp WHERE n < 8 GROUP BY doc_id),
+        grams AS (SELECT * FROM g8 UNION ALL SELECT * FROM gshort),
+        ng AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        sel AS (
+          SELECT g.doc_id,
+            arg_min(g.gpos,
+                    (g.h::HUGEINT) * 1000000000 + (999999999 - g.gpos)) OVER
+              (PARTITION BY g.doc_id ORDER BY g.gpos
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS pick,
+            row_number() OVER (PARTITION BY g.doc_id ORDER BY g.gpos) AS rn
+          FROM grams g JOIN ng USING (doc_id) WHERE ng.c > 6),
+        picks AS (SELECT DISTINCT doc_id, pick FROM sel WHERE rn >= 6),
+        selagg AS (
+          SELECT p.doc_id, count(*) AS n_fp, min(g.h) AS min_fp
+          FROM picks p JOIN grams g
+            ON g.doc_id = p.doc_id AND g.gpos = p.pick
+          GROUP BY p.doc_id),
+        shortagg AS (
+          SELECT g.doc_id, 1 AS n_fp, min(g.h) AS min_fp
+          FROM grams g JOIN ng USING (doc_id) WHERE ng.c <= 6
+          GROUP BY g.doc_id),
+        emptyagg AS (SELECT doc_id, 1 AS n_fp, 0 AS min_fp FROM d WHERE n = 0)
+        SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+               CAST(min_fp AS BIGINT) AS min_fp
+        FROM (SELECT * FROM selagg UNION ALL SELECT * FROM shortagg
+              UNION ALL SELECT * FROM emptyagg)""",
+    # exact restatement of the bit-sampling IVF (nprobe=1): bucket =
+    # sign bits of the first 4 stored coordinates (a sign test is
+    # identical in numpy and SQL — no float-accumulation hazard), then
+    # exact cosine top-k within the query's bucket, ties by vec_id.
+    "emb_ann_ivf": """
+        WITH b AS (
+          SELECT vec_id, embedding,
+            CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM embeddings)
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id) AS BIGINT) AS rank
+        FROM b q JOIN b e ON e.bucket = q.bucket
+        WHERE q.vec_id < 3
+        QUALIFY rank <= 10""",
 }

@@ -397,20 +397,44 @@ def simhash64(text: str) -> int:
     return out
 
 
-def batch_simhash(texts: list[str]) -> np.ndarray:
+def md5_word_hash(words: list[str]) -> np.ndarray:
+    """64-bit word hash = bytes 8..16 of md5(word), little-endian —
+    exactly DuckDB's ``md5_number_lower``, so a SimHash built on it is
+    restatable in SQL. md5 runs once per UNIQUE word (words repeat a
+    lot; the loop is over the vocabulary, not the stream)."""
+    arr = np.array(words, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.array(
+        [int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+         for w in uniq],
+        dtype=np.uint64,
+    )
+    return uh[inv]
+
+
+def batch_simhash(texts: list[str], hash_fn: str = "sip") -> np.ndarray:
     """Vectorized 64-bit SimHash for a batch -> (n,) uint64.
 
     Word-hash bits are unpacked to a (S, 64) ±1 matrix and accumulated
-    per doc with np.add.reduceat — no per-word Python. Uses pandas
-    siphash word hashes (deterministic per environment; signatures only
-    steer candidate blocking, the Hamming verify decides)."""
+    per doc with np.add.reduceat — no per-word Python loop in the
+    accumulation. ``hash_fn``:
+
+    * ``"sip"`` (default): pandas siphash word hashes — fastest, fully
+      vectorized; signatures only steer candidate blocking, the Hamming
+      verify decides.
+    * ``"md5"``: DuckDB-matching ``md5_number_lower`` word hashes
+      (md5 per unique word) — the oracle-facing choice, so the whole
+      pair set is checkable against an exact SQL restatement."""
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     words_per_doc = [t.split() if t else [] for t in texts]
     flat = [w for ws in words_per_doc for w in ws]
     if not flat:
         return out
-    wh = pd.util.hash_array(np.array(flat, dtype=object))
+    if hash_fn == "md5":
+        wh = md5_word_hash(flat)
+    else:
+        wh = pd.util.hash_array(np.array(flat, dtype=object))
     bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     pm = bits.astype(np.int32) * 2 - 1  # (S, 64) of ±1
     starts = np.zeros(n + 1, dtype=np.int64)
@@ -426,15 +450,20 @@ def batch_simhash(texts: list[str]) -> np.ndarray:
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", hash_fn: str = "sip"):
     """Near-dup pairs with Hamming(simhash) <= max_hamming via pigeonhole
-    blocking on (max_hamming+1) signature segments."""
+    blocking on (max_hamming+1) signature segments.
+
+    Pigeonhole blocking is EXACT (a pair within max_hamming must agree
+    on at least one segment), so with ``hash_fn="md5"`` the output is
+    bit-identical to an all-pairs SQL restatement over
+    ``md5_number_lower`` word hashes — the driver oracle."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
 
     def sigs(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        s = batch_simhash(t[text_col].to_pylist())  # (n,) uint64
+        s = batch_simhash(t[text_col].to_pylist(), hash_fn=hash_fn)  # (n,) uint64
         n = len(ids)
         seg_col = np.tile(np.arange(n_seg, dtype=np.int32), n)
         vals = np.empty((n, n_seg), dtype=np.uint64)

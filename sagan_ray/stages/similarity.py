@@ -72,6 +72,74 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_bits_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
+                  n_bits: int = 4, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Inverted-file ANN with a bit-sampling coarse quantizer, nprobe=1.
+
+    Bucket id = sign bits of the first ``n_bits`` raw coordinates
+    (bit-sampling LSH for cosine on zero-centered data). Each query
+    scans ONLY its own bucket (~n/2^n_bits of the corpus) with exact
+    cosine, then local top-k partials merge per query — the same
+    combiner shape as :func:`brute_force_topk`.
+
+    Unlike the k-means IVF (:func:`ivf_topk`), the quantizer here is a
+    pure sign test on stored floats, identical in numpy and SQL — so
+    the whole operator has an exact DuckDB oracle (bucket equality via
+    ``embedding[i] > 0``, in-bucket top-k via list_cosine_similarity).
+    At scale the bucket column doubles as the shuffle/placement key:
+    co-partitioning by bucket turns probe into a map-side lookup."""
+    import ray
+
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    q = _unit(qv)
+    qbuckets = ((qv[:, :n_bits] > 0).astype(np.int64)
+                << np.arange(n_bits, dtype=np.int64)[None, :]).sum(axis=1)
+    qref = ray.put((q, list(query_ids), qbuckets))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qm, qids, qb = ray.get(qref)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        buckets = ((vecs[:, :n_bits] > 0).astype(np.int64)
+                   << np.arange(n_bits, dtype=np.int64)[None, :]).sum(axis=1)
+        u = _unit(vecs)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = buckets == qb[qi]
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = u[mask] @ qm[qi]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
                seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means on unit vectors (cosine ≈ L2)."""

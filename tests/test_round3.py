@@ -127,3 +127,138 @@ def test_range_join_int_dtypes_preserved(ray_session):
     assert str(t["lid"].dtype) == "int64"
     assert str(t["rid"].dtype) == "int64"
     assert t[["lid", "rid"]].values.tolist() == [[1, 7]]
+
+
+# ---------------------------------------------------------------------------
+# round-3 oracle hardening: dedup_simhash / doc_fingerprint / emb_ann_ivf
+# gained exact DuckDB oracles. These differentials pin the hash choices
+# to their SQL restatements, including edge cases the sf corpora never
+# hit (short/empty docs).
+# ---------------------------------------------------------------------------
+
+
+def test_md5_word_hash_matches_duckdb_md5_number_lower():
+    import duckdb
+
+    from sagan_ray.stages.dedup import md5_word_hash
+
+    words = ["the", "quick", "", "héllo", "a", "the"]
+    mine = md5_word_hash(words).tolist()
+    con = duckdb.connect()
+    theirs = [
+        int(con.sql("SELECT md5_number_lower(?)", params=[w]).fetchone()[0])
+        for w in words
+    ]
+    assert mine == theirs
+
+
+def test_simhash_md5_signature_matches_duckdb():
+    """End-to-end signature differential incl. an empty doc (sig 0)."""
+    import duckdb
+
+    from sagan_ray.stages.dedup import batch_simhash
+
+    texts = ["the quick brown fox", "quick brown fox jumps", "", "a a b"]
+    sigs = [int(s) for s in batch_simhash(texts, hash_fn="md5")]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    rows = con.sql("""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text,' '), x -> x <> '')) AS w
+          FROM docs),
+        bitsum AS (
+          SELECT doc_id, b.i,
+                 sum(CASE WHEN (md5_number_lower(w) >> b.i) & 1 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM words, (SELECT unnest(generate_series(0, 63)) AS i) b
+          GROUP BY doc_id, b.i),
+        sig0 AS (
+          SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::UBIGINT << i)
+                                  ELSE 0::UBIGINT END) AS sig
+          FROM bitsum GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(sig, 0)::UBIGINT
+        FROM docs d LEFT JOIN sig0 USING (doc_id) ORDER BY doc_id
+    """).fetchall()
+    assert [int(r[1]) for r in rows] == sigs
+
+
+def test_fingerprint_oracle_weight_constants():
+    """The HUGEINT weight literals in the doc_fingerprint oracle SQL
+    must equal text._poly_weights (B^e mod 2^64, B=1099511628211)."""
+    import re
+
+    from sagan_ray.pipelines.queries import ORACLES
+    from sagan_ray.stages.text import _poly_weights
+
+    w8 = [int(x) for x in _poly_weights(8)]
+    sql = ORACLES["doc_fingerprint"]
+    lits = [int(x) for x in re.findall(r"(\d+)::HUGEINT", sql)]
+    # g8 CASE lists W[0..6] then ELSE 1; gshort lists B^0..B^6 ascending
+    for w in w8:
+        assert w == 1 or w in lits, f"weight {w} missing from oracle SQL"
+    b = 1099511628211
+    for e in range(1, 7):
+        assert pow(b, e, 1 << 64) in lits
+
+
+def test_winnow_fingerprint_matches_duckdb_edge_cases():
+    """Short (<k), exactly-k, <=window, and empty docs through the REAL
+    oracle SQL — branches the sf corpora (min 48 chars) never hit."""
+    import duckdb
+
+    from sagan_ray.pipelines.queries import ORACLES
+    from sagan_ray.stages.text import winnow_fingerprints
+
+    texts = [
+        "",               # empty -> [0]
+        "ab",             # n < k -> single whole-text hash
+        "abcdefgh",       # n == k -> one gram
+        "abcdefghijklm",  # N = 6 == window -> [min]
+        "abcdefghijklmn", # N = 7 -> first full winnowing
+        "the quick brown fox jumps over the lazy dog repeatedly and often",
+        "aaaaaaaaaaaaaaaaaaaa",  # degenerate: all grams equal (ties)
+    ]
+    expect = []
+    for i, t in enumerate(texts):
+        fps = winnow_fingerprints(t)
+        expect.append((i, len(fps), min(fps)))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    rows = con.sql(ORACLES["doc_fingerprint"] + " ORDER BY doc_id").fetchall()
+    assert [(r[0], r[1], r[2]) for r in rows] == expect
+
+
+def test_ivf_bits_topk_equals_in_bucket_brute_force(ray_session):
+    """ivf_bits_topk == exact top-k restricted to the query's sign
+    bucket (numpy reference), on deterministic synthetic vectors."""
+    import ray.data as rd
+
+    from sagan_ray.stages.similarity import _unit, ivf_bits_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}))
+    q_ids = [0, 1, 2]
+    qv = vecs[:3].astype(np.float64)
+    out = ivf_bits_topk(ds, qv, q_ids, k=5, n_bits=4).to_pandas()
+    v64 = vecs.astype(np.float64)
+    buckets = ((v64[:, :4] > 0).astype(np.int64) << np.arange(4)).sum(axis=1)
+    u = _unit(v64)
+    for qi in q_ids:
+        mask = buckets == buckets[qi]
+        sims = u[mask] @ _unit(qv[qi:qi + 1]).T[:, 0]
+        sub = ids[mask]
+        order = np.lexsort((sub, -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == sub[order].tolist()
