@@ -749,9 +749,14 @@ def _documents_with_mutations(sf_dir):
 
 
 def q_dedup_exact(sf_dir):
+    """digest="md5" is the oracle-facing choice (DuckDB restates
+    ``md5(text)``); the library default is the vectorized 128-bit
+    ``fast_digest128`` scale path."""
     from ..stages.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return exact_dedup_groups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), digest="md5"
+    )
 
 
 def q_dedup_minhash(sf_dir):

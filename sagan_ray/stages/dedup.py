@@ -39,20 +39,53 @@ def md5_hex(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
-def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """-> (text_md5, keeper_doc_id, n): one row per distinct content."""
+def fast_digest128(texts) -> np.ndarray:
+    """Vectorized 128-bit content digest -> (n,) of 32-hex-char strings.
+
+    Two independent 64-bit siphash passes (pandas ``hash_array`` with
+    distinct 16-byte keys — both C-vectorized, no per-row Python)
+    concatenated to 128 bits: collision odds at 10^12 rows are ~1e-15,
+    safe for exact dedup at web scale where one 64-bit hash is NOT
+    (birthday at 10^12 rows predicts ~27k false merges)."""
+    arr = np.asarray(texts, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="sagan_dedup_key1")
+    h2 = pd.util.hash_array(arr, hash_key="sagan_dedup_key2")
+    # vectorized hex: view each uint64 pair as 16 bytes -> hex
+    raw = np.empty((len(arr), 2), dtype=">u8")
+    raw[:, 0] = h1
+    raw[:, 1] = h2
+    by = raw.view(np.uint8).reshape(len(arr), 16)
+    hexmap = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    out = np.empty((len(arr), 32), dtype=np.uint8)
+    out[:, 0::2] = hexmap[by >> 4]
+    out[:, 1::2] = hexmap[by & 0x0F]
+    return out.view("S32").reshape(-1).astype(str)
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
+                       digest: str = "fast128"):
+    """-> (digest col, keeper_doc_id, n): one row per distinct content.
+
+    ``digest="fast128"`` (default, the scale path): vectorized 128-bit
+    siphash digest, output column ``text_digest`` — no per-row Python
+    anywhere. ``digest="md5"``: hashlib md5 per row (C per call but a
+    Python loop over rows), output column ``text_md5`` — the
+    oracle-facing choice since DuckDB can restate ``md5(text)``.
+    Either way only (digest, id) rides the shuffle, never text."""
     from ray.data.aggregate import Count, Min
 
+    col = "text_md5" if digest == "md5" else "text_digest"
+
     def add_hash(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "text_md5": pa.array(md5_hex(t[text_col].to_pylist())),
-                id_col: t[id_col],
-            }
-        )
+        texts = t[text_col].to_pylist()
+        if digest == "md5":
+            h = pa.array(md5_hex(texts))
+        else:
+            h = pa.array(fast_digest128(texts))
+        return pa.table({col: h, id_col: t[id_col]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    out = hashed.groupby("text_md5").aggregate(
+    out = hashed.groupby(col).aggregate(
         Min(id_col, alias_name="keeper_doc_id"), Count(alias_name="n")
     )
     return out
@@ -219,12 +252,13 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     Returns a Dataset (doc_id_a, doc_id_b, jaccard:double — RAW, callers
     derive integer comparison columns).
 
-    Contract: ``ds`` must be DETERMINISTIC under re-execution (a plain
-    read/map lineage) — the band pass and the two verify-join text
-    sides each re-execute it rather than pinning the whole corpus in
-    the object store. An unmaterialized nondeterministic input (e.g. a
-    branched ``limit`` under parallel execution) silently desynchronizes
-    the branches; materialize such inputs first.
+    The input lineage executes ONCE: the projected (id, text) is
+    checkpointed (``materialize()`` — object-store blocks, spilling to
+    disk beyond memory) and feeds the band pass AND both verify-join
+    text sides. Without the checkpoint those three consumers would each
+    re-execute the full input lineage (two extra corpus scans at 100 TB)
+    and a nondeterministic input (e.g. a branched ``limit`` under
+    parallel execution) would silently desynchronize the branches.
     """
     import ray.data as rd
 
@@ -265,7 +299,12 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
         gb = ((bh * np.uint64(17) + bi) % np.uint64(_N_COARSE)).astype(np.int64)
         return out.append_column("gb", pa.array(gb))
 
-    exploded = ds.map_batches(bands_gb, batch_format="pyarrow")
+    # ONE corpus scan: checkpoint the (id, text) projection and feed the
+    # band pass and both verify-join sides from the pinned blocks
+    proj = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).materialize()
+    exploded = proj.map_batches(bands_gb, batch_format="pyarrow")
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -329,11 +368,8 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     n_pairs = cand.count()
     np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
 
-    texts = ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-    )
-    ta = _rename_cols(texts, {id_col: "doc_id_a", text_col: "text_a"})
-    tb = _rename_cols(texts, {id_col: "doc_id_b", text_col: "text_b"})
+    ta = _rename_cols(proj, {id_col: "doc_id_a", text_col: "text_a"})
+    tb = _rename_cols(proj, {id_col: "doc_id_b", text_col: "text_b"})
     j = cand.join(ta, join_type="inner", num_partitions=np_join,
                   on=("doc_id_a",))
     j = j.join(tb, join_type="inner", num_partitions=np_join,
@@ -658,14 +694,30 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                         seed: int = 42):
     """Pairs with cosine >= threshold via MULTI-TABLE random-hyperplane
     LSH: ``n_tables`` independent sign-pattern bucketings (a pair is a
-    candidate if it collides in ANY table), exact cosine verify inside
-    each bucket, one groupby-aggregate pair dedup.
+    candidate if it collides in ANY table), exact cosine verify on the
+    deduped candidate pairs.
 
     One table misses a θ-angle pair with probability ≈ n_planes·θ/π
     (≈0.5% at cosine 0.999 with 16 planes — 2 of 500 planted pairs in
     the r1 fixture); with 4 independent tables the miss probability is
     that to the 4th power (~5e-10), so recall is effectively exact while
-    precision stays 1.0 from the verify."""
+    precision stays 1.0 from the verify.
+
+    Shuffle shape (the minhash pattern): only (tbl, bucket, id) rows
+    ride the LSH explode — vectors do NOT multiply by n_tables. The
+    deduped candidate-pair set then joins vectors back via two
+    co-partitioned ``Dataset.join``s sized from the candidate count, so
+    vector bytes shuffle once per candidate-pair side instead of
+    4× corpus volume. The (id, vec) projection is checkpointed once and
+    feeds the bucketing pass and both join sides (one corpus scan).
+    Degenerate hot buckets cost candidate rows rather than in-partition
+    matmul: pair volume ~ Σ bucket²/2, same asymptotics as the verify
+    the previous shape ran in place."""
+    proj = ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+    ).materialize()
+    first = proj.take(1)
+    dim = len(first[0][vec_col])
 
     def bucketize_factory(dim: int):
         rng = np.random.RandomState(seed)
@@ -679,7 +731,6 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                     {"tbl": pa.array([], type=pa.int32()),
                      "bucket": pa.array([], type=pa.int64()),
                      id_col: pa.array([], type=pa.int64()),
-                     vec_col: pa.array([], type=pa.list_(pa.float32())),
                      "gb": pa.array([], type=pa.int64())}
                 )
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -704,26 +755,20 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                     "tbl": pa.array(tbl),
                     "bucket": pa.array(buckets),
                     id_col: pa.array(np.tile(ids, n_tables)),
-                    vec_col: pa.concat_arrays(
-                        [t[vec_col].combine_chunks()] * n_tables
-                    ),
                     "gb": pa.array(gb),
                 }
             )
 
         return bucketize
 
-    first = ds.take(1)
-    dim = len(first[0][vec_col])
-    bucketed = ds.map_batches(bucketize_factory(dim), batch_format="pyarrow")
+    bucketed = proj.map_batches(bucketize_factory(dim), batch_format="pyarrow")
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        """Coarse partition -> verified pairs: chunked upper-triangle
-        cosine per exact (tbl, bucket) block, vectorized throughout."""
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Coarse partition -> candidate id pairs: vectorized per exact
+        (tbl, bucket) block, never one pandas call per tiny bucket."""
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype=np.int64),
              "id_b": pd.Series(dtype=np.int64),
-             "cosine": pd.Series(dtype=np.float64),
              "gb2": pd.Series(dtype=np.int64)}
         )
         if len(g) < 2:
@@ -739,52 +784,94 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         order = np.argsort(key, kind="stable")
         key = key[order]
         ids_all = dup[id_col].to_numpy(dtype=np.int64)[order]
-        vecs_all = np.array(dup[vec_col].tolist(), dtype=np.float64)[order]
         starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
         ends = np.r_[starts[1:], len(key)]
-        out_a, out_b, out_c = [], [], []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
         for s0, e0 in zip(starts, ends):
             if e0 - s0 < 2:
                 continue
-            ids = ids_all[s0:e0]
-            o2 = np.argsort(ids, kind="stable")
-            ids = ids[o2]
-            vecs = vecs_all[s0:e0][o2]
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = vecs / norms
-            n = len(ids)
-            chunk = 1024
-            for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                sims = unit[s:e] @ unit.T  # (c, n)
-                ii, jj = np.nonzero(sims >= threshold)
-                gi = ii + s
-                keep = (gi < jj) & (ids[gi] != ids[jj])
-                out_a.append(ids[gi[keep]])
-                out_b.append(ids[jj[keep]])
-                out_c.append(np.round(sims[ii[keep], jj[keep]], 4))
+            grp = np.sort(ids_all[s0:e0])
+            ii, jj = np.triu_indices(len(grp), k=1)
+            out_a.append(grp[ii])
+            out_b.append(grp[jj])
         if not out_a:
             return empty
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        c = np.concatenate(out_c)
-        if not len(a):
-            return empty
+        keep = a != b
+        a, b = a[keep], b[keep]
         gb2 = (
             (a.view(np.uint64) * np.uint64(0x9E3779B185EBCA87)
              ^ b.view(np.uint64)) % np.uint64(_N_COARSE)
         ).astype(np.int64)
-        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c, "gb2": gb2})
+        return pd.DataFrame({"id_a": a, "id_b": b, "gb2": gb2})
 
-    found = bucketed.groupby("gb").map_groups(verify_part, batch_format="pandas")
-    # cross-table duplicate pairs carry identical cosine: coarse-bucket
-    # drop_duplicates per partition
-    return (
+    found = bucketed.groupby("gb").map_groups(pairs_part, batch_format="pandas")
+    # a pair can collide in several tables/buckets: coarse-bucket
+    # drop_duplicates per partition, then pin the reduced pair set and
+    # size the vector-joins from it (the minhash sizing policy)
+    cand = (
         found.groupby("gb2")
         .map_groups(
             lambda g: g.drop_duplicates(["id_a", "id_b"]),
             batch_format="pandas",
         )
-        .select_columns(["id_a", "id_b", "cosine"])
-    )
+        .select_columns(["id_a", "id_b"])
+    ).materialize()
+    n_pairs = cand.count()
+    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
+
+    # acero joins reject list<float> payload columns — pack each vector
+    # to a float64 byte blob (zero-copy offsets buffer) for the join,
+    # decode with np.frombuffer inside verify
+    def pack(t: pa.Table) -> pa.Table:
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        n = len(t)
+        width = vecs.shape[1] * 8 if n else dim * 8
+        offs = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * width).tobytes()
+        )
+        blob = pa.Array.from_buffers(
+            pa.binary(), n, [None, offs, pa.py_buffer(vecs.tobytes())]
+        )
+        return pa.table({id_col: t[id_col], "vec_bin": blob})
+
+    packed = proj.map_batches(pack, batch_format="pyarrow")
+    va = _rename_cols(packed, {id_col: "id_a", "vec_bin": "bin_a"})
+    vb = _rename_cols(packed, {id_col: "id_b", "vec_bin": "bin_b"})
+    j = cand.join(va, join_type="inner", num_partitions=np_join, on=("id_a",))
+    j = j.join(vb, join_type="inner", num_partitions=np_join, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()),
+                 "id_b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        x = np.frombuffer(
+            b"".join(t["bin_a"].to_pylist()), dtype=np.float64
+        ).reshape(len(a), -1)
+        y = np.frombuffer(
+            b"".join(t["bin_b"].to_pylist()), dtype=np.float64
+        ).reshape(len(b), -1)
+        nx = np.linalg.norm(x, axis=1)
+        ny = np.linalg.norm(y, axis=1)
+        nx[nx == 0] = 1.0
+        ny[ny == 0] = 1.0
+        cos = np.einsum("ij,ij->i", x, y) / (nx * ny)
+        # filter on the UNROUNDED value (matches the SQL oracle's
+        # list_cosine_similarity >= t); round only the output column
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "cosine": pa.array(np.round(cos[keep], 4), type=pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -262,3 +262,27 @@ def test_ivf_bits_topk_equals_in_bucket_brute_force(ray_session):
         order = np.lexsort((sub, -sims))[:5]
         got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
         assert got == sub[order].tolist()
+
+
+def test_fast_digest128_vectorized_dedup_digest():
+    """128-bit digest: deterministic, 32 hex chars, content-keyed."""
+    from sagan_ray.stages.dedup import fast_digest128
+
+    texts = ["same", "same", "other", "", "héllo"]
+    d = fast_digest128(texts)
+    assert list(d[:2]) == [d[0]] * 2 and d[0] != d[2]
+    assert all(len(x) == 32 and set(x) <= set("0123456789abcdef") for x in d)
+    assert list(fast_digest128(texts)) == list(d)
+    assert len({d[0], d[2], d[3], d[4]}) == 4
+
+
+def test_exact_dedup_fast_digest_groups(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import exact_dedup_groups
+
+    rows = [{"doc_id": 0, "text": "same"}, {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "other"}]
+    out = exact_dedup_groups(rd.from_items(rows)).to_pandas()
+    assert "text_digest" in out.columns and len(out) == 2
+    assert out[out["n"] == 2]["keeper_doc_id"].iloc[0] == 0
