@@ -240,7 +240,53 @@ def q_wp_alert_time(sf_dir):
 
 
 def q_wp_xbits(sf_dir):
-    return _wp_urls(sf_dir, {1000010, 1000011}, correlate=True)
+    """Two xbits chains in one judged row: the host-tracked webpages
+    chain (sids 1000010/1000011, ``track by_host``) UNIONed with a
+    PAIR-tracked fail-then-success chain over the events stream
+    (``xbits track ip_pair`` — upstream src/flexbit-mmap.c pair
+    semantics): sid 3000020 sets on 'error' events keyed by the parsed
+    (src_ip, dst_ip) composite, sid 3000021 fires on 'purchase' events
+    only when the SAME pair was set within the expire window. The url
+    namespaces are disjoint so the union is loss-free."""
+    from ..rules import parse_rules
+    from .flagship import gate_alerts
+
+    base = _wp_urls(sf_dir, {1000010, 1000011}, correlate=True)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_log(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+        uid = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        src = np.char.add(np.char.add("10.0.", (uid % 29).astype(str)), ".1")
+        dst = np.char.add(np.char.add("10.1.", (eid % 23).astype(str)), ".2")
+        text = np.char.add(
+            np.char.add(np.char.add("conn from ", src), " to "), dst
+        )
+        return pa.table(
+            {
+                "url": pa.array(np.char.add("evt://", eid.astype(str))),
+                "warc_ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "host": pa.array(np.char.add("u", uid.astype(str))),
+                "lang": t["event_type"],
+                "text": pa.array(text),
+            }
+        )
+
+    rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"pair fail"; facility:"error"; '
+        "content:\"conn\"; parse_src_ip: 1; parse_dst_ip: 2; "
+        "xbits:set,pairchain,track ip_pair,expire 604800; noalert; "
+        "classtype:not-suspicious; sid:3000020; rev:1;)\n"
+        'alert any any any -> any any (msg:"pair success"; '
+        'facility:"purchase"; content:"conn"; parse_src_ip: 1; '
+        "parse_dst_ip: 2; xbits:isset,pairchain,track ip_pair; "
+        "classtype:correlated-attack; sid:3000021; rev:1;)"
+    )
+    log_ds = ds.map_batches(to_log, batch_format="pyarrow")
+    pair = gate_alerts(match_alerts(log_ds, rules), rules).select_columns(["url"])
+    return base.union(pair)
 
 
 def q_wp_content_chain(sf_dir):
@@ -713,14 +759,21 @@ def q_wp_client_report(sf_dir):
         )
 
     ds = ds.map_batches(add_len, batch_format="pyarrow")
-    pdf = ds.groupby("host").aggregate(
+    agg = ds.groupby("host").aggregate(
         Count(alias_name="n_events"),
         Sum("n_bytes", alias_name="sum_bytes"),
         Max("warc_ts", alias_name="last_seen"),
-    ).to_pandas()  # one row per host
-    cutoff = pdf["last_seen"].max() - pd.Timedelta(minutes=30)
-    pdf["quiet"] = pdf["last_seen"] < cutoff
-    return pdf[["host", "n_events", "sum_bytes", "last_seen", "quiet"]]
+    ).materialize()  # one row per host (tiny); reused by max + flag pass
+    # only a single SCALAR (the global max) reaches the driver; the
+    # quiet flag attaches distributed, and the result stays a Dataset
+    cutoff = pd.Timestamp(agg.max("last_seen")) - pd.Timedelta(minutes=30)
+
+    def flag(t: pa.Table) -> pa.Table:
+        cut = pa.scalar(cutoff, type=t.schema.field("last_seen").type)
+        t = t.append_column("quiet", pc.less(t["last_seen"], cut))
+        return t.select(["host", "n_events", "sum_bytes", "last_seen", "quiet"])
+
+    return agg.map_batches(flag, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -906,7 +959,10 @@ def q_mm_decode(sf_dir):
     from ..stages.multimodal import DecodeImageStub, decode_stage
 
     ds = webpages_from_documents(sf_dir)
-    out = decode_stage(ds, DecodeImageStub, batch_size=256, concurrency=2)
+    # mode="stub" pins the oracle-facing deterministic decoder even in
+    # environments where PIL is installed (mode="auto" would use it)
+    out = decode_stage(ds, DecodeImageStub, batch_size=256, concurrency=2,
+                       mode="stub")
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1029,11 +1085,21 @@ ORACLES = {
             ORDER BY warc_ts, url) AS rn
           FROM w WHERE contains(text,'join')) WHERE rn > 1""",
     "wp_alert_time": f"{_W} SELECT url FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6",
-    "wp_xbits": f"""{_W}
+    "wp_xbits": f"""{_W},
+        ev AS (
+          SELECT 'evt://' || CAST(event_id AS VARCHAR) AS url, ts, event_type,
+                 '10.0.' || CAST(user_id % 29 AS VARCHAR) || '.1' AS src,
+                 '10.1.' || CAST(event_id % 23 AS VARCHAR) || '.2' AS dst
+          FROM events)
         SELECT d.url FROM w d WHERE contains(d.text,'group') AND EXISTS (
           SELECT 1 FROM w s WHERE s.host = d.host AND contains(s.text,'order')
             AND s.warc_ts <= d.warc_ts
-            AND d.warc_ts < s.warc_ts + INTERVAL 7200 SECOND)""",
+            AND d.warc_ts < s.warc_ts + INTERVAL 7200 SECOND)
+        UNION ALL
+        SELECT d.url FROM ev d WHERE d.event_type = 'purchase' AND EXISTS (
+          SELECT 1 FROM ev s WHERE s.event_type = 'error'
+            AND s.src = d.src AND s.dst = d.dst
+            AND s.ts <= d.ts AND d.ts < s.ts + INTERVAL 604800 SECOND)""",
     "wp_content_chain": f"""{_W}
         SELECT url FROM (SELECT url, text, strpos(text,'key') AS k FROM w)
         WHERE k > 0 AND k-1 < 200

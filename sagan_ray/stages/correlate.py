@@ -69,19 +69,47 @@ def shuffle_groups(ds, key: str, fn):
 
 def _track_col(track: str) -> str:
     """Track spec -> alert column. by_src/by_host -> host (the reporting
-    endpoint), by_lang/by_facility -> lang, by_username -> the username
-    column (populated by normalize extraction), by_string -> the
-    liblognorm-extracted string (our `extracted` JSON column). A missing
-    column keys to '' (one group) rather than crashing — matching
-    upstream, which falls back to the empty string when the normalized
-    field is absent."""
+    endpoint), by_dst -> the parsed dst_ip column (upstream
+    ``track ip_dst``), ip_pair/by_pair -> the composite src+dst key
+    (upstream ``src/flexbit-mmap.c`` pair semantics — the
+    login-fail-then-success-per-pair idiom), by_lang/by_facility ->
+    lang, by_username -> the username column (populated by normalize
+    extraction), by_string -> the liblognorm-extracted string (our
+    `extracted` JSON column). A missing column keys to '' (one group)
+    rather than crashing — matching upstream, which falls back to the
+    empty string when the normalized field is absent."""
     if track in ("by_lang", "by_facility"):
         return "lang"
     if track == "by_username":
         return "username"
     if track == "by_string":
         return "extracted"
+    if track in ("by_dst", "ip_dst"):
+        return "dst_ip"
+    if track in ("ip_pair", "by_pair"):
+        return "ip_pair"
     return "host"
+
+
+def _pair_key_pa(tbl: pa.Table):
+    """src_ip|dst_ip composite key as an Arrow string array (nulls ->
+    '', missing columns -> '' side), vectorized."""
+    n = tbl.num_rows
+
+    def side(name: str):
+        if name in tbl.column_names:
+            return pc.fill_null(tbl[name], "")
+        return pa.array([""] * n, type=pa.string())
+
+    return pc.binary_join_element_wise(side("src_ip"), side("dst_ip"), "|")
+
+
+def _pair_key_pd(df: pd.DataFrame) -> pd.Series:
+    s = (df["src_ip"] if "src_ip" in df.columns
+         else pd.Series("", index=df.index)).fillna("")
+    d = (df["dst_ip"] if "dst_ip" in df.columns
+         else pd.Series("", index=df.index)).fillna("")
+    return s.astype(str) + "|" + d.astype(str)
 
 
 def corr_specs(rules: list[Rule]) -> dict[int, dict]:
@@ -126,7 +154,9 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
 
     def col(name: str) -> np.ndarray:
         if name not in colcache:
-            if name in batch.column_names:
+            if name == "ip_pair":
+                vals = np.asarray(_pair_key_pa(batch).to_pandas(), dtype=object)
+            elif name in batch.column_names:
                 vals = np.asarray(batch[name].to_pandas(), dtype=object)
                 vals = np.where(vals == None, "", vals)  # noqa: E711
             else:
@@ -432,9 +462,12 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
             m = rsub.num_rows
             for xb in xbs:
                 xc = _track_col(xb.track)
-                xkey_col = (
-                    rsub[xc] if xc in rsub.column_names else rsub["host"]
-                )
+                if xc == "ip_pair":
+                    xkey_col = _pair_key_pa(rsub)
+                elif xc in rsub.column_names:
+                    xkey_col = pc.fill_null(rsub[xc], "")
+                else:
+                    xkey_col = rsub["host"]
                 t2 = (
                     rsub.append_column("ckey", _const(m, "", "str"))
                     .append_column("bucket", _const(m, -1, "int"))
@@ -618,7 +651,12 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
                 r2["xname"] = xb.name
                 r2["xaction"] = xb.action
                 xc = _track_col(xb.track)
-                r2["xkey"] = rows[xc] if xc in rows.columns else rows["host"]
+                if xc == "ip_pair":
+                    r2["xkey"] = _pair_key_pd(rows)
+                elif xc in rows.columns:
+                    r2["xkey"] = rows[xc].fillna("")
+                else:
+                    r2["xkey"] = rows["host"]
                 r2["xexpire"] = np.int64(xb.expire if xb.expire is not None else -1)
                 parts.append(r2)
         if not parts:

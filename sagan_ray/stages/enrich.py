@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 
 
 class Enrich:
-    def __init__(self, geo_ref, blacklist_ref, intel_ref):
+    def __init__(self, geo_ref, blacklist_ref, intel_ref,
+                 mmdb_path: str | None = None):
         import ray
 
         # refs may be ObjectRefs (production) or plain dicts (unit tests)
@@ -34,6 +35,32 @@ class Enrich:
         self.geo: dict[str, str] = _get(geo_ref) or {}
         self.blacklist: frozenset[str] = frozenset(_get(blacklist_ref) or ())
         self.intel: tuple[str, ...] = tuple(_get(intel_ref) or ())
+        # real GeoIP2 path (upstream src/geoip2.c GeoIP2_Lookup_Country):
+        # the .mmdb reader opens ONCE per actor/worker from a local file
+        # path (mmdb files are node-local artifacts, not broadcast
+        # payloads); when maxminddb isn't installed the broadcast dict
+        # remains the only source — same `country` column contract
+        self.mmdb = None
+        if mmdb_path:
+            try:
+                import maxminddb
+
+                self.mmdb = maxminddb.open_database(mmdb_path)
+            except ImportError:
+                self.mmdb = None
+
+    def _country(self, key: str | None) -> str | None:
+        """country for one DISTINCT host/addr: broadcast dict first,
+        then the mmdb reader (IP-shaped keys) when one is open."""
+        v = self.geo.get(key)
+        if v is None and self.mmdb is not None and key:
+            try:
+                rec = self.mmdb.get(key)
+            except Exception:  # non-IP host strings
+                rec = None
+            if rec:
+                v = (rec.get("country") or {}).get("iso_code")
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -45,7 +72,11 @@ class Enrich:
         langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
         geo = self.geo
         inv, uh = pd.factorize(hosts, use_na_sentinel=False)
-        mapped = np.array([geo.get(h) for h in uh], dtype=object)
+        mapped = np.array(
+            [self._country(h) if self.mmdb is not None else geo.get(h)
+             for h in uh],
+            dtype=object,
+        )
         country = mapped[inv]
         missing = country == None  # noqa: E711  (vectorized null check)
         if missing.any():
@@ -80,26 +111,27 @@ _TASK_MODE_MAX_ENTRIES = 1_000_000
 _ENRICH_BY_REFS: dict = {}
 
 
-def _enrich_cached(geo_ref, bl_ref, intel_ref) -> "Enrich":
+def _enrich_cached(geo_ref, bl_ref, intel_ref,
+                   mmdb_path: str | None = None) -> "Enrich":
     import ray
 
     if not all(isinstance(r, ray.ObjectRef)
                for r in (geo_ref, bl_ref, intel_ref)):
         # non-ref inputs (tests / direct callers): id() keys are unsafe
         # after GC reuse — skip caching, construction is cheap there
-        return Enrich(geo_ref, bl_ref, intel_ref)
-    key = tuple(r.hex() for r in (geo_ref, bl_ref, intel_ref))
+        return Enrich(geo_ref, bl_ref, intel_ref, mmdb_path)
+    key = (*(r.hex() for r in (geo_ref, bl_ref, intel_ref)), mmdb_path)
     e = _ENRICH_BY_REFS.get(key)
     if e is None:
         if len(_ENRICH_BY_REFS) >= 4:  # bound: don't pin dead runs' state
             _ENRICH_BY_REFS.clear()
-        e = _ENRICH_BY_REFS[key] = Enrich(geo_ref, bl_ref, intel_ref)
+        e = _ENRICH_BY_REFS[key] = Enrich(geo_ref, bl_ref, intel_ref, mmdb_path)
     return e
 
 
 def enrich_stage(ds, geo: dict, blacklist: set, intel: list,
                  concurrency: int | tuple[int, int] = 4,
-                 mode: str = "auto"):
+                 mode: str = "auto", mmdb_path: str | None = None):
     """Attach the enrichment stage to a Dataset.
 
     Two physical plans, selected by broadcast-state size (``mode="auto"``):
@@ -120,20 +152,22 @@ def enrich_stage(ds, geo: dict, blacklist: set, intel: list,
     intel_ref = ray.put(list(intel))
     if mode == "auto":
         n_entries = len(geo) + len(blacklist) + len(intel)
-        mode = "task" if n_entries <= _TASK_MODE_MAX_ENTRIES else "actor"
+        # an mmdb reader is heavy per-open state: prefer the actor pool
+        mode = ("task" if n_entries <= _TASK_MODE_MAX_ENTRIES
+                and mmdb_path is None else "actor")
     if mode == "task":
         def enrich_batch(t: pa.Table) -> pa.Table:
             # lookup structures built once per WORKER PROCESS, not per
             # batch (ray.get is zero-copy, but frozenset/tuple builds
             # aren't): cached by object-ref identity
-            return _enrich_cached(geo_ref, bl_ref, intel_ref)(t)
+            return _enrich_cached(geo_ref, bl_ref, intel_ref, mmdb_path)(t)
 
         return ds.map_batches(enrich_batch, batch_format="pyarrow")
     if isinstance(concurrency, int):
         concurrency = (1, max(1, concurrency))
     return ds.map_batches(
         Enrich,
-        fn_constructor_args=(geo_ref, bl_ref, intel_ref),
+        fn_constructor_args=(geo_ref, bl_ref, intel_ref, mmdb_path),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

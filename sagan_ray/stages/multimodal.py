@@ -21,21 +21,38 @@ import numpy as np
 import pyarrow as pa
 
 
-class DecodeImageStub:
+class DecodeImage:
     """payload binary -> (width, height, mean_byte) metadata.
 
-    Real path would be PIL.Image.open; fake path derives deterministic
-    dimensions from a blake2b of the payload so tests are stable.
+    ``mode``:
+
+    * ``"auto"`` (default): real PIL decode when PIL imports, else the
+      deterministic stub — a container WITH PIL gets real decoding, one
+      without keeps working.
+    * ``"real"``: require PIL (ImportError in ``__init__`` otherwise —
+      fails at actor construction, not mid-stream).
+    * ``"stub"``: always the deterministic fake — the oracle-facing
+      choice (dims derive from octet_length alone, so the driver's
+      DuckDB SQL mirrors the stage exactly in any environment).
+
+    Real path: PIL header read for dims + grayscale mean; payloads PIL
+    cannot decode yield NULL width/height/mean_byte (flag-and-keep, so
+    a corrupt blob never kills the batch). PIL import is resolved ONCE
+    per actor in ``__init__`` (actor-pool contract), never per batch.
     """
 
-    def __init__(self, payload_col: str = "html"):
+    def __init__(self, payload_col: str = "html", mode: str = "auto"):
         self.payload_col = payload_col
-        try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
+        self._pil = None
+        if mode in ("auto", "real"):
+            try:
+                from PIL import Image
 
-            self.real = True
-        except ImportError:
-            self.real = False
+                self._pil = Image
+            except ImportError:
+                if mode == "real":
+                    raise
+        self.real = self._pil is not None
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, int]:
         # deterministic AND SQL-expressible (from octet_length alone) so
@@ -47,23 +64,35 @@ class DecodeImageStub:
         mean_byte = int(np.frombuffer(payload[:256] or b"\0", dtype=np.uint8).mean())
         return width, height, mean_byte
 
+    def _real_decode(self, payload: bytes):
+        import io
+
+        try:
+            with self._pil.open(io.BytesIO(payload)) as im:
+                w, h = im.size
+                mean = int(np.asarray(im.convert("L")).mean()) if w and h else 0
+            return w, h, mean
+        except Exception:
+            return None, None, None
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.real:  # pragma: no cover
-            raise NotImplementedError("real image decode not wired in this container")
-        dims = [self._fake_decode(p or b"") for p in t[self.payload_col].to_pylist()]
+        payloads = [p or b"" for p in t[self.payload_col].to_pylist()]
+        dec = self._real_decode if self.real else self._fake_decode
+        dims = [dec(p) for p in payloads]
         w, h, m = zip(*dims) if dims else ((), (), ())
         return pa.table(
             {
                 "url": t["url"],
-                "n_bytes": pa.array(
-                    [len(p or b"") for p in t[self.payload_col].to_pylist()],
-                    type=pa.int64(),
-                ),
+                "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
                 "width": pa.array(list(w), type=pa.int32()),
                 "height": pa.array(list(h), type=pa.int32()),
                 "mean_byte": pa.array(list(m), type=pa.int32()),
             }
         )
+
+
+# backwards-compatible name (pre-round-3 the stub was the only path)
+DecodeImageStub = DecodeImage
 
 
 class FrameSampleStub:

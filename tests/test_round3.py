@@ -5,6 +5,7 @@ the asof/range-join dtype contract."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from sagan_ray.sources.readers import parse_syslog_batch
 from sagan_ray.stages.correlate import _gate_partition, corr_specs
@@ -286,3 +287,224 @@ def test_exact_dedup_fast_digest_groups(ray_session):
     out = exact_dedup_groups(rd.from_items(rows)).to_pandas()
     assert "text_digest" in out.columns and len(out) == 2
     assert out[out["n"] == 2]["keeper_doc_id"].iloc[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3: track by_dst + xbits ip_pair (upstream src/flexbit-mmap.c pair
+# semantics — login-fail-then-success per src/dst pair)
+# ---------------------------------------------------------------------------
+
+
+def _pair_alerts(rows):
+    """rows: (text, epoch_s, sid, src_ip, dst_ip) -> alert table (one host)."""
+    return pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(rows))]),
+            "warc_ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")
+            ),
+            "host": pa.array(["h"] * len(rows)),
+            "lang": pa.array(["en"] * len(rows)),
+            "text": pa.array([r[0] for r in rows]),
+            "sid": pa.array([r[2] for r in rows], type=pa.int64()),
+            "rev": pa.array([1] * len(rows), type=pa.int32()),
+            "msg": pa.array(["m"] * len(rows)),
+            "classification": pa.array(["c"] * len(rows)),
+            "priority": pa.array([1] * len(rows), type=pa.int32()),
+            "src_ip": pa.array([r[3] for r in rows]),
+            "dst_ip": pa.array([r[4] for r in rows]),
+        }
+    )
+
+
+_PAIR_RULES = (
+    'alert any any any -> any any (sid:20; content:"FAIL"; '
+    "xbits:set,pairbit,track ip_pair,expire 7200; noalert;)\n"
+    'alert any any any -> any any (sid:21; content:"OK"; '
+    "xbits:isset,pairbit,track ip_pair;)"
+)
+
+_PAIR_ROWS = [
+    ("FAIL login", 1_700_000_000, 20, "1.1.1.1", "2.2.2.2"),
+    ("OK login", 1_700_000_100, 21, "1.1.1.1", "2.2.2.2"),   # same pair -> fires
+    ("OK login", 1_700_000_200, 21, "1.1.1.1", "3.3.3.3"),   # same src only -> no
+    ("OK login", 1_700_000_300, 21, "4.4.4.4", "2.2.2.2"),   # same dst only -> no
+    ("OK login", 1_700_000_400, 21, "1.1.1.1", "2.2.2.2"),   # same pair -> fires
+]
+
+
+def test_xbits_ip_pair_tracking(ray_session):
+    """isset fires only for the exact (src,dst) pair — host/by_src
+    tracking would fire all OK rows (everything shares one host)."""
+    import ray.data as rd
+
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.stages.correlate import apply_xbits
+
+    rules, _ = parse_rules(_PAIR_RULES)
+    assert rules[0].xbits[0].track == "ip_pair"
+    out = apply_xbits(rd.from_arrow(_pair_alerts(_PAIR_ROWS)), rules).to_pandas()
+    assert sorted(out["url"].tolist()) == ["u1", "u4"]
+
+
+def test_xbits_ip_pair_fused_matches_two_phase(ray_session):
+    """The fused single-shuffle path resolves pair-tracked xbits exactly
+    like the two-phase path (a threshold rule forces fusion)."""
+    import ray.data as rd
+
+    from sagan_ray.rules import parse_rules
+    from sagan_ray.stages.correlate import (apply_correlation_fused,
+                                            apply_xbits, can_fuse)
+
+    rules, _ = parse_rules(
+        _PAIR_RULES + "\n"
+        'alert any any any -> any any (sid:22; content:"zzz"; '
+        "threshold: type limit, track by_host, count 1, seconds 60;)"
+    )
+    assert can_fuse(rules)
+    ds = rd.from_arrow(_pair_alerts(_PAIR_ROWS))
+    fused = apply_correlation_fused(ds, rules).to_pandas()
+    two = apply_xbits(ds, rules).to_pandas()
+    assert sorted(fused["url"].tolist()) == sorted(two["url"].tolist()) == ["u1", "u4"]
+
+
+def test_threshold_track_by_dst(ray_session):
+    """threshold limit tracked by_dst buckets by the parsed dst_ip."""
+    import ray.data as rd
+
+    from sagan_ray.rules import parse_rule
+    from sagan_ray.stages.correlate import (_attach_gb, _attach_keys,
+                                            _gate_partition, corr_specs)
+
+    rule = parse_rule(
+        'alert any any any -> any any (sid:30; content:"x"; '
+        "threshold: type limit, track by_dst, count 1, seconds 3600;)"
+    )
+    specs = corr_specs([rule])
+    assert specs[30]["track"] == "dst_ip"
+    rows = [
+        ("x a", 1_700_000_000, 30, "9.9.9.9", "2.2.2.2"),
+        ("x b", 1_700_000_010, 30, "9.9.9.9", "2.2.2.2"),  # same dst -> capped
+        ("x c", 1_700_000_020, 30, "9.9.9.9", "3.3.3.3"),  # new dst -> kept
+    ]
+    pdf = _attach_gb(
+        _attach_keys(_pair_alerts(rows), specs).to_pandas(),
+        ["sid", "ckey", "bucket"],
+    )
+    out = _gate_partition(pdf, specs)
+    assert sorted(out["url"].tolist()) == ["u0", "u2"]
+
+
+# ---------------------------------------------------------------------------
+# round-3: real decode branches behind try-imports (PIL / maxminddb are
+# absent from this container; fakes injected via sys.modules exercise
+# the real code path, the stub/dict fallbacks stay covered elsewhere)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_real_branch_with_fake_pil(monkeypatch):
+    import sys
+    import types
+
+    class FakeImg:
+        def __init__(self, payload):
+            self.payload = payload
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        @property
+        def size(self):
+            return (len(self.payload), 2)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((2, len(self.payload)), 7, dtype=np.uint8)
+
+    class FakeImage:
+        @staticmethod
+        def open(bio):
+            data = bio.read()
+            if not data.startswith(b"IMG"):
+                raise ValueError("not an image")
+            return FakeImg(data)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    from sagan_ray.stages.multimodal import DecodeImage
+
+    dec = DecodeImage(payload_col="payload", mode="real")
+    assert dec.real
+    t = pa.table(
+        {"url": pa.array(["a", "b"]),
+         "payload": pa.array([b"IMGxx", b"junk!"], type=pa.binary())}
+    )
+    out = dec(t)
+    # decodable -> real dims/mean; undecodable -> NULLs, batch survives
+    assert out["width"].to_pylist() == [5, None]
+    assert out["height"].to_pylist() == [2, None]
+    assert out["mean_byte"].to_pylist() == [7, None]
+    assert out["n_bytes"].to_pylist() == [5, 5]
+
+
+def test_decode_image_modes_without_pil():
+    from sagan_ray.stages.multimodal import DecodeImage
+
+    assert not DecodeImage(mode="auto").real   # falls back to stub
+    assert not DecodeImage(mode="stub").real
+    with pytest.raises(ImportError):
+        DecodeImage(mode="real")
+
+
+def test_enrich_mmdb_path_with_fake_maxminddb(monkeypatch, tmp_path):
+    import sys
+    import types
+
+    table = {"1.2.3.4": {"country": {"iso_code": "DE"}},
+             "5.6.7.8": {}}
+
+    class FakeReader:
+        def get(self, key):
+            if ":" not in key and key.count(".") != 3:
+                raise ValueError("not an IP")
+            return table.get(key)
+
+    fake = types.ModuleType("maxminddb")
+    opened = []
+    fake.open_database = lambda p: (opened.append(p), FakeReader())[1]
+    monkeypatch.setitem(sys.modules, "maxminddb", fake)
+
+    from sagan_ray.stages.enrich import Enrich
+
+    p = str(tmp_path / "geo.mmdb")
+    e = Enrich({"hostA": "US"}, set(), [], mmdb_path=p)
+    assert opened == [p] and e.mmdb is not None
+    t = pa.table(
+        {
+            # dict hit, mmdb hit, mmdb empty record, non-IP miss
+            "host": pa.array(["hostA", "1.2.3.4", "5.6.7.8", "hostB"]),
+            "lang": pa.array(["en"] * 4),
+            "text": pa.array(["x"] * 4),
+        }
+    )
+    out = e(t)
+    # same `country` contract: dict first, mmdb for IP-shaped misses,
+    # 'ZZ' fallback for everything else
+    assert out["country"].to_pylist() == ["US", "DE", "ZZ", "ZZ"]
+
+
+def test_enrich_mmdb_absent_falls_back_to_dict():
+    from sagan_ray.stages.enrich import Enrich
+
+    e = Enrich({"hostA": "US"}, set(), [], mmdb_path="/nonexistent/geo.mmdb")
+    assert e.mmdb is None  # maxminddb not installed -> broadcast dict only
+    t = pa.table(
+        {"host": pa.array(["hostA"]), "lang": pa.array(["en"]),
+         "text": pa.array(["x"])}
+    )
+    assert e(t)["country"].to_pylist() == ["US"]
