@@ -67,6 +67,32 @@ _W = f"WITH w AS ({WEBPAGES_SQL})"
 # ---------------------------------------------------------------------------
 
 
+def _hex_upper(col) -> pa.Array:
+    """binary column -> UPPERCASE hex string column, fully vectorized:
+    one numpy nibble-LUT pass over the raw data buffer, offsets doubled
+    in place — no per-row Python (`b.hex()` per row was the old shape)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    bufs = arr.buffers()  # [validity, offsets(int32), data]
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    hexmap = np.frombuffer(b"0123456789ABCDEF", dtype=np.uint8)
+    out = np.empty(len(data) * 2, dtype=np.uint8)
+    out[0::2] = hexmap[data >> 4]
+    out[1::2] = hexmap[data & 0x0F]
+    new_offs = ((offs - offs[0]) * 2).astype(np.int32)
+    hexed = pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(out.tobytes())],
+    )
+    if arr.null_count:
+        hexed = pc.if_else(pc.is_valid(arr), hexed,
+                           pa.scalar(None, type=pa.string()))
+    return hexed
+
+
 def q_wp_parse(sf_dir):
     """Full parse output; html emitted as an UPPERCASE hex string —
     binary columns break pandas-side canonicalization (bytearray is
@@ -74,11 +100,7 @@ def q_wp_parse(sf_dir):
     ds = webpages_from_documents(sf_dir)
 
     def hexify(t: pa.Table) -> pa.Table:
-        hx = pa.array(
-            [b.hex().upper() if b is not None else None
-             for b in t["html"].to_pylist()],
-            type=pa.string(),
-        )
+        hx = _hex_upper(t["html"])
         cols = {c: (hx if c == "html" else t[c]) for c in t.column_names}
         out = pa.table(cols)
         return out.rename_columns(

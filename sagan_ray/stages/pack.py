@@ -99,3 +99,86 @@ def pack_stage(ds, cap: int = 2048, **kwargs):
     return ds.map_batches(
         lambda t: pack_batch(t, cap, **kwargs), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-stream assembly: deterministic shuffle + weighted mixture
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 64-bit mix of (id, seed) — splitmix64 finalizer.
+    Pure integer arithmetic: replay-stable across runs, processes and
+    block layouts (unlike random_shuffle, which is seed-stable only for
+    a fixed block layout)."""
+    x = ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def seeded_shuffle(ds, id_col: str = "doc_id", seed: int = 42):
+    """Deterministic global shuffle for training-order randomization:
+    sort by a splitmix64 hash of (id, seed).
+
+    Scale shape: ONE distributed sort (Ray's range-partitioned sort —
+    the same all-to-all any global shuffle pays), but unlike
+    ``random_shuffle`` the order is a pure function of (id, seed): a
+    resumed or replayed run reproduces the identical stream, and a new
+    seed is a full reshuffle without touching the data. The helper key
+    column is dropped after the sort."""
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "_shuf", pa.array(_shuffle_key(ids, seed).view(np.int64))
+        )
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .sort("_shuf")
+            .drop_columns(["_shuf"]))
+
+
+def mix_datasets(sources: list, weights: list[float], id_col: str = "doc_id",
+                 seed: int = 42, source_col: str | None = "source_id"):
+    """Weighted deterministic corpus mixture: keep each source-``i`` row
+    with probability ``weights[i]`` (hash-gated — no RNG state), union
+    the survivors. The training-mixture step of an LLM data pipeline
+    (e.g. 100% wiki + 30% webcrawl).
+
+    Scale shape: map-only filters + a union — no shuffle; combine with
+    :func:`seeded_shuffle` downstream for training order. Deterministic:
+    membership is a pure function of (id, per-source seed), so replays
+    and resumed runs see the same mixture. ``source_col`` (optional)
+    tags provenance."""
+    import ray.data as rd  # noqa: F401  (documents the Dataset contract)
+
+    if len(sources) != len(weights):
+        raise ValueError("one weight per source")
+    out = []
+    denom = float(1 << 64)
+
+    def gate_factory(i: int, w: float):
+        thresh = np.uint64(min(max(w, 0.0), 1.0) * denom) if w < 1.0 else None
+
+        def gate(t: pa.Table) -> pa.Table:
+            if source_col:
+                t = t.append_column(
+                    source_col, pa.array([i] * len(t), type=pa.int32())
+                )
+            if thresh is None:
+                return t
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            keep = _shuffle_key(ids, seed + 1000003 * i) < thresh
+            return t.filter(pa.array(keep))
+
+        return gate
+
+    for i, (src, w) in enumerate(zip(sources, weights)):
+        out.append(src.map_batches(gate_factory(i, w), batch_format="pyarrow"))
+    mixed = out[0]
+    for o in out[1:]:
+        mixed = mixed.union(o)
+    return mixed

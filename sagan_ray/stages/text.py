@@ -156,13 +156,9 @@ def _poly_weights(k: int) -> np.ndarray:
     return w
 
 
-def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> list[int]:
-    """Standard winnowing: k-gram hashes, per-window minimum (rightmost
-    min kept), deduplicated in order. Deterministic: 64-bit polynomial
-    codepoint hash (wrapping), >>1 so every fingerprint fits int64.
-    Fully vectorized — rolling hash + sliding-window argmin in numpy,
-    no per-gram hashlib calls (a pure-int differential test pins the
-    numpy arithmetic to the scalar definition)."""
+def _winnow_core(text: str, k: int = 8, window: int = 6) -> np.ndarray:
+    """Winnowing fingerprints as a uint64 ndarray (no per-gram Python):
+    rolling polynomial hash + sliding-window rightmost-argmin."""
     cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
         np.uint64
     )
@@ -179,21 +175,38 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> list[int]:
         win = np.lib.stride_tricks.sliding_window_view(cps, k)
         hs = (win * _poly_weights(k)).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
     if len(hs) <= window:
-        return [int(hs.min())]
+        return hs.min(keepdims=True)
     wv = np.lib.stride_tricks.sliding_window_view(hs, window)
     # rightmost min per window: first min of the reversed window
     rev_arg = np.argmin(wv[:, ::-1], axis=1)
     j = np.arange(len(wv)) + (window - 1 - rev_arg)
     keep = np.r_[True, j[1:] != j[:-1]]  # drop consecutive re-picks
-    return [int(x) for x in hs[j[keep]]]
+    return hs[j[keep]]
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> list[int]:
+    """Standard winnowing: k-gram hashes, per-window minimum (rightmost
+    min kept), deduplicated in order. Deterministic: 64-bit polynomial
+    codepoint hash (wrapping), >>1 so every fingerprint fits int64.
+    Fully vectorized — rolling hash + sliding-window argmin in numpy,
+    no per-gram hashlib calls (a pure-int differential test pins the
+    numpy arithmetic to the scalar definition)."""
+    return [int(x) for x in _winnow_core(text, k, window)]
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
-    fps = [winnow_fingerprints(x or "") for x in t[text_col].to_pylist()]
+    # per-doc loop over the vectorized core; count/min reduce in numpy,
+    # no per-gram Python int materialization
+    n_fp = []
+    min_fp = []
+    for x in t[text_col].to_pylist():
+        fp = _winnow_core(x or "")
+        n_fp.append(len(fp))
+        min_fp.append(int(fp.min()) if len(fp) else 0)
     return pa.table(
         {
             "doc_id": t["doc_id"],
-            "n_fp": pa.array([len(f) for f in fps], type=pa.int64()),
-            "min_fp": pa.array([min(f) if f else 0 for f in fps], type=pa.int64()),
+            "n_fp": pa.array(n_fp, type=pa.int64()),
+            "min_fp": pa.array(min_fp, type=pa.int64()),
         }
     )

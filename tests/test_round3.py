@@ -508,3 +508,52 @@ def test_enrich_mmdb_absent_falls_back_to_dict():
          "text": pa.array(["x"])}
     )
     assert e(t)["country"].to_pylist() == ["US"]
+
+
+# ---------------------------------------------------------------------------
+# round-3: training-stream assembly ops (deterministic shuffle, mixture)
+# ---------------------------------------------------------------------------
+
+
+def test_seeded_shuffle_deterministic_permutation(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import seeded_shuffle
+
+    ds = rd.range(500).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    a = seeded_shuffle(ds, seed=7).to_pandas()["doc_id"].tolist()
+    b = seeded_shuffle(ds, seed=7).to_pandas()["doc_id"].tolist()
+    c = seeded_shuffle(ds, seed=8).to_pandas()["doc_id"].tolist()
+    assert a == b                      # replay-stable
+    assert a != c                      # new seed = new order
+    assert sorted(a) == list(range(500))   # a permutation
+    assert a != list(range(500))       # actually shuffled
+    # block-layout invariance: same ids, different partitioning
+    ds2 = rd.range(500, override_num_blocks=13).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    assert seeded_shuffle(ds2, seed=7).to_pandas()["doc_id"].tolist() == a
+
+
+def test_mix_datasets_weighted_deterministic(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import mix_datasets
+
+    a = rd.range(2000).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    b = rd.range(2000).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    m = mix_datasets([a, b], [1.0, 0.3], seed=42).to_pandas()
+    n0 = (m["source_id"] == 0).sum()
+    n1 = (m["source_id"] == 1).sum()
+    assert n0 == 2000                  # weight 1.0 keeps everything
+    assert 450 <= n1 <= 750            # ~0.3 of 2000, hash-gated
+    # deterministic membership
+    m2 = mix_datasets([a, b], [1.0, 0.3], seed=42).to_pandas()
+    assert sorted(m2[m2["source_id"] == 1]["doc_id"]) == sorted(
+        m[m["source_id"] == 1]["doc_id"])
+    # different seed -> different subset (same size class)
+    m3 = mix_datasets([a, b], [1.0, 0.3], seed=43).to_pandas()
+    assert sorted(m3[m3["source_id"] == 1]["doc_id"]) != sorted(
+        m[m["source_id"] == 1]["doc_id"])
