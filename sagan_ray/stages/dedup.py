@@ -875,3 +875,125 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         )
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pair set -> duplicate clusters -> keeper filter
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs, id_a: str = "doc_id_a", id_b: str = "doc_id_b",
+                   max_rounds: int = 50):
+    """Connected components over a near-dup pair set -> one
+    ``(doc_id, cluster_id)`` row per node, ``cluster_id`` = the MIN doc
+    id in the component (the canonical keeper).
+
+    Distributed min-label propagation WITH pointer jumping: each round
+    every node takes the min label over itself and its neighbors (one
+    hash join to ship labels along edges + one groupby-min + one fold
+    join), then shortcuts ``label(v) <- label(label(v))`` (one more
+    self-join) — so convergence is O(log diameter), not O(diameter);
+    even pathological chain graphs settle in ~log2 rounds, and LSH dup
+    near-cliques in 1–2. Each round touches only the pair set
+    (≪ corpus). The loop is driver-COORDINATED but never
+    driver-EXECUTED: per round the driver sees a single changed-row
+    count; labels/edges stay in the object store.
+    """
+    from ray.data.aggregate import Min
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[id_a].combine_chunks().cast(pa.int64())
+        b = t[id_b].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    npart = max(2, min(_join_width(), edges.count() // 250_000 + 2))
+
+    # initial label: min(self, neighbors) — the first propagation round
+    # folded into initialization
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["src"],
+                "label": pa.compute.min_element_wise(
+                    t["src"].combine_chunks().cast(pa.int64()),
+                    t["label"].combine_chunks().cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # ship each node's label along its out-edges, take min per dst
+        msgs = edges.join(
+            _rename_cols(labels, {"node": "src"}),
+            join_type="inner", num_partitions=npart, on=("src",),
+        )
+        inbox = msgs.groupby("dst").aggregate(Min("label", alias_name="min_in"))
+        merged = labels.join(
+            _rename_cols(inbox, {"dst": "node"}),
+            join_type="inner", num_partitions=npart, on=("node",),
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            lab = t["label"].combine_chunks().cast(pa.int64())
+            mi = t["min_in"].combine_chunks().cast(pa.int64())
+            new = pa.compute.min_element_wise(lab, mi)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "label": new,
+                    "chg": pa.compute.less(mi, lab),
+                }
+            )
+
+        folded = merged.map_batches(fold, batch_format="pyarrow").materialize()
+        changed = folded.filter(expr="chg == True").count()
+        labels = folded.drop_columns(["chg"])
+        if changed == 0:
+            labels = labels.materialize()
+            break
+        # pointer jumping: label(v) <- label(label(v)). Labels only
+        # decrease and label(u) <= u, so the shortcut is monotone-safe;
+        # every label IS a node (a min over node ids), so the inner
+        # self-join is total.
+        jump = labels.join(
+            _rename_cols(labels, {"node": "label", "label": "label2"}),
+            join_type="inner", num_partitions=npart, on=("label",),
+        )
+        labels = jump.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 "label": t["label2"].combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+    return _rename_cols(labels, {"node": "doc_id", "label": "cluster_id"})
+
+
+def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
+    """Drop every near-duplicate except its cluster keeper (min id).
+
+    ``pairs`` is any near-dup pair Dataset (minhash/simhash/embedding);
+    non-keeper ids come from :func:`dedup_clusters`, and the corpus is
+    filtered with a distributed left-ANTI join (both sides stay
+    distributed; the dropped-id set is never a driver-side structure).
+    """
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(expr="doc_id != cluster_id").select_columns(
+        ["doc_id"]
+    )
+    losers = _rename_cols(losers, {"doc_id": id_col}).materialize()
+    npart = max(2, min(_join_width(), losers.count() // 250_000 + 2))
+    return ds.join(losers, join_type="left_anti", num_partitions=npart,
+                   on=(id_col,))

@@ -557,3 +557,66 @@ def test_mix_datasets_weighted_deterministic(ray_session):
     m3 = mix_datasets([a, b], [1.0, 0.3], seed=43).to_pandas()
     assert sorted(m3[m3["source_id"] == 1]["doc_id"]) != sorted(
         m[m["source_id"] == 1]["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# round-3: pair set -> duplicate clusters -> keeper filter
+# ---------------------------------------------------------------------------
+
+
+def _union_find_reference(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dedup_clusters_matches_union_find(ray_session):
+    """Min-label propagation == union-find on a random graph with
+    chains, cliques and singletons-with-one-edge."""
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import dedup_clusters
+
+    rng = np.random.RandomState(3)
+    pairs = set()
+    # a long chain (worst diameter), a clique, random edges
+    pairs |= {(i, i + 1) for i in range(0, 12)}          # chain 0..12
+    pairs |= {(a, b) for a in range(100, 105) for b in range(a + 1, 105)}
+    for _ in range(40):
+        a, b = rng.randint(200, 260, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    plist = sorted(pairs)
+    nodes = sorted({x for p in plist for x in p})
+    expect = _union_find_reference(plist, nodes)
+
+    ds = rd.from_items(
+        [{"doc_id_a": int(a), "doc_id_b": int(b)} for a, b in plist])
+    out = dedup_clusters(ds).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expect
+
+
+def test_dedup_keep_first_filters_losers(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import dedup_keep_first
+
+    docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    pairs = rd.from_items([
+        {"doc_id_a": 1, "doc_id_b": 4},
+        {"doc_id_a": 4, "doc_id_b": 7},   # cluster {1,4,7} -> keeper 1
+        {"doc_id_a": 2, "doc_id_b": 9},   # cluster {2,9}   -> keeper 2
+    ])
+    kept = sorted(dedup_keep_first(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [0, 1, 2, 3, 5, 6, 8]
