@@ -29,7 +29,7 @@ FROM events
 def adapt_batch(batch: pa.Table) -> pa.Table:
     from .jsonmap import _extract_paths
 
-    # vectorized $.k extraction (polars Rust kernel — no per-row loop at
+    # vectorized $.k extraction (DuckDB json kernel — no per-row loop at
     # input scale); empty/missing props render as "" like the reference's
     # empty-field posture
     ks = pc.fill_null(_extract_paths(batch["props"], [".k"])[0], "")

@@ -28,26 +28,52 @@ DEFAULT_MAPPING = {
 }
 
 
+#: per-worker-process DuckDB connection for JSON extraction (built once,
+#: reused across batches; threads=1 so a 1-cpu Ray worker stays 1 thread)
+_JSON_CON = None
+
+
+def _json_con():
+    global _JSON_CON
+    if _JSON_CON is None:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        _JSON_CON = con
+    return _JSON_CON
+
+
 def _extract_paths(raw: pa.ChunkedArray | pa.Array,
                    paths: list[str]) -> list[pa.Array]:
     """Vectorized dotted-path extraction from a raw-JSON string column.
 
-    polars ``str.json_path_match`` — one Rust pass per path, no per-row
-    Python; malformed lines and missing keys yield null (matching
-    DuckDB ``json_extract_string`` semantics, which the oracles use).
-    polars is a hard dependency of this stage: a silent Python
-    fallback would stringify booleans/nested objects differently
-    ('True' vs 'true'), making match results environment-dependent.
+    DuckDB ``json_extract_string`` over the zero-copy-registered Arrow
+    column — one C++ pass for all paths, no per-row Python; malformed
+    lines and missing keys yield null. Using the same engine the
+    oracles run on makes the stringification of booleans / nested
+    objects / numbers ('true', raw JSON text, '7') match them by
+    construction. (Earlier revisions used polars ``json_path_match`` —
+    same semantics, but its lazy module re-exports raced under
+    concurrent worker import, intermittently raising AttributeError
+    mid-pipeline.)
     """
-    import polars as pl  # hard dep — no divergent fallback by design
-
-    s = pl.Series("j", pa.chunked_array([raw]) if isinstance(raw, pa.Array)
-                  else raw.combine_chunks())
-    out = []
-    for path in paths:
-        jp = "$." + path.lstrip(".")
-        out.append(s.str.json_path_match(jp).to_arrow().cast(pa.string()))
-    return out
+    con = _json_con()
+    tbl = pa.table({"j": raw})
+    sel = ", ".join(
+        "CASE WHEN json_valid(j) THEN json_extract_string(j, ?) END"
+        f" AS c{i}" for i in range(len(paths))
+    )
+    con.register("_jm_t", tbl)
+    try:
+        res = con.execute(
+            f"SELECT {sel} FROM _jm_t",
+            ["$." + p.lstrip(".") for p in paths],
+        ).arrow()
+    finally:
+        con.unregister("_jm_t")
+    return [res.column(i).combine_chunks().cast(pa.string())
+            for i in range(len(paths))]
 
 
 def json_map_batch(batch: pa.Table, mapping: dict[str, str],

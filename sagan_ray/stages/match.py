@@ -365,11 +365,11 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
             return np.zeros(n, dtype=bool)
         # extract ONLY rows still masked (candidates after the cheap
         # vectorized gates), and ONLY the dotted paths the rule names —
-        # one Rust json_path_match pass per path (jsonmap._extract_paths)
-        # instead of json.loads of the whole object per row. Missing keys
-        # and malformed payloads yield null, which fails every matcher —
-        # the same null-safe semantics DuckDB's json_extract_string
-        # oracles use.
+        # one DuckDB json_extract_string pass for all paths
+        # (jsonmap._extract_paths) instead of json.loads of the whole
+        # object per row. Missing keys and malformed payloads yield
+        # null, which fails every matcher — identical semantics to the
+        # json_extract_string oracles (same engine).
         from ..sources.jsonmap import _extract_paths
 
         idxs = np.flatnonzero(mask)
