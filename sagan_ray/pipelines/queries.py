@@ -238,17 +238,15 @@ def q_wp_sample(sf_dir):
     """Deterministic hash sampling (md5 of the key): ~1/8 of rows, exact
     SQL mirror — the scale-safe stand-in for random_sample (stateless,
     partition-independent, replay-stable)."""
-    import hashlib
-
     ds = webpages_from_documents(sf_dir, include_html=False)
 
     def sample(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        keep = [
-            hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1")
-            for i in ids
-        ]
-        return t.select(["url", "doc_id"]).filter(pa.array(keep))
+        from ..functions.duck import md5_hex
+
+        h = md5_hex(pc.cast(t["doc_id"], pa.string()))
+        keep = pc.is_in(pc.utf8_slice_codeunits(h, 0, 1),
+                        value_set=pa.array(["0", "1"]))
+        return t.select(["url", "doc_id"]).filter(keep)
 
     return ds.map_batches(sample, batch_format="pyarrow")
 

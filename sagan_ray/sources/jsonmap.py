@@ -28,22 +28,6 @@ DEFAULT_MAPPING = {
 }
 
 
-#: per-worker-process DuckDB connection for JSON extraction (built once,
-#: reused across batches; threads=1 so a 1-cpu Ray worker stays 1 thread)
-_JSON_CON = None
-
-
-def _json_con():
-    global _JSON_CON
-    if _JSON_CON is None:
-        import duckdb
-
-        con = duckdb.connect()
-        con.execute("SET threads=1")
-        _JSON_CON = con
-    return _JSON_CON
-
-
 def _extract_paths(raw: pa.ChunkedArray | pa.Array,
                    paths: list[str]) -> list[pa.Array]:
     """Vectorized dotted-path extraction from a raw-JSON string column.
@@ -58,20 +42,14 @@ def _extract_paths(raw: pa.ChunkedArray | pa.Array,
     concurrent worker import, intermittently raising AttributeError
     mid-pipeline.)
     """
-    con = _json_con()
-    tbl = pa.table({"j": raw})
+    from ..functions.duck import project
+
     sel = ", ".join(
         "CASE WHEN json_valid(j) THEN json_extract_string(j, ?) END"
         f" AS c{i}" for i in range(len(paths))
     )
-    con.register("_jm_t", tbl)
-    try:
-        res = con.execute(
-            f"SELECT {sel} FROM _jm_t",
-            ["$." + p.lstrip(".") for p in paths],
-        ).arrow()
-    finally:
-        con.unregister("_jm_t")
+    res = project(pa.table({"j": raw}), f"SELECT {sel} FROM b",
+                  ["$." + p.lstrip(".") for p in paths])
     return [res.column(i).combine_chunks().cast(pa.string())
             for i in range(len(paths))]
 

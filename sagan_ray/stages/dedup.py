@@ -35,8 +35,11 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 
 
-def md5_hex(texts: list[str]) -> list[str]:
-    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+def md5_hex(texts) -> pa.Array:
+    """Vectorized md5 hex digests (DuckDB kernel — no per-row Python)."""
+    from ..functions.duck import md5_hex as _duck_md5
+
+    return _duck_md5(texts)
 
 
 def fast_digest128(texts) -> np.ndarray:
@@ -67,21 +70,20 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
     """-> (digest col, keeper_doc_id, n): one row per distinct content.
 
     ``digest="fast128"`` (default, the scale path): vectorized 128-bit
-    siphash digest, output column ``text_digest`` — no per-row Python
-    anywhere. ``digest="md5"``: hashlib md5 per row (C per call but a
-    Python loop over rows), output column ``text_md5`` — the
-    oracle-facing choice since DuckDB can restate ``md5(text)``.
-    Either way only (digest, id) rides the shuffle, never text."""
+    siphash digest, output column ``text_digest``. ``digest="md5"``:
+    vectorized DuckDB md5 kernel, output column ``text_md5`` — the
+    oracle-facing choice since DuckDB can restate ``md5(text)``. No
+    per-row Python either way, and only (digest, id) rides the
+    shuffle, never text."""
     from ray.data.aggregate import Count, Min
 
     col = "text_md5" if digest == "md5" else "text_digest"
 
     def add_hash(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
         if digest == "md5":
-            h = pa.array(md5_hex(texts))
+            h = md5_hex(t[text_col])
         else:
-            h = pa.array(fast_digest128(texts))
+            h = pa.array(fast_digest128(t[text_col].to_pylist()))
         return pa.table({col: h, id_col: t[id_col]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
