@@ -52,7 +52,7 @@ def _n_buckets() -> int:
     return max(64, 4 * cpus)
 
 
-def shuffle_groups(ds, key: str, fn):
+def shuffle_groups(ds, key: str, fn, batch_format: str = "pandas"):
     """Co-locate logical groups by ``key`` and run ``fn`` once per
     partition frame (``groupby(key).map_groups``).
 
@@ -63,8 +63,14 @@ def shuffle_groups(ds, key: str, fn):
     alternative: Ray 2.49's hash-shuffle ``repartition(keys=...)`` +
     whole-block map_batches runs 4-6x SLOWER here (29-44 s vs 7.9 s on
     the 32 M-row fused gate; its aggregator-actor exchange is built for
-    much larger payloads), so the sort-based groupby stays."""
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    much larger payloads), so the sort-based groupby stays.
+
+    ``batch_format="pyarrow"`` hands ``fn`` zero-copy Arrow tables —
+    the hot-partition choice: a 460k-row bucket with ~10 string columns
+    costs seconds just materializing Python objects for a pandas frame
+    (measured: the fused gate's straggler task spent 4.2 s in the
+    round-trip and 0.4 s in the actual gate math)."""
+    return ds.groupby(key).map_groups(fn, batch_format=batch_format)
 
 
 def _track_col(track: str) -> str:
@@ -257,11 +263,25 @@ def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
     """
     if g.empty:
         return g.drop(columns=["gb"], errors="ignore")
-    n = len(g)
-    sid_np = g["sid"].to_numpy(dtype=np.int64)
-    ckey_codes = pd.factorize(g["ckey"], sort=False)[0]
-    bucket = g["bucket"].to_numpy(dtype=np.int64)
-    ts_dt = g["warc_ts"].to_numpy(dtype="datetime64[us]")
+    idx = _gate_order_keep(
+        g["sid"].to_numpy(dtype=np.int64),
+        pd.factorize(g["ckey"], sort=False)[0],
+        g["bucket"].to_numpy(dtype=np.int64),
+        g["warc_ts"].to_numpy(dtype="datetime64[us]"),
+        lambda rows: g["url"].to_numpy(dtype=object)[rows],
+        specs,
+    )
+    out = g.iloc[idx]
+    return out.drop(columns=["gb"], errors="ignore")
+
+
+def _gate_order_keep(sid_np: np.ndarray, ckey_codes: np.ndarray,
+                     bucket: np.ndarray, ts_dt: np.ndarray,
+                     get_urls, specs: dict[int, dict]) -> np.ndarray:
+    """Shared gate core -> positional indices of kept rows (in gated
+    order). ``get_urls(rows)`` lazily materializes url strings for the
+    tie-break rows only (both the pandas and Arrow wrappers feed it)."""
+    n = len(sid_np)
     ts = ts_dt.astype(np.int64)
     nat = np.isnat(ts_dt)
     if nat.any():
@@ -277,11 +297,16 @@ def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
     run_ends = np.r_[run_starts[1:], n]
     long_runs = np.flatnonzero(run_ends - run_starts > 1)
     if len(long_runs):
-        urls = g["url"].to_numpy(dtype=object)
+        need = np.concatenate([order[run_starts[ri]:run_ends[ri]]
+                               for ri in long_runs])
+        urls = get_urls(need)
+        off = 0
         for ri in long_runs:
             s0, e0 = run_starts[ri], run_ends[ri]
+            m = e0 - s0
             sl = order[s0:e0]
-            order[s0:e0] = sl[np.argsort(urls[sl], kind="stable")]
+            order[s0:e0] = sl[np.argsort(urls[off:off + m], kind="stable")]
+            off += m
     grp_start_pos = np.flatnonzero(new_grp)
     grp_sizes = np.diff(np.r_[grp_start_pos, n])
     rn = np.arange(n, dtype=np.int64) - np.repeat(grp_start_pos, grp_sizes)
@@ -301,8 +326,57 @@ def _gate_partition(g: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
                 keep[m] = rn[m] < spec["count"]
         else:  # after
             keep[m] = rn[m] >= spec["count"]
-    out = g.iloc[order[keep]]
-    return out.drop(columns=["gb"], errors="ignore")
+    return order[keep]
+
+
+def _np_col(t: pa.Table, name: str, dtype=None) -> np.ndarray:
+    arr = t[name]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = arr.to_numpy(zero_copy_only=False)
+    return out if dtype is None else out.astype(dtype)
+
+
+def _str_codes(t: pa.Table, name: str) -> np.ndarray:
+    """Appearance-order-free integer codes for a string column — Arrow
+    dictionary_encode (C++), no Python string objects. Codes only carry
+    group IDENTITY (never order), so dictionary index order is fine."""
+    arr = t[name]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    # nulls encode as null indices -> NaN through to_numpy; pin to -1
+    if codes.dtype.kind == "f":
+        codes = np.where(np.isnan(codes), -1, codes)
+    return codes.astype(np.int64)
+
+
+def _take_urls(t: pa.Table):
+    def get(rows: np.ndarray) -> np.ndarray:
+        col = t["url"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col.take(pa.array(rows)).to_pylist(), dtype=object)
+
+    return get
+
+
+def _gate_partition_pa(t: pa.Table, specs: dict[int, dict]) -> pa.Table:
+    """Arrow-native twin of :func:`_gate_partition`: same gate core,
+    but the kept rows come back via ``Table.take`` — no Python string
+    objects are created except the tie-break urls."""
+    if t.num_rows == 0:
+        return t
+    idx = _gate_order_keep(
+        _np_col(t, "sid", np.int64),
+        _str_codes(t, "ckey"),
+        _np_col(t, "bucket", np.int64),
+        _np_col(t, "warc_ts").astype("datetime64[us]"),
+        _take_urls(t),
+        specs,
+    )
+    return t.take(pa.array(idx))
 
 
 def apply_correlation(alerts_ds, rules: list[Rule]):
@@ -495,23 +569,21 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
 
     helper_cols = ["ckey", "bucket", "xname", "xaction", "xkey", "xexpire", "kind"]
 
-    def gate_and_resolve(g: pd.DataFrame) -> pd.DataFrame:
+    def gate_and_resolve(g: pa.Table) -> pa.Table:
         outs = []
-        corr_rows = g[g["kind"] == "corr"]
-        if len(corr_rows):
-            outs.append(_gate_partition(corr_rows, specs))
-        xb_rows = g[g["kind"] == "xbit"]
-        if len(xb_rows):
-            # set/unset rows contribute state inside _resolve_partition;
-            # only isset/isnotset keeps are emitted. Set-only rules'
-            # own routing happens on the bypass branch (no duplicates).
-            outs.append(_resolve_partition(xb_rows))
-        out = (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else g.iloc[0:0]
+        corr_rows = g.filter(pc.equal(g["kind"], "corr"))
+        if corr_rows.num_rows:
+            outs.append(_gate_partition_pa(corr_rows, specs))
+        xb_rows = g.filter(pc.equal(g["kind"], "xbit"))
+        if xb_rows.num_rows:
+            # set/unset rows contribute state inside the resolver; only
+            # isset/isnotset keeps are emitted. Set-only rules' own
+            # routing happens on the bypass branch (no duplicates).
+            outs.append(_resolve_partition_pa(xb_rows))
+        out = pa.concat_tables(outs) if outs else g.slice(0, 0)
+        return out.drop_columns(
+            [c for c in helper_cols + ["gb"] if c in out.column_names]
         )
-        return out.drop(columns=[c for c in helper_cols + ["gb"] if c in out.columns])
 
     _CANON = ["url", "warc_ts", "host", "lang", "text", "sid", "rev",
               "msg", "classification", "priority", "src_ip", "dst_ip",
@@ -540,10 +612,10 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
 
     plain = alerts_ds.map_batches(bypass, batch_format="pyarrow")
     tagged = alerts_ds.map_batches(explode_safe, batch_format="pyarrow")
-    gated = shuffle_groups(tagged, "gb", gate_and_resolve)
-    # map_groups emits pandas blocks whose all-null columns degrade to
-    # null type; reattach + re-encode to the canonical arrow schema
-    # BEFORE the union so both branches stream identical block schemas
+    gated = shuffle_groups(tagged, "gb", gate_and_resolve,
+                           batch_format="pyarrow")
+    # reattach re-encodes to the canonical arrow schema BEFORE the
+    # union so both branches stream identical block schemas
     gated = gated.map_batches(reattach, batch_format="pyarrow")
     return plain.union(gated)
 
@@ -610,6 +682,80 @@ def _resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
     act = g["xaction"].to_numpy()
     keep = np.where(act == "isset", active, np.where(act == "isnotset", ~active, False))
     return g[keep].drop(columns=["_ord"])
+
+
+_XB_ORD = {"set": 0, "unset": 1, "isset": 2, "isnotset": 3}
+
+
+def _resolve_partition_pa(t: pa.Table) -> pa.Table:
+    """Arrow-native twin of :func:`_resolve_partition` (same state
+    machine, differential-tested): per-(xname, xkey) forward-fill is a
+    segment cummax over row indices instead of a pandas groupby ffill,
+    and kept rows come back via ``Table.take`` — no object columns are
+    materialized except tie-break urls."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    xn = _str_codes(t, "xname")
+    xk = _str_codes(t, "xkey")
+    ts_dt = _np_col(t, "warc_ts").astype("datetime64[us]")
+    ts = ts_dt.astype(np.int64)
+    ts[np.isnat(ts_dt)] = np.iinfo(np.int64).max  # NULLS LAST
+    act_str = t["xaction"]
+    if isinstance(act_str, pa.ChunkedArray):
+        act_str = act_str.combine_chunks()
+    ordv = np.select(
+        [pc.equal(act_str, a).to_numpy(zero_copy_only=False)
+         for a in _XB_ORD],
+        list(_XB_ORD.values()),
+    ).astype(np.int64)
+    order = np.lexsort((ordv, ts, xk, xn))
+    sxn, sxk, sts, sord = xn[order], xk[order], ts[order], ordv[order]
+    new_grp = np.r_[True, (sxn[1:] != sxn[:-1]) | (sxk[1:] != sxk[:-1])]
+    # url tie-break inside fully-equal (group, ts, action) runs — the
+    # pandas twin's 5th mergesort key
+    new_run = new_grp | np.r_[True, (sts[1:] != sts[:-1]) | (sord[1:] != sord[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.r_[run_starts[1:], n]
+    long_runs = np.flatnonzero(run_ends - run_starts > 1)
+    if len(long_runs):
+        get_urls = _take_urls(t)
+        need = np.concatenate([order[run_starts[ri]:run_ends[ri]]
+                               for ri in long_runs])
+        urls = get_urls(need)
+        off = 0
+        for ri in long_runs:
+            s0, e0 = run_starts[ri], run_ends[ri]
+            m = e0 - s0
+            sl = order[s0:e0]
+            order[s0:e0] = sl[np.argsort(urls[off:off + m], kind="stable")]
+            off += m
+        sts = ts[order]
+        sord = ordv[order]
+    grp_start = np.repeat(np.flatnonzero(new_grp),
+                          np.diff(np.r_[np.flatnonzero(new_grp), n]))
+    idxs = np.arange(n, dtype=np.int64)
+    is_set = sord == 0
+    is_unset = sord == 1
+    last_set = np.maximum.accumulate(np.where(is_set, idxs, -1))
+    last_unset = np.maximum.accumulate(np.where(is_unset, idxs, -1))
+    valid_set = last_set >= grp_start
+    valid_unset = last_unset >= grp_start
+    set_ts = sts[np.maximum(last_set, 0)]
+    unset_ts = sts[np.maximum(last_unset, 0)]
+    exp = _np_col(t, "xexpire", np.int64)[order].astype(np.float64)
+    exp_at_set = exp[np.maximum(last_set, 0)]
+    active_until = np.where(
+        ~valid_set,
+        -np.inf,
+        np.where(exp_at_set >= 0,
+                 set_ts.astype(np.float64) + exp_at_set * 1_000_000,
+                 np.inf),
+    )
+    cleared = valid_unset & valid_set & (unset_ts >= set_ts)
+    active = valid_set & (sts < active_until) & ~cleared
+    keep = np.where(sord == 2, active, np.where(sord == 3, ~active, False))
+    return t.take(pa.array(order[keep]))
 
 
 def apply_xbits(alerts_ds, rules: list[Rule]):

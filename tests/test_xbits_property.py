@@ -77,3 +77,75 @@ def test_vectorized_resolve_matches_naive(raw):
     got = sorted(_resolve_partition(g)["url"].tolist()) if len(g) else []
     want = naive_resolve(rows)
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2"]),
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(ACTIONS),
+            st.sampled_from([-1, 50, 200]),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_arrow_resolve_matches_pandas(raw):
+    """The Arrow-native resolver (Table.take, segment-cummax ffill) must
+    keep exactly the rows its pandas twin keeps."""
+    import pyarrow as pa
+
+    from sagan_ray.stages.correlate import _resolve_partition_pa
+
+    rows = [
+        (name, key, ts, act, exp, f"u{i:03d}")
+        for i, (name, key, ts, act, exp) in enumerate(raw)
+    ]
+    g = to_frame(rows)
+    want = sorted(_resolve_partition(g)["url"].tolist()) if len(g) else []
+    t = pa.Table.from_pandas(g, preserve_index=False)
+    got = sorted(_resolve_partition_pa(t)["url"].to_pylist())
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1000003, 1000007]),
+            st.sampled_from(["h1", "h2", "h3"]),
+            st.integers(min_value=0, max_value=3),   # coarse time bucket
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_arrow_gate_matches_pandas(raw):
+    """The Arrow-native threshold/after gate must keep exactly the rows
+    its pandas twin keeps (including url tie-breaks at equal ts)."""
+    import pyarrow as pa
+
+    from sagan_ray.stages.correlate import _gate_partition, _gate_partition_pa
+
+    specs = {
+        1000003: {"kind": "threshold", "ttype": "limit", "count": 2},
+        1000007: {"kind": "after", "count": 3},
+    }
+    g = pd.DataFrame(
+        {
+            "sid": np.array([r[0] for r in raw], dtype=np.int64),
+            "ckey": [r[1] for r in raw],
+            "bucket": np.array([r[2] for r in raw], dtype=np.int64),
+            "warc_ts": pd.to_datetime([r[3] // 7 for r in raw], unit="s")
+            .astype("datetime64[us]"),  # //7 forces equal-ts tie runs
+            "url": [f"u{i % 13:02d}-{i:03d}" for i in range(len(raw))],
+        }
+    )
+    want = sorted(_gate_partition(g, specs)["url"].tolist()) if len(g) else []
+    t = pa.Table.from_pandas(g, preserve_index=False)
+    got = sorted(_gate_partition_pa(t, specs)["url"].to_pylist())
+    assert got == want
