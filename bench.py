@@ -149,31 +149,30 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
-    # 100-rule set over the same input: multi-pattern prefilter scaling
+    # 100-rule set over the same input: multi-pattern prefilter scaling.
+    # Both flagship variants run best-of-2 with the reps SPREAD (one
+    # here, one after the query block) for the same steal-window reason
+    # as the headline: a single-shot leg judged inside a bad window
+    # reads as a fake 20-30% regression (observed r2->r3).
     from sagan_ray.synth_rules import synth_ruleset
 
-    out100 = "/tmp/sagan_bench_out100"
-    shutil.rmtree(out100, ignore_errors=True)
-    t0 = time.perf_counter()
-    ds100 = rd.read_parquet(
-        inp,
-        columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
-        override_num_blocks=2 * NUM_CPUS,
-    )
-    m100 = run_streaming(ds100, synth_ruleset(100), out100, enrich=False)
-    timings["flagship_100_rules"] = round(time.perf_counter() - t0, 3)
+    rules100 = synth_ruleset(100)
 
-    # enriched variant: actor-pool stage in the path
-    out_e = "/tmp/sagan_bench_out_enriched"
-    shutil.rmtree(out_e, ignore_errors=True)
-    t0 = time.perf_counter()
-    ds_e = rd.read_parquet(
-        inp,
-        columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
-        override_num_blocks=2 * NUM_CPUS,
-    )
-    run_streaming(ds_e, rules, out_e, enrich=True)
-    timings["flagship_enriched"] = round(time.perf_counter() - t0, 3)
+    def variant_rep(name: str, vrules, enrich: bool) -> None:
+        out_v = f"/tmp/sagan_bench_out_{name}"
+        shutil.rmtree(out_v, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds_v = rd.read_parquet(
+            inp,
+            columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
+            override_num_blocks=2 * NUM_CPUS,
+        )
+        run_streaming(ds_v, vrules, out_v, enrich=enrich)
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = min(timings.get(name, float("inf")), dt)
+
+    variant_rep("flagship_100_rules", rules100, False)
+    variant_rep("flagship_enriched", rules, True)
 
     timeit("wp_route_counts", Q.q_wp_route_counts)
     timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
@@ -186,8 +185,10 @@ def run_bench() -> dict:
     timeit("ev_asof_join", Q.q_ev_asof_join)
     timeit("ev_range_join", Q.q_ev_range_join)
 
-    # late headline reps: ~2 minutes after the early ones, so at least
-    # one rep pair straddles any single steal window
+    # late reps: ~2 minutes after the early ones, so at least one rep
+    # pair straddles any single steal window
+    variant_rep("flagship_100_rules", rules100, False)
+    variant_rep("flagship_enriched", rules, True)
     for _ in range(2):
         headline_rep()
     headline = state["headline"]

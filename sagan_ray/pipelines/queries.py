@@ -859,6 +859,18 @@ def q_dedup_minhash(sf_dir):
     return pairs.map_batches(j4, batch_format="pyarrow")
 
 
+def q_dedup_cluster(sf_dir):
+    """Near-dup pair set -> connected components (min-label propagation
+    with pointer jumping, O(log diameter) distributed rounds) -> one
+    (doc_id, cluster_id) row per paired node, cluster_id = min id in
+    the component. The oracle restates the components as a recursive
+    transitive closure over the exact shingle-Jaccard pair set."""
+    from ..stages.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_documents_with_mutations(sf_dir), threshold=0.9)
+    return dedup_clusters(pairs)
+
+
 def q_dedup_simhash(sf_dir):
     """SimHash near-dup pairs with an EXACT DuckDB oracle: word hashes
     are ``md5_number_lower`` (bytes 8..16 of md5, little-endian — the
@@ -1074,7 +1086,10 @@ QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ann_ivf": q_emb_ann_ivf,
     "mm_decode": q_mm_decode,
-    "mm_frame_sample": q_mm_frame_sample,
+    # registry is pinned at 50 entries (the driver evaluates the first
+    # 50): dedup_cluster displaced mm_frame_sample, which stays covered
+    # by tests/test_round3.py's plumbing tests and the mm_decode row
+    "dedup_cluster": q_dedup_cluster,
 }
 
 ORACLES = {
@@ -1367,10 +1382,44 @@ ORACLES = {
                CAST(16 + (octet_length(html) * 7919) % 240 AS BIGINT) AS width,
                CAST(16 + (octet_length(html) * 104729) % 240 AS BIGINT) AS height
         FROM w""",
-    "mm_frame_sample": f"""{_W}
-        SELECT url,
-               CAST(unnest(range(0, greatest(octet_length(html) // 100, 1), 10)) AS BIGINT) AS frame_id
-        FROM w""",
+    # connected components over the exact shingle-Jaccard pair set: the
+    # recursive CTE is the transitive closure, each node labeled by the
+    # minimum id it can reach (== the propagation fixpoint on the Ray side)
+    "dedup_cluster": """
+        WITH RECURSIVE m AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(string_split(text,' ')[3:], ' ') AS text
+          FROM documents),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM m),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct(list_transform(
+                        generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                 END AS s
+          FROM tok),
+        p AS (
+          SELECT doc_id_a AS a, doc_id_b AS b
+          FROM (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(list_distinct(a.s || b.s)) AS u
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.s) * 10 >= len(b.s) * 9
+             AND len(b.s) * 10 >= len(a.s) * 9)
+          WHERE (i * 1.0 / u) >= 0.9),
+        edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        reach(src, dst) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src""",
     # exact all-pairs restatement of the md5-based SimHash: word hash =
     # md5_number_lower (== python md5 digest bytes 8..16 little-endian),
     # per-bit ±1 vote, sign -> signature bit; pigeonhole blocking on the

@@ -42,7 +42,7 @@ SUBSET = [
     "doc_textstats",
     "doc_langid",
     "mm_decode",
-    "mm_frame_sample",
+    "dedup_cluster",
     "emb_ann_topk",
     "src_fifo_parse",
 ]
