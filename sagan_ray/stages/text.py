@@ -210,3 +210,49 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
             "min_fp": pa.array(min_fp, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) applied IN ORDER — all RE2 (Arrow and DuckDB
+#: both run RE2, so ``regexp_replace(..., 'g')`` restates this exactly;
+#: a differential test pins it). Email first so its digits can't be
+#: half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(t: pa.Table, text_col: str = "text",
+                    out_col: str | None = None) -> pa.Table:
+    """Redact emails / IPv4s / international phone numbers in place
+    (or into ``out_col``), plus a per-row redaction count.
+
+    One count + one replace RE2 pass per pattern over the whole column —
+    no per-row Python. Counts are taken against each pattern's own input
+    (not the rewritten text), so pre-existing literal markers in a
+    document never inflate them.
+    """
+    txt = t[text_col]
+    n_red = None
+    for pat, repl in PII_PATTERNS:
+        c = pc.count_substring_regex(txt, pat)
+        n_red = c if n_red is None else pc.add(n_red, c)
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=repl)
+    dest = out_col or text_col
+    if dest in t.column_names:
+        t = t.set_column(t.column_names.index(dest), dest, txt)
+    else:
+        t = t.append_column(dest, txt)
+    return t.append_column("n_redactions", pc.cast(n_red, pa.int64()))
+
+
+def pii_scrub_stage(ds, text_col: str = "text", out_col: str | None = None):
+    return ds.map_batches(
+        lambda t: pii_scrub_batch(t, text_col, out_col),
+        batch_format="pyarrow",
+    )
