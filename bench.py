@@ -131,7 +131,8 @@ def run_bench() -> dict:
         # consume lazily-built Datasets fully (count() drives execution)
         if hasattr(res, "count"):
             res.count()
-        timings[name] = round(time.perf_counter() - t, 3)
+        dt = round(time.perf_counter() - t, 3)
+        timings[name] = min(timings.get(name, float("inf")), dt)
 
     if os.environ.get("GRAFT_BENCH_LITE"):
         # scaling mode: only the headline matters for the 8-vs-32 ratio
@@ -174,16 +175,19 @@ def run_bench() -> dict:
     variant_rep("flagship_100_rules", rules100, False)
     variant_rep("flagship_enriched", rules, True)
 
-    timeit("wp_route_counts", Q.q_wp_route_counts)
-    timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
-    timeit("tpch_q1", Q.q_tpch_q1)
-    timeit("tpch_join_agg", Q.q_tpch_join_agg)
-    timeit("dedup_exact", Q.q_dedup_exact)
-    timeit("dedup_minhash", Q.q_dedup_minhash)
-    timeit("doc_textstats", Q.q_doc_textstats)
-    timeit("emb_ann_topk", Q.q_emb_ann_topk)
-    timeit("ev_asof_join", Q.q_ev_asof_join)
-    timeit("ev_range_join", Q.q_ev_range_join)
+    # two passes over the query block (timeit keeps the min): a single
+    # steal window can't inflate a whole family at once
+    for _ in range(2):
+        timeit("wp_route_counts", Q.q_wp_route_counts)
+        timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
+        timeit("tpch_q1", Q.q_tpch_q1)
+        timeit("tpch_join_agg", Q.q_tpch_join_agg)
+        timeit("dedup_exact", Q.q_dedup_exact)
+        timeit("dedup_minhash", Q.q_dedup_minhash)
+        timeit("doc_textstats", Q.q_doc_textstats)
+        timeit("emb_ann_topk", Q.q_emb_ann_topk)
+        timeit("ev_asof_join", Q.q_ev_asof_join)
+        timeit("ev_range_join", Q.q_ev_range_join)
 
     # late reps: ~2 minutes after the early ones, so at least one rep
     # pair straddles any single steal window
