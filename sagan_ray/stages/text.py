@@ -256,3 +256,36 @@ def pii_scrub_stage(ds, text_col: str = "text", out_col: str | None = None):
         lambda t: pii_scrub_batch(t, text_col, out_col),
         batch_format="pyarrow",
     )
+
+
+def quality_filter_stage(ds, text_col: str = "text",
+                         min_tokens: int = 5, max_tokens: int = 100_000,
+                         min_stop_ratio: float = 0.0,
+                         max_mean_token_len: float = 25.0):
+    """Gopher-style document quality gate, composed from the vectorized
+    quality features — map-only (filters inside the batch, no shuffle).
+
+    Keeps rows with token count in [min_tokens, max_tokens], stopword
+    ratio >= min_stop_ratio, and mean token length <= max_mean_token_len
+    (the boilerplate/binary-junk heuristic). All four bounds are
+    SQL-restatable over the same integer features ``quality_batch``
+    emits, so a pipeline using this gate stays oracle-checkable.
+    """
+    def gate(t: pa.Table) -> pa.Table:
+        q = quality_batch(t, text_col)
+        n_tok = q["n_tokens"].to_numpy(zero_copy_only=False)
+        n_chars = q["n_chars_calc"].to_numpy(zero_copy_only=False)
+        n_stop = q["n_stop"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+            # mean token length excludes the single-space separators
+            mean_len = np.where(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok, 0.0)
+        keep = (
+            (n_tok >= min_tokens)
+            & (n_tok <= max_tokens)
+            & (stop_ratio >= min_stop_ratio)
+            & (mean_len <= max_mean_token_len)
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

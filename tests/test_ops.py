@@ -472,3 +472,35 @@ def test_pii_scrub_matches_duckdb(ray_session):
     ds = pii_scrub_stage(rd.from_arrow(t))
     assert ds.count() == len(texts)
     assert set(ds.schema().names) == {"doc_id", "text", "n_redactions"}
+
+
+def test_quality_filter_stage_matches_duckdb(ray_session):
+    """The composed quality gate keeps exactly the rows DuckDB keeps
+    when the same bounds are restated over the same integer features."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.stages.text import quality_filter_stage
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = quality_filter_stage(ds, min_tokens=8, min_stop_ratio=0.05,
+                               max_mean_token_len=9.0)
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = [r[0] for r in con.execute("""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('a', 'the'))) AS n_stop
+          FROM documents)
+        SELECT doc_id FROM f
+        WHERE n_tok >= 8
+          AND n_tok <= 100000
+          AND (n_stop * 1.0 / n_tok) >= 0.05
+          AND ((n_chars - (n_tok - 1)) * 1.0 / n_tok) <= 9.0
+        ORDER BY doc_id""").fetchall()]
+    assert got == want and 0 < len(got) < 500
