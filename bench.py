@@ -63,6 +63,10 @@ def ensure_input(n_rows: int) -> str:
     return path
 
 
+def _n_blocks() -> int:
+    return max(2 * NUM_CPUS, bench_rows() // 1_000_000)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -108,13 +112,16 @@ def run_bench() -> dict:
         out_dir = "/tmp/sagan_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        # coarse read blocks (2 per CPU): the match stage then emits
-        # full-sized alert blocks directly and the pipeline skips the
-        # coalesce repartition pass entirely
+        # block size pinned by DATA (~1M rows/block, floor 2 per CPU):
+        # the match stage emits full-sized alert blocks directly and the
+        # pipeline skips the coalesce repartition pass entirely. A pure
+        # 2-per-CPU count makes low-cpu legs run few huge tasks (16 x 4M
+        # rows at 8 cpus / 64M), quantizing stragglers to whole
+        # task-lengths — at 10^12 rows block count follows data anyway.
         ds = rd.read_parquet(
             inp,
             columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
-            override_num_blocks=2 * NUM_CPUS,
+            override_num_blocks=_n_blocks(),
         )
         state["manifest"] = run_streaming(ds, rules, out_dir, enrich=False)
         state["headline"] = min(state["headline"], time.perf_counter() - t0)
@@ -169,7 +176,7 @@ def run_bench() -> dict:
         ds_v = rd.read_parquet(
             inp,
             columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
-            override_num_blocks=2 * NUM_CPUS,
+            override_num_blocks=_n_blocks(),
         )
         run_streaming(ds_v, vrules, out_v, enrich=enrich)
         dt = round(time.perf_counter() - t0, 3)
