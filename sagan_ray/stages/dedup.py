@@ -884,6 +884,121 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
 # ---------------------------------------------------------------------------
 
 
+def _cc_buckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(64, 4 * cpus)
+
+
+def _cc_gb(vals: np.ndarray, nb: int) -> pa.Array:
+    """Co-location bucket for int64 keys — splitmix64-style mix so
+    near-sequential doc ids spread evenly."""
+    x = vals.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return pa.array((x % np.uint64(nb)).astype(np.int64))
+
+
+def _np64(t: pa.Table, name: str) -> np.ndarray:
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col, dtype=np.int64)
+
+
+def _kv_lookup(keys: np.ndarray, vals: np.ndarray,
+               probe: np.ndarray) -> np.ndarray:
+    """vals[probe-th key] via sort+searchsorted (int64, vectorized).
+    Every probe MUST be present (the propagation invariants guarantee
+    it); asserts stay cheap."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    pos = np.searchsorted(sk, probe)
+    return vals[order[pos]]
+
+
+def _cc_kernels(nb: int):
+    """Per-partition kernels for the propagation rounds (factory so the
+    bucket modulus is captured once per run; module-level for direct
+    unit testing)."""
+    def send_min_msgs(g: pa.Table) -> pa.Table:
+        """One co-location partition of edges(side 0, k=src) + labels
+        (side 1, k=node): emit per-dst min of label(src), locally
+        combined -> (k=dst, v=min_label, gb=h(dst), side=0)."""
+        side = _np64(g, "side")
+        k = _np64(g, "k")
+        v = _np64(g, "v")
+        e = side == 0
+        if not e.any():
+            return g.slice(0, 0)
+        lbl = _kv_lookup(k[~e], v[~e], k[e])
+        dst = v[e]
+        order = np.argsort(dst, kind="stable")
+        ds_, ls_ = dst[order], lbl[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        mins = np.minimum.reduceat(ls_, starts)
+        out_k = ds_[starts]
+        return pa.table({
+            "k": pa.array(out_k), "v": pa.array(mins),
+            "gb": _cc_gb(out_k, nb),
+            "side": pa.array(np.zeros(len(out_k), dtype=np.int8)),
+        })
+
+    def fold_labels(g: pa.Table) -> pa.Table:
+        """Partition of msgs(side 0, k=node) + labels(side 1): new
+        label = min(old, inbox); emits chg for the convergence count."""
+        side = _np64(g, "side")
+        k = _np64(g, "k")
+        v = _np64(g, "v")
+        lmask = side == 1
+        nk, nv = k[lmask], v[lmask]
+        mk, mv = k[~lmask], v[~lmask]
+        new = nv.copy()
+        if len(mk):
+            order = np.argsort(mk, kind="stable")
+            mks, mvs = mk[order], mv[order]
+            starts = np.flatnonzero(np.r_[True, mks[1:] != mks[:-1]])
+            mins = np.minimum.reduceat(mvs, starts)
+            pos = np.searchsorted(nk[np.argsort(nk, kind="stable")], mks[starts])
+            # align via lookup (node set superset of msg targets)
+            norder = np.argsort(nk, kind="stable")
+            new[norder[pos]] = np.minimum(new[norder[pos]], mins)
+        return pa.table({
+            "k": pa.array(nk), "v": pa.array(new),
+            "gb": g.filter(pa.array(lmask))["gb"],
+            "side": pa.array(np.ones(len(nk), dtype=np.int8)),
+            "chg": pa.array(new < nv),
+        })
+
+    def jump(g: pa.Table) -> pa.Table:
+        """Pointer jumping: label(v) <- label(label(v)). Seekers ride
+        keyed on their LABEL (side 0, k=label, v=node); providers are
+        the labels themselves (side 1, k=node, v=label). Labels only
+        decrease and label(u) <= u, so the shortcut is monotone-safe;
+        every label IS a node, so the lookup is total."""
+        side = _np64(g, "side")
+        k = _np64(g, "k")
+        v = _np64(g, "v")
+        s = side == 0
+        if not s.any():
+            return pa.table({
+                "k": pa.array(np.empty(0, np.int64)),
+                "v": pa.array(np.empty(0, np.int64)),
+                "gb": pa.array(np.empty(0, np.int64)),
+                "side": pa.array(np.empty(0, np.int8)),
+            })
+        lbl2 = _kv_lookup(k[~s], v[~s], k[s])
+        node = v[s]
+        return pa.table({
+            "k": pa.array(node), "v": pa.array(lbl2),
+            "gb": _cc_gb(node, nb),
+            "side": pa.array(np.ones(len(node), dtype=np.int8)),
+        })
+    return send_min_msgs, fold_labels, jump
+
+
 def dedup_clusters(pairs, id_a: str = "doc_id_a", id_b: str = "doc_id_b",
                    max_rounds: int = 50):
     """Connected components over a near-dup pair set -> one
@@ -891,96 +1006,95 @@ def dedup_clusters(pairs, id_a: str = "doc_id_a", id_b: str = "doc_id_b",
     id in the component (the canonical keeper).
 
     Distributed min-label propagation WITH pointer jumping: each round
-    every node takes the min label over itself and its neighbors (one
-    hash join to ship labels along edges + one groupby-min + one fold
-    join), then shortcuts ``label(v) <- label(label(v))`` (one more
-    self-join) — so convergence is O(log diameter), not O(diameter);
-    even pathological chain graphs settle in ~log2 rounds, and LSH dup
-    near-cliques in 1–2. Each round touches only the pair set
-    (≪ corpus). The loop is driver-COORDINATED but never
-    driver-EXECUTED: per round the driver sees a single changed-row
-    count; labels/edges stay in the object store.
+    every node takes the min label over itself and its neighbors, then
+    shortcuts ``label(v) <- label(label(v))`` — so convergence is
+    O(log diameter), not O(diameter); chain graphs settle in ~log2
+    rounds, LSH dup near-cliques in 1-2. Each round touches only the
+    pair set (≪ corpus). The loop is driver-COORDINATED but never
+    driver-EXECUTED: per round the driver sees one changed-row count;
+    labels/edges stay in the object store.
+
+    Exchange shape: every lookup is a side-tagged UNION co-partitioned
+    on coarse key buckets + a vectorized searchsorted merge per
+    partition (3 sort shuffles/round) — NOT ``Dataset.join``, whose
+    per-call aggregator-actor startup (~10 s) dominated at pair-set
+    sizes below ~10^8 rows (measured 110 s -> 17.4 s on a 220k-node /
+    360k-edge planted graph, labels exact vs union-find).
     """
     from ray.data.aggregate import Min
+
+    from .correlate import shuffle_groups
+
+    nb = _cc_buckets()
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t[id_a].combine_chunks().cast(pa.int64())
         b = t[id_b].combine_chunks().cast(pa.int64())
-        return pa.table(
-            {
-                "src": pa.concat_arrays([a, b]),
-                "dst": pa.concat_arrays([b, a]),
-            }
-        )
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        # k = src: edges are consumed co-partitioned with labels-by-node
+        return pa.table({
+            "k": src, "v": dst,
+            "gb": _cc_gb(np.asarray(src, dtype=np.int64), nb),
+            "side": pa.array(np.zeros(len(src), dtype=np.int8)),
+        })
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # bound the round width: the sort-shuffle's OUTPUT partition count
+    # equals its input block count, and each round unions 2-3 datasets —
+    # unbounded, blocks compound ~3x per round (measured 58 -> 1508 in
+    # two rounds on a tiny graph, with shuffle cost to match). Edges are
+    # coalesced once; labels are re-coalesced at the end of every round.
     npart = max(2, min(_join_width(), edges.count() // 250_000 + 2))
+    if edges.num_blocks() > 2 * npart:
+        edges = edges.repartition(npart).materialize()
 
     # initial label: min(self, neighbors) — the first propagation round
-    # folded into initialization
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    # folded into initialization. (k=node, v=label, gb=h(node))
+    labels = edges.groupby("k").aggregate(Min("v", alias_name="label"))
     labels = labels.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["src"],
-                "label": pa.compute.min_element_wise(
-                    t["src"].combine_chunks().cast(pa.int64()),
-                    t["label"].combine_chunks().cast(pa.int64()),
-                ),
-            }
-        ),
+        lambda t: pa.table({
+            "k": t["k"],
+            "v": pa.compute.min_element_wise(
+                t["k"].combine_chunks().cast(pa.int64()),
+                t["label"].combine_chunks().cast(pa.int64()),
+            ),
+            "gb": _cc_gb(_np64(t, "k"), nb),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }),
         batch_format="pyarrow",
     ).materialize()
 
+    send_min_msgs, fold_labels, jump = _cc_kernels(nb)
+
     for _ in range(max_rounds):
-        # ship each node's label along its out-edges, take min per dst
-        msgs = edges.join(
-            _rename_cols(labels, {"node": "src"}),
-            join_type="inner", num_partitions=npart, on=("src",),
-        )
-        inbox = msgs.groupby("dst").aggregate(Min("label", alias_name="min_in"))
-        merged = labels.join(
-            _rename_cols(inbox, {"dst": "node"}),
-            join_type="inner", num_partitions=npart, on=("node",),
-        )
-
-        def fold(t: pa.Table) -> pa.Table:
-            lab = t["label"].combine_chunks().cast(pa.int64())
-            mi = t["min_in"].combine_chunks().cast(pa.int64())
-            new = pa.compute.min_element_wise(lab, mi)
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "label": new,
-                    "chg": pa.compute.less(mi, lab),
-                }
-            )
-
-        folded = merged.map_batches(fold, batch_format="pyarrow").materialize()
+        msgs = shuffle_groups(edges.union(labels), "gb", send_min_msgs,
+                              batch_format="pyarrow")
+        folded = shuffle_groups(msgs.union(labels), "gb", fold_labels,
+                                batch_format="pyarrow").materialize()
         changed = folded.filter(expr="chg == True").count()
         labels = folded.drop_columns(["chg"])
         if changed == 0:
             labels = labels.materialize()
             break
-        # pointer jumping: label(v) <- label(label(v)). Labels only
-        # decrease and label(u) <= u, so the shortcut is monotone-safe;
-        # every label IS a node (a min over node ids), so the inner
-        # self-join is total.
-        jump = labels.join(
-            _rename_cols(labels, {"node": "label", "label": "label2"}),
-            join_type="inner", num_partitions=npart, on=("label",),
-        )
-        labels = jump.map_batches(
-            lambda t: pa.table(
-                {"node": t["node"],
-                 "label": t["label2"].combine_chunks().cast(pa.int64())}
-            ),
+        seekers = labels.map_batches(
+            lambda t: pa.table({
+                "k": t["v"], "v": t["k"],
+                "gb": _cc_gb(_np64(t, "v"), nb),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        labels = shuffle_groups(seekers.union(labels), "gb", jump,
+                                batch_format="pyarrow")
+        labels = labels.repartition(npart).materialize()
     else:
         raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
-    return _rename_cols(labels, {"node": "doc_id", "label": "cluster_id"})
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["k"], "cluster_id": t["v"]}),
+        batch_format="pyarrow",
+    )
 
 
 def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
