@@ -620,3 +620,49 @@ def test_dedup_keep_first_filters_losers(ray_session):
     ])
     kept = sorted(dedup_keep_first(docs, pairs).to_pandas()["doc_id"])
     assert kept == [0, 1, 2, 3, 5, 6, 8]
+
+
+def test_cc_kernels_partition_simulation():
+    """The propagation kernels (send/fold/jump) simulated over explicit
+    gb partitions — no Ray — converge a chain to its min label."""
+    import pyarrow as pa
+
+    from sagan_ray.stages.dedup import _cc_gb, _cc_kernels
+
+    nb = 16
+    send, fold, jump = _cc_kernels(nb)
+
+    def mk(k, v, side):
+        k = np.array(k, dtype=np.int64)
+        v = np.array(v, dtype=np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(v),
+                         "gb": _cc_gb(k, nb),
+                         "side": pa.array(np.full(len(k), side, dtype=np.int8))})
+
+    def simulate(fn, *tabs):
+        u = pa.concat_tables(tabs)
+        gbs = u["gb"].to_numpy()
+        return pa.concat_tables(
+            [fn(u.filter(pa.array(gbs == g))) for g in np.unique(gbs)]
+        )
+
+    # chain 5-6-7-8-9, both directions
+    chain = [(i, i + 1) for i in range(5, 9)]
+    ea = [a for a, b in chain] + [b for a, b in chain]
+    eb = [b for a, b in chain] + [a for a, b in chain]
+    edges = mk(ea, eb, 0)
+    # init label = min(self, neighbors)
+    init = {n: min([n] + [b for a, b in zip(ea, eb) if a == n])
+            for n in range(5, 10)}
+    labels = mk(list(init), list(init.values()), 1)
+    for _ in range(4):
+        msgs = simulate(send, edges, labels)
+        folded = simulate(fold, msgs, labels)
+        if not any(folded["chg"].to_pylist()):
+            labels = folded.drop_columns(["chg"])
+            break
+        labels2 = folded.drop_columns(["chg"])
+        seekers = mk(labels2["v"].to_pylist(), labels2["k"].to_pylist(), 0)
+        labels = simulate(jump, seekers, labels2)
+    got = dict(zip(labels["k"].to_pylist(), labels["v"].to_pylist()))
+    assert got == {n: 5 for n in range(5, 10)}
