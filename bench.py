@@ -85,6 +85,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from sagan_ray.pipelines.flagship import load_default_rules, run_streaming
+    from sagan_ray.sources import read_parquet_clean
     from sagan_ray.sources.webpages import webpages_from_documents
 
     n_rows = bench_rows()
@@ -118,7 +119,7 @@ def run_bench() -> dict:
         # 2-per-CPU count makes low-cpu legs run few huge tasks (16 x 4M
         # rows at 8 cpus / 64M), quantizing stragglers to whole
         # task-lengths — at 10^12 rows block count follows data anyway.
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             inp,
             columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
             override_num_blocks=_n_blocks(),
@@ -173,7 +174,7 @@ def run_bench() -> dict:
         out_v = f"/tmp/sagan_bench_out_{name}"
         shutil.rmtree(out_v, ignore_errors=True)
         t0 = time.perf_counter()
-        ds_v = rd.read_parquet(
+        ds_v = read_parquet_clean(
             inp,
             columns=["url", "warc_ts", "text", "lang", "host", "doc_id"],
             override_num_blocks=_n_blocks(),

@@ -126,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
 
             from .sources.webpages import derive_batch
 
-            ds = rd.read_parquet(files)
+            from .sources import read_parquet_clean
+
+            ds = read_parquet_clean(files)
             if args.raw_documents:
                 ds = ds.map_batches(derive_batch, batch_format="pyarrow")
             manifest = cfg.run(ds, args.out)

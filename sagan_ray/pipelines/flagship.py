@@ -228,7 +228,9 @@ def run_flagship(
         pid_by_path = {f: pid for pid, f in chunk}
         for pid, _f in chunk:
             lineage.clear_stale_partition(run_dir, pid)
-        ds = rd.read_parquet([f for _pid, f in chunk], include_paths=True)
+        from sagan_ray.sources import read_parquet_clean
+
+        ds = read_parquet_clean([f for _pid, f in chunk], include_paths=True)
 
         def tag_part(batch: pa_mod.Table) -> pa_mod.Table:
             paths = batch["path"].to_pylist()
@@ -289,7 +291,9 @@ def run_flagship(
             return prev
 
     ckpt_root = os.path.join(run_dir, "ckpt")
-    alerts = gate_alerts(rd.read_parquet(ckpt_root), rules)
+    from sagan_ray.sources import read_parquet_clean
+
+    alerts = gate_alerts(read_parquet_clean(ckpt_root), rules)
     import shutil
 
     sink_dir = os.path.join(run_dir, "sinks")

@@ -31,9 +31,9 @@ from .flagship import load_default_rules
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from sagan_ray.sources import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _rename(ds, mapping: dict[str, str]):

@@ -56,7 +56,7 @@ def adapt_batch(batch: pa.Table) -> pa.Table:
 
 
 def events_as_log(sf_dir: str):
-    import ray.data as rd
+    from sagan_ray.sources import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet")
     return ds.map_batches(adapt_batch, batch_format="pyarrow")

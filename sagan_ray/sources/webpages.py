@@ -86,9 +86,9 @@ def webpages_from_documents(sf_dir: str, include_html: bool = True):
     ``include_html=False`` prunes the (wide) html column for pipelines
     that never touch raw bytes — project early, shuffle less.
     """
-    import ray.data as rd
+    from sagan_ray.sources import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
     ds = ds.map_batches(derive_batch, batch_format="pyarrow")
     if not include_html:
         ds = ds.select_columns(["url", "warc_ts", "text", "lang", "host", "doc_id"])

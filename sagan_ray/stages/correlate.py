@@ -401,7 +401,7 @@ def apply_correlation(alerts_ds, rules: list[Rule]):
         pdf = sub.to_pandas()
         pdf = _preprune_limit(pdf, specs)
         pdf = _attach_gb(pdf, ["sid", "ckey", "bucket"])
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     corr = alerts_ds.map_batches(split_corr, batch_format="pyarrow")
@@ -814,7 +814,7 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
             parts = [out]
         out = pd.concat(parts, ignore_index=True)
         out = _attach_gb(out, ["xname", "xkey"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     xb = alerts_ds.map_batches(explode_xbit, batch_format="pyarrow")

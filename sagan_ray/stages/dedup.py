@@ -366,7 +366,7 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     # Dataset.join spins num_partitions aggregator actors, so a 32-wide
     # join over a few thousand pairs is pure fixed cost. ~250k pairs per
     # partition keeps partitions chunky; the cap keeps big runs wide.
-    cand = cand.materialize()
+    cand = _arrow_clean(cand).materialize()
     n_pairs = cand.count()
     np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
 
@@ -411,9 +411,20 @@ def _join_width() -> int:
 
 def _rename_cols(ds, mapping: dict[str, str]):
     return ds.map_batches(
-        lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names]),
+        lambda t: t.rename_columns(
+            [mapping.get(c, c) for c in t.column_names]
+        ).replace_schema_metadata(None),
         batch_format="pyarrow",
     )
+
+
+def _arrow_clean(ds):
+    """Arrow-ify (possibly pandas-block) stream and strip pandas schema
+    metadata. Pandas-origin blocks otherwise reach ``Dataset.join`` with
+    schemas made unhashable by the pandas metadata blob, which defeats
+    Ray's schema deduplication inside the join aggregators."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -820,7 +831,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
             batch_format="pandas",
         )
         .select_columns(["id_a", "id_b"])
-    ).materialize()
+    )
+    cand = _arrow_clean(cand).materialize()
     n_pairs = cand.count()
     np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
 

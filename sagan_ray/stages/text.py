@@ -289,3 +289,98 @@ def quality_filter_stage(ds, text_col: str = "text",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition features (C4 dup-line fraction, Gopher top-2-gram fraction)
+# ---------------------------------------------------------------------------
+
+def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc repetition features, fully vectorized (no per-doc loop).
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line in
+      the same document (C4's duplicate-line signal).
+    - ``dup_line_char_frac``: fraction of characters living in those
+      repeated lines (Gopher's character-weighted form).
+    - ``top_2gram_frac``: occurrences of the doc's most frequent word
+      2-gram over total 2-grams (Gopher's top-n-gram repetition proxy).
+
+    Shape: line/2-gram hashes for the WHOLE batch concatenate into flat
+    arrays; per-doc stats come from one ``np.lexsort`` + run-length pass
+    (``reduceat``/``maximum.at``), so cost is O(total lines log lines)
+    regardless of document count.
+    """
+    import pandas as pd
+
+    from sagan_ray.stages.dedup import _batch_shingle_hashes
+
+    n_docs = len(t)
+    texts = t[text_col]
+    lines = pc.split_pattern(texts, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    dup_frac = np.zeros(n_docs, dtype=np.float64)
+    dup_char_frac = np.zeros(n_docs, dtype=np.float64)
+    if len(flat):
+        lh = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+        lchars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+        order = np.lexsort((lh, doc_of))
+        d_s, h_s, c_s = doc_of[order], lh[order], lchars[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        n_dup = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_dup, d_s[~first], 1)
+        dup_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(dup_chars, d_s[~first], c_s[~first])
+        tot_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(tot_chars, doc_of, lchars)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_frac = np.where(n_lines > 0, n_dup / n_lines, 0.0)
+            dup_char_frac = np.where(tot_chars > 0, dup_chars / tot_chars, 0.0)
+
+    top2 = np.zeros(n_docs, dtype=np.float64)
+    sh, starts = _batch_shingle_hashes(texts.to_pylist(), k=2)
+    if len(sh):
+        counts2 = np.diff(starts)
+        doc2 = np.repeat(np.arange(n_docs, dtype=np.int64), counts2)
+        order = np.lexsort((sh, doc2))
+        d_s, h_s = doc2[order], sh[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        # run lengths of identical (doc, hash) runs
+        run_starts = np.flatnonzero(first)
+        run_len = np.diff(np.append(run_starts, len(h_s)))
+        run_max = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(run_max, d_s[run_starts], run_len)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # a single (possibly partial) gram carries no repetition signal
+            top2 = np.where(counts2 > 1, run_max / counts2, 0.0)
+
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "dup_line_frac": pa.array(dup_frac),
+            "dup_line_char_frac": pa.array(dup_char_frac),
+            "top_2gram_frac": pa.array(top2),
+        }
+    )
+
+
+def repetition_filter_stage(ds, text_col: str = "text",
+                            max_dup_line_frac: float = 0.3,
+                            max_top_2gram_frac: float = 0.2):
+    """Drop documents dominated by repetition (C4/Gopher bounds).
+
+    Map-only: features compute batch-locally and the gate filters inside
+    the batch — composes with `quality_filter_stage` without a shuffle.
+    """
+    def gate(t: pa.Table) -> pa.Table:
+        r = repetition_batch(t, text_col)
+        keep = (
+            (r["dup_line_frac"].to_numpy(zero_copy_only=False) <= max_dup_line_frac)
+            & (r["top_2gram_frac"].to_numpy(zero_copy_only=False) <= max_top_2gram_frac)
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

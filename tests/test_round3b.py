@@ -1,0 +1,139 @@
+"""Round-3 additions: decontamination + repetition filters.
+
+Differentials run against independent pure-Python set/Counter
+implementations over n-gram STRINGS (the stages use 64-bit hashes;
+collision probability at test sizes is ~0, so flags/fractions must be
+bit-equal)."""
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sagan_ray.stages.decontam import (
+    build_ngram_blocklist,
+    contamination_counts,
+    decontaminate,
+)
+from sagan_ray.stages.text import repetition_batch, repetition_filter_stage
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    ws = text.split()
+    if not ws:
+        return set()
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+RNG_DOCS = [
+    "the quick brown fox jumps over the lazy dog every single day",
+    "pack my box with five dozen liquor jugs",
+    "",
+    "one",
+    "the quick brown fox jumps over the lazy dog",  # shares 8-grams with doc 0
+    "completely unrelated text about distributed data processing engines",
+    "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+]
+EVAL_SET = [
+    "the quick brown fox jumps over the lazy dog",
+    "a benchmark question about liquor jugs",
+]
+
+
+@pytest.mark.parametrize("n", [3, 8])
+def test_contamination_counts_match_python_sets(n):
+    block = build_ngram_blocklist(EVAL_SET, n=n)
+    n_ngrams, n_hits = contamination_counts(RNG_DOCS, block, n=n)
+    eval_grams = set()
+    for t in EVAL_SET:
+        eval_grams |= _py_ngrams(t, n)
+    for i, doc in enumerate(RNG_DOCS):
+        grams = _py_ngrams(doc, n)
+        assert n_ngrams[i] == len(grams), (i, doc)
+        assert n_hits[i] == len(grams & eval_grams), (i, doc)
+
+
+def test_decontaminate_strict_drops_overlapping_docs(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(RNG_DOCS))), "text": RNG_DOCS})
+    )
+    out = decontaminate(ds, EVAL_SET, n=8, min_overlap_ratio=0.0)
+    kept = sorted(out.to_pandas()["doc_id"].tolist())
+    eval_grams = set()
+    for t in EVAL_SET:
+        eval_grams |= _py_ngrams(t, 8)
+    expect = [
+        i for i, d in enumerate(RNG_DOCS)
+        if not (_py_ngrams(d, 8) & eval_grams)
+    ]
+    assert kept == expect
+    # doc 4 is verbatim in the eval set -> must be gone; doc 0 contains it
+    assert 4 not in kept and 0 not in kept
+
+
+REP_DOCS = [
+    "a\nb\nc",                       # no dup lines
+    "x\nx\nx\ny",                    # 2 of 4 lines are repeats
+    "hello world hello world hello world hello",  # dominant 2-gram
+    "",                              # empty
+    "solo",                          # single word
+    "line one\nline one\nuna linea distinta",
+]
+
+
+def _py_repetition(text: str):
+    lines = text.split("\n")
+    seen, dup, dup_chars = set(), 0, 0
+    for ln in lines:
+        if ln in seen:
+            dup += 1
+            dup_chars += len(ln)
+        else:
+            seen.add(ln)
+    tot_chars = sum(len(ln) for ln in lines)
+    ws = text.split()
+    grams = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+    if len(grams) > 1:
+        top2 = Counter(grams).most_common(1)[0][1] / len(grams)
+    else:
+        top2 = 0.0
+    return (
+        dup / len(lines) if lines else 0.0,
+        dup_chars / tot_chars if tot_chars else 0.0,
+        top2,
+    )
+
+
+def test_repetition_batch_matches_python():
+    t = pa.table({"doc_id": list(range(len(REP_DOCS))), "text": REP_DOCS})
+    out = repetition_batch(t)
+    for i, doc in enumerate(REP_DOCS):
+        exp = _py_repetition(doc)
+        got = (
+            out["dup_line_frac"][i].as_py(),
+            out["dup_line_char_frac"][i].as_py(),
+            out["top_2gram_frac"][i].as_py(),
+        )
+        assert got == pytest.approx(exp), (i, doc, got, exp)
+
+
+def test_repetition_filter_stage_gates(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(REP_DOCS))), "text": REP_DOCS})
+    )
+    out = repetition_filter_stage(
+        ds, max_dup_line_frac=0.3, max_top_2gram_frac=0.4
+    )
+    kept = sorted(out.to_pandas()["doc_id"].tolist())
+    expect = [
+        i for i, d in enumerate(REP_DOCS)
+        if _py_repetition(d)[0] <= 0.3 and _py_repetition(d)[2] <= 0.4
+    ]
+    assert kept == expect
+    assert 1 not in kept and 2 not in kept  # the engineered repeats are gone
