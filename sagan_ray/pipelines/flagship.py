@@ -193,8 +193,19 @@ def run_flagship(
     derive_from_documents: bool = True,
     fail_after_partitions: int | None = None,
     chunk_files: int = 64,
+    pre_stage=None,
 ) -> dict:
     """Checkpointed end-to-end run over parquet input files.
+
+    ``pre_stage`` (Dataset -> Dataset, optional) runs after parse and
+    before matching — the hook for map-only admission stages in daemon
+    mode, e.g. ``state.seen.incremental_dedup`` with a set of shard
+    actors that persist across ``follow_directory`` iterations (content
+    arriving twice in later files is dropped before it can re-alert).
+    Caveat: a STATEFUL pre_stage interacts with crash-resume — a chunk
+    that died after feeding the seen-set but before checkpointing will
+    drop its rows as dups on replay; restart the shard actors together
+    with a fresh run_dir (or use an idempotent pre_stage) when resuming.
 
     Stage A streams CHUNKS of up to ``chunk_files`` unfinished input
     files through one Dataset run each (files within a chunk process in
@@ -242,7 +253,17 @@ def run_flagship(
         ds = ds.map_batches(tag_part, batch_format="pyarrow")
         if derive_from_documents:
             ds = ds.map_batches(derive_batch, batch_format="pyarrow")
-        alerts = match_alerts(ds, rules)
+        schema_names = None
+        if pre_stage is not None:
+            # probe the schema BEFORE the (possibly stateful) pre_stage:
+            # match_alerts' own schema probe would otherwise execute the
+            # stage on one block as a side effect (a stateful dedup gate
+            # would see that block's content as already-seen on the real
+            # pass). pre_stage contract: row filtering only, no schema
+            # change.
+            schema_names = ds.schema().names
+            ds = pre_stage(ds)
+        alerts = match_alerts(ds, rules, schema_names=schema_names)
         os.makedirs(ckpt_base, exist_ok=True)
         alerts.write_parquet(ckpt_base, partition_cols=["part_id"])
         for pid, f in chunk:
@@ -317,6 +338,7 @@ def follow_directory(
     max_iterations: int | None = None,
     derive_from_documents: bool = True,
     pattern: str = "*.parquet",
+    pre_stage=None,
 ) -> dict:
     """Daemon-mode analogue of the reference's FIFO tail: poll
     ``input_dir`` for parquet files and run the checkpointed pipeline
@@ -341,6 +363,7 @@ def follow_directory(
             manifest = run_flagship(
                 files, run_dir, rules,
                 derive_from_documents=derive_from_documents,
+                pre_stage=pre_stage,
             )
         it += 1
         if max_iterations is not None and it >= max_iterations:

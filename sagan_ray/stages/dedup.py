@@ -376,15 +376,20 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     # join over a few thousand pairs is pure fixed cost. ~250k pairs per
     # partition keeps partitions chunky; the cap keeps big runs wide.
     cand = _arrow_clean(cand).materialize()
+    # candidate-sized NATIVE joins: the pair set is tiny relative to the
+    # corpus, so tightly-sized aggregator pools beat the sort-exchange
+    # equi_join at this shape (A/B at sf0.1: ~4.6s native vs ~9.6s equi
+    # end-to-end; stages/join.py documents the big-big regime where the
+    # native per-row Python hash_partition flips the verdict)
+    n_pairs = cand.count()
+    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
+
     ta = _rename_cols(proj, {id_col: "doc_id_a", text_col: "text_a"})
     tb = _rename_cols(proj, {id_col: "doc_id_b", text_col: "text_b"})
-    # sort-exchange equi_join (stages/join.py): ~2x the native
-    # Dataset.join on this shape — native hash_partition pays a per-ROW
-    # Python hash over the full corpus side
-    from .join import equi_join
-
-    j = equi_join(cand, ta, on=("doc_id_a",), how="inner")
-    j = equi_join(j, tb, on=("doc_id_b",), how="inner")
+    j = cand.join(ta, join_type="inner", num_partitions=np_join,
+                  on=("doc_id_a",))
+    j = j.join(tb, join_type="inner", num_partitions=np_join,
+               on=("doc_id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         aa = t["doc_id_a"].to_pylist()
@@ -860,10 +865,12 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     packed = proj.map_batches(pack, batch_format="pyarrow")
     va = _rename_cols(packed, {id_col: "id_a", "vec_bin": "bin_a"})
     vb = _rename_cols(packed, {id_col: "id_b", "vec_bin": "bin_b"})
-    from .join import equi_join
-
-    j = equi_join(cand, va, on=("id_a",), how="inner")
-    j = equi_join(j, vb, on=("id_b",), how="inner")
+    # candidate-sized native joins (same A/B rationale as the minhash
+    # verify joins above)
+    n_pairs = cand.count()
+    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
+    j = cand.join(va, join_type="inner", num_partitions=np_join, on=("id_a",))
+    j = j.join(vb, join_type="inner", num_partitions=np_join, on=("id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
         a = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
@@ -1130,6 +1137,6 @@ def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
         ["doc_id"]
     )
     losers = _rename_cols(losers, {"doc_id": id_col}).materialize()
-    from .join import equi_join
-
-    return equi_join(ds, losers, on=(id_col,), how="left_anti")
+    npart = max(2, min(_join_width(), losers.count() // 250_000 + 2))
+    return ds.join(losers, join_type="left_anti", num_partitions=npart,
+                   on=(id_col,))

@@ -32,14 +32,40 @@ from .window import grouped_apply
 _HOW = ("inner", "left_outer", "left_semi", "left_anti")
 
 
+def join_types(left_types: dict, right_types: dict,
+               on, how: str = "inner") -> dict:
+    """Static output-type map of :func:`equi_join` — pass it as the next
+    join's ``left_types`` when CHAINING joins so the chain never probes
+    ``Dataset.schema()`` on a shuffle output (which would execute the
+    whole upstream exchange once just for the schema)."""
+    keys = list(on)
+    if how in ("left_semi", "left_anti"):
+        return dict(left_types)
+    out = dict(left_types)
+    for c, t in right_types.items():
+        if c not in keys:
+            out[c] = t
+    return out
+
+
 def equi_join(left, right, on: list[str] | tuple[str, ...],
               how: str = "inner",
-              right_on: list[str] | tuple[str, ...] | None = None):
+              right_on: list[str] | tuple[str, ...] | None = None,
+              left_types: dict | None = None,
+              right_types: dict | None = None):
     """Join two Datasets on equality keys.
 
     ``right_on`` names the right side's key columns when they differ;
     they are renamed to the left names before the exchange (the output
-    carries the LEFT key names, like ``pd.merge``'s key coalescing)."""
+    carries the LEFT key names, like ``pd.merge``'s key coalescing).
+
+    ``left_types`` / ``right_types`` (col -> pa.DataType, covering ALL
+    columns of that side, keys under their OUTPUT names) skip the
+    ``Dataset.schema()`` probe. Pass them whenever a side is an
+    expensive lazy plan — probing the schema of a shuffle output
+    EXECUTES that shuffle once just to see one block. Plain reads and
+    map-chains are cheap to probe; chained equi_joins are not (use
+    :func:`join_types`)."""
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
     keys = list(on)
@@ -51,7 +77,16 @@ def equi_join(left, right, on: list[str] | tuple[str, ...],
             ),
             batch_format="pyarrow",
         )
-    lschema, rschema = left.schema(), right.schema()
+        if right_types is not None:
+            right_types = {ren.get(c, c): t for c, t in right_types.items()}
+
+    class _S:  # duck-typed schema view over a types dict
+        def __init__(self, d):
+            self.names = list(d)
+            self.types = list(d.values())
+
+    lschema = _S(left_types) if left_types is not None else left.schema()
+    rschema = _S(right_types) if right_types is not None else right.schema()
     lpay = [c for c in lschema.names if c not in keys]
     rpay = [c for c in rschema.names if c not in keys]
     clash = set(lpay) & set(rpay)

@@ -614,17 +614,25 @@ def make_matcher(rules: list[Rule], text_col: str = "text"):
     return match_batch
 
 
-def match_alerts(ds, rules: list[Rule], text_col: str = "text"):
+def match_alerts(ds, rules: list[Rule], text_col: str = "text",
+                 schema_names: list[str] | None = None):
     """webpages Dataset -> alerts Dataset (project html away first:
     only alert columns should ever reach a shuffle — UNLESS a rule needs
     rawbytes matching, in which case html is cast to a latin-1-ish
-    string column for the match stage only and still never shuffled)."""
+    string column for the match stage only and still never shuffled).
+
+    ``schema_names``: pass the input's column names when ``ds`` contains
+    a STATEFUL upstream stage (e.g. the streaming seen-set gate) —
+    otherwise the ``ds.schema()`` probe here executes that stage on a
+    block as a side effect (Ray infers unknown schemas by running one
+    block), feeding the state before the real pass runs."""
     needs_raw = any(c.rawbytes for r in rules for c in r.contents)
+    names = schema_names if schema_names is not None else ds.schema().names
     keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
                         "event_id", "props", "country", "blacklisted",
                         "part_id", "facility", "level", "program", "tag"]
-            if c in ds.schema().names]
-    if needs_raw and "html" in ds.schema().names:
+            if c in names]
+    if needs_raw and "html" in names:
         def _latin1(t: pa.Table) -> pa.Table:
             # latin-1, NOT a utf-8-validating cast: real html payloads
             # carry bytes >0x7F (0xFF etc.) that would raise
