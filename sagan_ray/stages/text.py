@@ -384,3 +384,111 @@ def repetition_filter_stage(ds, text_col: str = "text",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-line removal (CCNet / RefinedWeb boilerplate step)
+# ---------------------------------------------------------------------------
+
+def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
+                         min_chars: int = 10):
+    """Dataset of ``(line_hash, n)`` for lines appearing in >= min_count
+    DOCUMENTS across the corpus (cookie banners, nav bars, footers).
+
+    Shape: docs explode to (line_hash) rows batch-locally — only uint64
+    hashes ride the shuffle, never line text — then one groupby-count.
+    ``min_chars`` skips short lines (blank separators, bullets) whose
+    repetition is organic. Within-doc repeats count once (dedup before
+    the explode) so a doc cannot promote its own line to "frequent".
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t[text_col], "\n")
+        flat = pc.list_flatten(lines)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        keep = pc.greater_equal(pc.utf8_length(flat), min_chars)
+        n_per = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        mask = keep.to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.table({"line_hash": pa.array([], type=pa.int64())})
+        # int64 VIEW of the uint64 siphash: >2^63 values overflow the
+        # sort-aggregate's python-int conversion; the view is a bijection
+        # so counting/matching semantics are unchanged (rewrite() views
+        # the same way)
+        lh = pd.util.hash_array(
+            np.asarray(flat.filter(keep).to_pylist(), dtype=object)
+        ).view(np.int64)
+        d = doc_of[mask]
+        # count each (doc, line) once
+        order = np.lexsort((lh, d))
+        d_s, h_s = d[order], lh[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table({"line_hash": pa.array(h_s[first])})
+
+    counts = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "line_hash"
+    ).aggregate(Count(alias_name="n"))
+    return counts.filter(expr=f"n >= {min_count}")
+
+
+def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
+                         min_chars: int = 10, out_col: str | None = None):
+    """Rewrite each document with its corpus-frequent lines removed.
+
+    Two passes over the corpus (count, then rewrite) — the counting
+    pass ships hashes only. The frequent set is broadcast via
+    ``ray.put`` as ONE sorted uint64 array; at boilerplate thresholds
+    it is vocabulary-sized, not corpus-sized (every line in it appears
+    >= min_count times, so |set| <= total_lines/min_count, and in
+    practice orders of magnitude smaller). If a corpus ever makes it
+    too big to broadcast, raise ``min_count`` or partition both sides
+    by hash range — documented trade, not a silent cap.
+    """
+    import pandas as pd
+    import ray
+
+    freq = frequent_line_hashes(ds, text_col, min_count, min_chars)
+    arr = np.sort(
+        np.concatenate(
+            [b["line_hash"].to_numpy(zero_copy_only=False)
+             for b in freq.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]
+        ).astype(np.int64)
+    )
+    ref = ray.put(arr)
+    dst = out_col or text_col
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        blk = ray.get(ref)
+        lines = pc.split_pattern(t[text_col], "\n")
+        flat = pc.list_flatten(lines)
+        n_per = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        texts = []
+        vals = flat.to_pylist()
+        if vals:
+            lh = pd.util.hash_array(
+                np.asarray(vals, dtype=object)
+            ).view(np.int64)
+            ok_len = np.array([len(v) < min_chars for v in vals])
+            idx = np.searchsorted(blk, lh)
+            idx[idx == len(blk)] = 0
+            hit = (blk[idx] == lh) if len(blk) else np.zeros(len(lh), bool)
+            keep = ok_len | ~hit  # short lines always stay
+        else:
+            keep = np.array([], dtype=bool)
+        pos = 0
+        for n in n_per:
+            texts.append("\n".join(
+                v for v, k in zip(vals[pos:pos + n], keep[pos:pos + n]) if k
+            ))
+            pos += n
+        i = t.column_names.index(dst) if dst in t.column_names else None
+        col = pa.array(texts, type=pa.string())
+        return (t.set_column(i, dst, col) if i is not None
+                else t.append_column(dst, col))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

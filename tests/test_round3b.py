@@ -137,3 +137,62 @@ def test_repetition_filter_stage_gates(ray_session):
     ]
     assert kept == expect
     assert 1 not in kept and 2 not in kept  # the engineered repeats are gone
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-line removal
+# ---------------------------------------------------------------------------
+
+BOILER_DOCS = [
+    "Accept our cookies please\nreal content one\nmore unique text here",
+    "Accept our cookies please\nreal content two",
+    "Accept our cookies please\nreal content three\nAccept our cookies please",
+    "totally unique document\nnothing shared at all",
+    "short\nAccept our cookies please",
+]
+
+
+def _py_frequent(docs, min_count=2, min_chars=10):
+    from collections import Counter
+
+    c = Counter()
+    for d in docs:
+        for ln in set(d.split("\n")):
+            if len(ln) >= min_chars:
+                c[ln] += 1
+    return {ln for ln, n in c.items() if n >= min_count}
+
+
+def test_frequent_line_hashes_matches_python(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.text import frequent_line_hashes
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(BOILER_DOCS))),
+                                 "text": BOILER_DOCS}))
+    out = frequent_line_hashes(ds).to_pandas()
+    exp = _py_frequent(BOILER_DOCS)
+    assert len(out) == len(exp)  # {"Accept our cookies please"} only
+    assert out["n"].tolist() == [4]  # 4 DOCS carry it (in-doc repeat = 1)
+
+
+def test_strip_frequent_lines_rewrites(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.text import strip_frequent_lines
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(BOILER_DOCS))),
+                                 "text": BOILER_DOCS}))
+    out = (strip_frequent_lines(ds, min_count=2).to_pandas()
+           .sort_values("doc_id"))
+    freq = _py_frequent(BOILER_DOCS)
+    expect = []
+    for d in BOILER_DOCS:
+        expect.append("\n".join(
+            ln for ln in d.split("\n")
+            if len(ln) < 10 or ln not in freq
+        ))
+    assert out["text"].tolist() == expect
+    # the boilerplate line is gone everywhere, short lines survive
+    assert all("cookies" not in t for t in out["text"])
+    assert "short" in out["text"].tolist()[4]
