@@ -199,6 +199,8 @@ def run_bench() -> dict:
         timeit("emb_ann_topk", Q.q_emb_ann_topk)
         timeit("ev_asof_join", Q.q_ev_asof_join)
         timeit("ev_range_join", Q.q_ev_range_join)
+        timeit("tpch_multi_join", Q.q_tpch_multi_join)
+        timeit("dedup_cluster", Q.q_dedup_cluster)
 
     # late reps: ~2 minutes after the early ones, so at least one rep
     # pair straddles any single steal window
