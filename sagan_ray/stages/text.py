@@ -7,6 +7,8 @@ pool) because it holds compiled tables — the model-load-once pattern.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -140,9 +142,6 @@ class LangId:
 
 
 _WINNOW_B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)
