@@ -1,0 +1,166 @@
+"""End-to-end corpus cleaning: the full training-data preparation chain.
+
+Composes the repo's webtext operators in the order real pipelines run
+them (cheapest gate first, so each stage sees fewer rows):
+
+    URL-level dedup            (hashes of canonical URLs — no text moves)
+ -> boilerplate line removal   (corpus-frequent lines stripped in place)
+ -> quality gate               (Gopher bounds over integer features)
+ -> repetition gate            (C4 dup-line / top-2-gram fractions)
+ -> benchmark decontamination  (eval-set n-gram overlap, broadcast)
+ -> exact dedup                (128-bit content digest keeper filter)
+ -> near-dup dedup             (MinHash-LSH clusters, keeper anti-join)
+
+Every stage is map-only except the three dedups (hash-keyed shuffles of
+ids/digests — text never rides an exchange) and the boilerplate count
+(one line-hash groupby). Stages toggle independently; defaults are the
+published C4/Gopher-ish settings scaled to the synthetic corpus.
+"""
+from __future__ import annotations
+
+from ..functions.url import canonicalize_urls
+from ..stages import dedup as _dedup
+from ..stages.decontam import decontaminate
+from ..stages.text import (
+    quality_filter_stage,
+    repetition_filter_stage,
+    strip_frequent_lines,
+)
+
+
+def _url_keeper_filter(ds, url_col: str, id_col: str):
+    """Keep only the min-id row per canonical URL.
+
+    Broadcast sizing: most URLs are unique, so the broadcast side is the
+    DUPLICATED-url keeper map (url groups with n > 1) — loser-sized, not
+    corpus-sized; the same asymmetry every keeper filter here exploits.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.url import url_dedup
+
+    dup_groups = url_dedup(ds, url_col=url_col, id_col=id_col).filter(
+        expr="n > 1"
+    )
+    url_s, keep_id = [], []
+    for b in dup_groups.iter_batches(batch_format="pyarrow"):
+        url_s.extend(b["canonical_url"].to_pylist())
+        keep_id.extend(b["keeper_doc_id"].to_pylist())
+    keeper_by_url = dict(zip(url_s, keep_id))
+    ref = ray.put(keeper_by_url)
+
+    def gate(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        canon = canonicalize_urls(t[url_col]).to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.array(
+            [c not in m or m[c] == i for c, i in zip(canon, ids)],
+            dtype=bool,
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def clean_corpus(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = "url",
+    eval_texts: list[str] | None = None,
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.5,
+    max_top_2gram_frac: float = 0.5,
+    boilerplate_min_count: int | None = None,
+    near_dup_threshold: float | None = 0.8,
+):
+    """Run the full cleaning chain; any stage disables with ``None``.
+
+    Returns the cleaned Dataset (same schema as the input).
+    """
+    if url_col is not None:
+        ds = _url_keeper_filter(ds, url_col, id_col)
+    if boilerplate_min_count is not None:
+        ds = strip_frequent_lines(ds, text_col,
+                                  min_count=boilerplate_min_count)
+        ds = ds.materialize()  # two stages above both scan; pin once
+    if min_tokens is not None:
+        ds = quality_filter_stage(ds, text_col, min_tokens=min_tokens)
+    if max_dup_line_frac is not None:
+        ds = repetition_filter_stage(
+            ds, text_col,
+            max_dup_line_frac=max_dup_line_frac,
+            max_top_2gram_frac=max_top_2gram_frac,
+        )
+    if eval_texts:
+        ds = decontaminate(ds, eval_texts, n=8)
+    # exact dedup: keeper ids from the digest groupby, anti-join the rest
+    ds = ds.materialize()  # the dedups branch the stream; pin the gated set
+    exact = _dedup.exact_dedup_groups(ds, text_col, id_col)
+    dup_groups = exact.filter(expr="n > 1")
+    losers = _exact_losers(ds, dup_groups, text_col, id_col)
+    ds = _anti_by_id(ds, losers, id_col)
+    if near_dup_threshold is not None:
+        ds = ds.materialize()
+        pairs = _dedup.minhash_lsh_pairs(ds, text_col=text_col,
+                                         id_col=id_col,
+                                         threshold=near_dup_threshold)
+        ds = _dedup.dedup_keep_first(ds, pairs, id_col=id_col)
+    return ds
+
+
+def _exact_losers(ds, dup_groups, text_col: str, id_col: str):
+    """Ids to drop: every member of a >1 digest group except its keeper."""
+    import pyarrow as pa
+
+    from ..stages.dedup import fast_digest128
+
+    import numpy as np
+    import ray
+
+    rows = dup_groups.select_columns(["text_digest", "keeper_doc_id"])
+    dig, keep_id = [], []
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        dig.extend(b["text_digest"].to_pylist())
+        keep_id.extend(b["keeper_doc_id"].to_pylist())
+    keeper_by_digest = dict(zip(dig, keep_id))
+    ref = ray.put(keeper_by_digest)
+
+    def find(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        digs = fast_digest128(t[text_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out = [int(i) for d, i in zip(digs, ids)
+               if d in m and m[d] != i]
+        return pa.table({id_col: pa.array(out, type=pa.int64())})
+
+    return ds.map_batches(find, batch_format="pyarrow")
+
+
+def _anti_by_id(ds, losers, id_col: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ids = np.sort(
+        np.concatenate(
+            [b[id_col].to_numpy(zero_copy_only=False)
+             for b in losers.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]
+        )
+    )
+    ref = ray.put(ids)
+
+    def gate(t: pa.Table) -> pa.Table:
+        blk = ray.get(ref)
+        vals = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(blk):
+            return t
+        idx = np.searchsorted(blk, vals)
+        idx[idx == len(blk)] = 0
+        drop = blk[idx] == vals
+        return t.filter(pa.array(~drop))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

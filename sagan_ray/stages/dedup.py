@@ -382,14 +382,38 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
     # end-to-end; stages/join.py documents the big-big regime where the
     # native per-row Python hash_partition flips the verdict)
     n_pairs = cand.count()
-    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
+    if n_pairs == 0:
+        # a fully-empty materialized Dataset loses its column schema and
+        # would break the verify joins — return typed empty pairs
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id_a": pa.array([], type=pa.int64()),
+            "doc_id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }))
+    # 1 partition under 10k pairs: Ray's join aggregator crashes on a
+    # partition that received ZERO rows on one side (schema-less empty
+    # table inside finalize) — tiny joins must not fan out
+    np_join = (1 if n_pairs < 10_000
+               else max(2, min(_join_width(), n_pairs // 250_000 + 2)))
 
     ta = _rename_cols(proj, {id_col: "doc_id_a", text_col: "text_a"})
     tb = _rename_cols(proj, {id_col: "doc_id_b", text_col: "text_b"})
+    idt, txt = pa.int64(), pa.string()
     j = cand.join(ta, join_type="inner", num_partitions=np_join,
                   on=("doc_id_a",))
+    j = j.map_batches(
+        _ensure_cols({"doc_id_a": idt, "doc_id_b": idt, "text_a": txt}),
+        batch_format="pyarrow",
+    )
     j = j.join(tb, join_type="inner", num_partitions=np_join,
                on=("doc_id_b",))
+    j = j.map_batches(
+        _ensure_cols({"doc_id_a": idt, "doc_id_b": idt,
+                      "text_a": txt, "text_b": txt}),
+        batch_format="pyarrow",
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         aa = t["doc_id_a"].to_pylist()
@@ -414,6 +438,18 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, k: int = 3,
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _ensure_cols(cols: "dict[str, pa.DataType]"):
+    """Restore column schema on the schema-less EMPTY blocks Ray's native
+    join emits for empty partitions (they break any downstream kernel or
+    chained join that references columns by name)."""
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({c: pa.array([], type=ty)
+                             for c, ty in cols.items()})
+        return t
+    return fix
 
 
 def _join_width() -> int:
@@ -868,9 +904,28 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     # candidate-sized native joins (same A/B rationale as the minhash
     # verify joins above)
     n_pairs = cand.count()
-    np_join = max(2, min(_join_width(), n_pairs // 250_000 + 2))
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }))
+    np_join = (1 if n_pairs < 10_000
+               else max(2, min(_join_width(), n_pairs // 250_000 + 2)))
+    idt, bint = pa.int64(), pa.binary()
     j = cand.join(va, join_type="inner", num_partitions=np_join, on=("id_a",))
+    j = j.map_batches(
+        _ensure_cols({"id_a": idt, "id_b": idt, "bin_a": bint}),
+        batch_format="pyarrow",
+    )
     j = j.join(vb, join_type="inner", num_partitions=np_join, on=("id_b",))
+    j = j.map_batches(
+        _ensure_cols({"id_a": idt, "id_b": idt, "bin_a": bint,
+                      "bin_b": bint}),
+        batch_format="pyarrow",
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         a = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
@@ -1137,6 +1192,10 @@ def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
         ["doc_id"]
     )
     losers = _rename_cols(losers, {"doc_id": id_col}).materialize()
-    npart = max(2, min(_join_width(), losers.count() // 250_000 + 2))
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds  # empty loser set: a schema-less empty side breaks joins
+    npart = (1 if n_losers < 10_000
+             else max(2, min(_join_width(), n_losers // 250_000 + 2)))
     return ds.join(losers, join_type="left_anti", num_partitions=npart,
                    on=(id_col,))

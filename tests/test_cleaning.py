@@ -1,0 +1,87 @@
+"""End-to-end corpus cleaning chain (pipelines/cleaning.py)."""
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    # engineered rows exercising every gate
+    docs = [
+        # 0: clean survivor
+        (0, "https://a.com/page1",
+         "the quick brown fox jumps over the lazy dog in the field while seventeen ravens describe careful circles above the old barn"),
+        # 1: same canonical URL as 0 (utm param) -> url-dropped
+        (1, "https://a.com/page1?utm_source=x",
+         "different text entirely but the url already claimed by zero ok"),
+        # 2: too short -> quality-dropped
+        (2, "https://b.com/x", "tiny"),
+        # 3: dominant 2-gram -> repetition-dropped
+        (3, "https://c.com/x",
+         "spam ham spam ham spam ham spam ham spam ham spam ham"),
+        # 4: exact duplicate text of 0 -> exact-dedup-dropped
+        (4, "https://d.com/x",
+         "the quick brown fox jumps over the lazy dog in the field while seventeen ravens describe careful circles above the old barn"),
+        # 5: near-duplicate of 0 (one word changed, J ~ 0.87) -> minhash-dropped
+        (5, "https://e.com/x",
+         "the quick brown fox jumps over the lazy dog in the field while seventeen crows describe careful circles above the old barn"),
+        # 6: clean survivor
+        (6, "https://f.com/x",
+         "completely unrelated content about distributed stream engines"),
+        # 7: contaminated by the eval set -> decontam-dropped
+        (7, "https://g.com/x",
+         "benchmark question alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    return pa.table({
+        "doc_id": [d[0] for d in docs],
+        "url": [d[1] for d in docs],
+        "text": [d[2] for d in docs],
+    })
+
+
+def test_clean_corpus_end_to_end(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+
+    ds = rd.from_arrow(_corpus())
+    out = clean_corpus(
+        ds,
+        eval_texts=[
+            "benchmark question alpha beta gamma delta epsilon zeta eta theta"
+        ],
+        min_tokens=5,
+        max_top_2gram_frac=0.4,
+        boilerplate_min_count=None,  # no boilerplate planted here
+        near_dup_threshold=0.5,
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 6]
+    # schema preserved
+    assert sorted(out.columns) == ["doc_id", "text", "url"]
+
+
+def test_clean_corpus_stage_toggles(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+
+    ds = rd.from_arrow(_corpus())
+    # only exact dedup active: url/quality/repetition/decontam/near-dup off
+    out = clean_corpus(
+        ds, url_col=None, eval_texts=None, min_tokens=None,
+        max_dup_line_frac=None, boilerplate_min_count=None,
+        near_dup_threshold=None,
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3, 5, 6, 7]  # only 4 gone
+
+
+def test_clean_corpus_on_documents_table(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+    from sagan_ray.sources import read_parquet_clean
+
+    # documents.parquet has no url column — url stage off
+    ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet")
+    n_in = ds.count()
+    out = clean_corpus(ds, url_col=None, near_dup_threshold=0.8)
+    n_out = out.count()
+    assert 0 < n_out < n_in  # the synthetic corpus has planted dups
