@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
     chk.add_argument("--rules", action="append", default=[], help=".rules file")
     pk = sub.add_parser("peek", help="inspect a run's lineage/manifest (sagan-peek analogue)")
     pk.add_argument("--run", required=True, help="run directory")
+    cl = sub.add_parser(
+        "clean", help="training-data cleaning chain over a documents table"
+    )
+    cl.add_argument("--input", required=True, help="parquet path/glob (doc_id, text[, url])")
+    cl.add_argument("--out", required=True, help="output parquet directory")
+    cl.add_argument("--url-col", default=None,
+                    help="url column for URL-level dedup (off by default)")
+    cl.add_argument("--eval-file", default=None,
+                    help="newline-delimited eval texts for decontamination")
+    cl.add_argument("--min-tokens", type=int, default=5)
+    cl.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cl.add_argument("--boilerplate-min-count", type=int, default=None)
+    cl.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "peek":
@@ -112,6 +125,39 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if args.cmd == "clean":
+            from .pipelines.cleaning import clean_corpus
+            from .sources import read_parquet_clean
+
+            files = sorted(glob.glob(args.input))
+            if not files:
+                print(f"no input files match {args.input!r}", file=sys.stderr)
+                return 2
+            ds = read_parquet_clean(files)
+            n_in = ds.count()
+            eval_texts = None
+            if args.eval_file:
+                with open(args.eval_file) as f:
+                    eval_texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+            out = clean_corpus(
+                ds,
+                url_col=args.url_col,
+                eval_texts=eval_texts,
+                min_tokens=args.min_tokens,
+                boilerplate_min_count=args.boilerplate_min_count,
+                near_dup_threshold=args.near_dup_threshold,
+            )
+            out.write_parquet(args.out)
+            import pyarrow.parquet as _pq
+
+            n_out = sum(
+                _pq.read_metadata(os.path.join(args.out, p)).num_rows
+                for p in os.listdir(args.out) if p.endswith(".parquet")
+            )
+            print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                              "dropped": n_in - n_out, "out": args.out}))
+            return 0
+
         from .engine import EngineConfig
 
         cfg = EngineConfig.from_yaml(args.config) if args.config else EngineConfig()

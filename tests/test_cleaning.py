@@ -85,3 +85,24 @@ def test_clean_corpus_on_documents_table(ray_session):
     out = clean_corpus(ds, url_col=None, near_dup_threshold=0.8)
     n_out = out.count()
     assert 0 < n_out < n_in  # the synthetic corpus has planted dups
+
+
+def test_cli_clean(tmp_path):
+    """`python -m sagan_ray clean` end-to-end in a subprocess (owns its
+    Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "cleaned"
+    r = subprocess.run(
+        [sys.executable, "-m", "sagan_ray", "clean",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(out), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows_in"] == 500
+    assert 0 < res["rows_out"] < 500
+    assert res["dropped"] == res["rows_in"] - res["rows_out"]
