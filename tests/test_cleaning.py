@@ -106,3 +106,46 @@ def test_cli_clean(tmp_path):
     assert res["rows_in"] == 500
     assert 0 < res["rows_out"] < 500
     assert res["dropped"] == res["rows_in"] - res["rows_out"]
+
+
+def test_minhash_empty_candidates_typed(ray_session):
+    """A corpus with no near-dups returns a TYPED empty pair set (a
+    schema-less empty Dataset broke downstream joins before)."""
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import dedup_keep_first, minhash_lsh_pairs
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "red orange yellow green blue indigo violet",
+        ],
+    })
+    ds = rd.from_arrow(t)
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    assert pairs.count() == 0
+    # schema survives (to_pandas drops columns on ANY empty Dataset —
+    # Ray artifact — so assert on the Dataset schema)
+    assert sorted(pairs.schema().names) == ["doc_id_a", "doc_id_b", "jaccard"]
+    # keep_first with the empty pair set returns the corpus unchanged
+    out = dedup_keep_first(ds, pairs).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 3]
+
+
+def test_embedding_empty_candidates_typed(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(6, 16)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    t = pa.table({"id": list(range(6)), "vec": [v.tolist() for v in vecs]})
+    pairs = embedding_dup_pairs(
+        rd.from_arrow(t), vec_col="vec", id_col="id", threshold=0.999
+    )
+    assert pairs.count() == 0
+    assert sorted(pairs.schema().names) == ["cosine", "id_a", "id_b"]
