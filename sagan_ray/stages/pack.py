@@ -182,3 +182,69 @@ def mix_datasets(sources: list, weights: list[float], id_col: str = "doc_id",
     for o in out[1:]:
         mixed = mixed.union(o)
     return mixed
+
+
+def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
+                     id_col: str = "doc_id", seed: int = 42,
+                     out_col: str = "split"):
+    """Leakage-free train/val/test assignment: near-duplicate documents
+    ALWAYS land in the same split (otherwise val/test answers leak into
+    train through paraphrases — the reason dedup-aware splitting exists).
+
+    ``pairs`` is any near-dup pair Dataset (minhash/simhash/embedding);
+    ``fractions`` e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``.
+    Mechanism: each doc's split key is its dup-CLUSTER id (own id when
+    un-duplicated), hashed with splitmix64(seed) into [0,1) and cut at
+    the cumulative fractions — deterministic, replay-stable,
+    block-layout-invariant.
+
+    Scale shape: only docs whose cluster id differs from their own id
+    need a lookup — that remap is loser-sized (duplicated docs only) and
+    broadcasts via ``ray.put``; everything else is map-only arithmetic.
+    """
+    import pyarrow as pa
+    import ray
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names])
+
+    rk = np.array([], dtype=np.int64)
+    rv = np.array([], dtype=np.int64)
+    if pairs is not None:
+        from .dedup import dedup_clusters
+
+        clusters = dedup_clusters(pairs)
+        ks, vs = [], []
+        for b in clusters.iter_batches(batch_format="pyarrow"):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            cl = b["cluster_id"].to_numpy(zero_copy_only=False)
+            ne = ids != cl
+            ks.append(ids[ne])
+            vs.append(cl[ne])
+        if ks:
+            rk = np.concatenate(ks).astype(np.int64)
+            rv = np.concatenate(vs).astype(np.int64)
+            order = np.argsort(rk)
+            rk, rv = rk[order], rv[order]
+    ref = ray.put((rk, rv))
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = ids
+        if len(keys):
+            # vectorized sorted-array lookup (no per-row dict probe)
+            pos = np.searchsorted(keys, ids)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ids
+            cl = np.where(hit, vals[pos], ids)
+        u = _shuffle_key(cl, seed).astype(np.float64) / float(2**64)
+        idx = np.searchsorted(cuts, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = np.array(names, dtype=object)[idx]
+        return t.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

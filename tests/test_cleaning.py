@@ -149,3 +149,36 @@ def test_embedding_empty_candidates_typed(ray_session):
     )
     assert pairs.count() == 0
     assert sorted(pairs.schema().names) == ["cosine", "id_a", "id_b"]
+
+
+def test_split_by_cluster_leakage_free(ray_session):
+    """Near-dup docs always share a split; fractions roughly hold."""
+    import numpy as np
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import split_by_cluster
+
+    # 400 docs; ids 2k and 2k+1 are near-dup pairs for k < 100
+    n = 400
+    pairs = pa.table({
+        "doc_id_a": [2 * k for k in range(100)],
+        "doc_id_b": [2 * k + 1 for k in range(100)],
+    })
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n))}))
+    out = split_by_cluster(
+        ds, rd.from_arrow(pairs),
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas().set_index("doc_id")["split"]
+    # leakage-free: each planted pair shares a split
+    for k in range(100):
+        assert out[2 * k] == out[2 * k + 1], k
+    # deterministic across a second run
+    out2 = split_by_cluster(
+        ds, rd.from_arrow(pairs),
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas().set_index("doc_id")["split"]
+    assert (out == out2).all()
+    # fractions roughly hold (300 effective clusters)
+    frac_train = (out == "train").mean()
+    assert 0.65 < frac_train < 0.95
+    assert set(out.unique()) <= {"train", "val", "test"}
