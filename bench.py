@@ -202,6 +202,39 @@ def run_bench() -> dict:
         timeit("tpch_multi_join", Q.q_tpch_multi_join)
         timeit("dedup_cluster", Q.q_dedup_cluster)
 
+    # ---- round-3c webtext ops over the synthetic corpus (32M rows) ----
+    # one rep each (min kept if ever looped): these are throughput
+    # evidence for the new training-data operators, not judged deltas
+    from sagan_ray.stages.dedup import dedup_against
+    from sagan_ray.stages.lm import lm_score, train_unigram_lm
+    from sagan_ray.stages.pack import cap_per_key
+
+    def _corpus(cols):
+        return read_parquet_clean(inp, columns=cols,
+                                  override_num_blocks=_n_blocks())
+
+    def _is_ref(t):  # deterministic 1/16 slice: doc_id % 16 == 0
+        import pyarrow.compute as _pc
+        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 15), 0))
+
+    t0 = time.perf_counter()
+    cap_per_key(_corpus(["doc_id", "host"]), "host",
+                max(1_000, n_rows // 64)).count()
+    timings["cap_per_host"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ref = _corpus(["doc_id", "text"]).map_batches(
+        _is_ref, batch_format="pyarrow")
+    dedup_against(_corpus(["doc_id", "text"]), ref, mode="broadcast").count()
+    timings["dedup_against"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lm_train = _corpus(["doc_id", "text"]).map_batches(
+        _is_ref, batch_format="pyarrow")
+    model = train_unigram_lm(lm_train)
+    lm_score(_corpus(["doc_id", "text"]), model).count()
+    timings["lm_train_score"] = round(time.perf_counter() - t0, 3)
+
     # late reps: ~2 minutes after the early ones, so at least one rep
     # pair straddles any single steal window
     variant_rep("flagship_100_rules", rules100, False)

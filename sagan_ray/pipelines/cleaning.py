@@ -7,9 +7,12 @@ them (cheapest gate first, so each stage sees fewer rows):
  -> boilerplate line removal   (corpus-frequent lines stripped in place)
  -> quality gate               (Gopher bounds over integer features)
  -> repetition gate            (C4 dup-line / top-2-gram fractions)
+ -> LM quality filter          (CCNet head-keep, broadcast unigram model)
  -> benchmark decontamination  (eval-set n-gram overlap, broadcast)
+ -> cross-corpus dedup         (drop rows already in a released set)
  -> exact dedup                (128-bit content digest keeper filter)
  -> near-dup dedup             (MinHash-LSH clusters, keeper anti-join)
+ -> per-key cap                (RefinedWeb-style domain cap, post-dedup)
 
 Every stage is map-only except the three dedups (hash-keyed shuffles of
 ids/digests — text never rides an exchange) and the boilerplate count
@@ -75,6 +78,11 @@ def clean_corpus(
     max_top_2gram_frac: float = 0.5,
     boilerplate_min_count: int | None = None,
     near_dup_threshold: float | None = 0.8,
+    lm_model=None,
+    lm_min_logprob: float | None = None,
+    ref_corpus=None,
+    key_cap: int | None = None,
+    key_col: str = "host",
 ):
     """Run the full cleaning chain; any stage disables with ``None``.
 
@@ -94,8 +102,21 @@ def clean_corpus(
             max_dup_line_frac=max_dup_line_frac,
             max_top_2gram_frac=max_top_2gram_frac,
         )
+    if lm_model is not None and lm_min_logprob is not None:
+        # CCNet head-keep: drop docs unlike the reference LM's training
+        # corpus. Map-only (model broadcast once); runs with the other
+        # cheap gates, before any dedup shuffle sees the rows.
+        from ..stages.lm import lm_filter_stage
+
+        ds = lm_filter_stage(ds, lm_model, lm_min_logprob,
+                             text_col=text_col)
     if eval_texts:
         ds = decontaminate(ds, eval_texts, n=8)
+    if ref_corpus is not None:
+        # cross-corpus exact dedup (new crawl vs already-released set):
+        # map-only broadcast probe for benchmark-sized refs, digest
+        # anti-join above dedup.dedup_against's broadcast_limit.
+        ds = _dedup.dedup_against(ds, ref_corpus, text_col=text_col)
     # exact dedup: keeper ids from the digest groupby, anti-join the rest
     ds = ds.materialize()  # the dedups branch the stream; pin the gated set
     exact = _dedup.exact_dedup_groups(ds, text_col, id_col)
@@ -108,6 +129,13 @@ def clean_corpus(
                                          id_col=id_col,
                                          threshold=near_dup_threshold)
         ds = _dedup.dedup_keep_first(ds, pairs, id_col=id_col)
+    if key_cap is not None:
+        # RefinedWeb-style per-domain cap LAST: bounds any one key's
+        # share of the *deduplicated* corpus (cap-then-dedup would let
+        # dedup re-skew the mix).
+        from ..stages.pack import cap_per_key
+
+        ds = cap_per_key(ds, key_col, key_cap, id_col=id_col)
     return ds
 
 

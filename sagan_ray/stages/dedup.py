@@ -51,14 +51,15 @@ def _digest64(texts) -> np.ndarray:
     ).astype(np.uint64)
 
 
-def fast_digest128(texts) -> np.ndarray:
-    """Vectorized 128-bit content digest -> (n,) of 32-hex-char strings.
+def fast_digest128_bytes(texts) -> np.ndarray:
+    """Vectorized 128-bit content digest -> (n,) ``S32`` hex bytes.
 
     Two independent 64-bit siphash passes (pandas ``hash_array`` with
     distinct 16-byte keys — both C-vectorized, no per-row Python)
     concatenated to 128 bits: collision odds at 10^12 rows are ~1e-15,
     safe for exact dedup at web scale where one 64-bit hash is NOT
-    (birthday at 10^12 rows predicts ~27k false merges)."""
+    (birthday at 10^12 rows predicts ~27k false merges). The S32 form
+    sorts/compares byte-wise (32 B/row) — the broadcast-probe choice."""
     arr = np.asarray(texts, dtype=object)
     h1 = pd.util.hash_array(arr, hash_key="sagan_dedup_key1")
     h2 = pd.util.hash_array(arr, hash_key="sagan_dedup_key2")
@@ -71,7 +72,12 @@ def fast_digest128(texts) -> np.ndarray:
     out = np.empty((len(arr), 32), dtype=np.uint8)
     out[:, 0::2] = hexmap[by >> 4]
     out[:, 1::2] = hexmap[by & 0x0F]
-    return out.view("S32").reshape(-1).astype(str)
+    return out.view("S32").reshape(-1)
+
+
+def fast_digest128(texts) -> np.ndarray:
+    """:func:`fast_digest128_bytes` as python strings (column-friendly)."""
+    return fast_digest128_bytes(texts).astype(str)
 
 
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -100,6 +106,76 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
         Min(id_col, alias_name="keeper_doc_id"), Count(alias_name="n")
     )
     return out
+
+
+def dedup_against(ds, ref, text_col: str = "text",
+                  mode: str = "auto", broadcast_limit: int = 2_000_000):
+    """Cross-corpus exact dedup: drop every row of ``ds`` whose content
+    digest appears in the reference corpus ``ref`` — the "dedup the new
+    crawl against the already-released training set" step.
+
+    ``mode="broadcast"`` (auto when ``ref`` has <= ``broadcast_limit``
+    rows): the reference digests collect into ONE sorted ``S32`` array
+    (32 B/doc — 2M refs = 64 MB) placed in the object store once via
+    ``ray.put``; the corpus streams map-only, each batch probing with
+    ``searchsorted``. Zero shuffle — the contract for benchmark- or
+    release-manifest-sized references.
+
+    ``mode="join"`` (auto otherwise): both sides stay distributed — the
+    reference reduces to unique digests (hashes only ride that
+    exchange), then ``ds`` left-anti joins on the digest column. One
+    hash exchange per side; the corpus exchange carries the full rows
+    (the unavoidable cost of a distributed filter on a computed key).
+    """
+    import ray
+
+    if mode == "auto":
+        mode = "broadcast" if ref.count() <= broadcast_limit else "join"
+
+    def ref_digests(t: pa.Table) -> pa.Table:
+        return pa.table({"text_digest": pa.array(
+            fast_digest128(t[text_col].to_pylist()))})
+
+    if mode == "broadcast":
+        parts = [
+            b["text_digest"].to_numpy(zero_copy_only=False).astype("S32")
+            for b in ref.map_batches(ref_digests, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow")
+        ]
+        dig = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, dtype="S32"))
+        dig_ref = ray.put(dig)
+
+        def gate(t: pa.Table) -> pa.Table:
+            arr = ray.get(dig_ref)
+            q = fast_digest128_bytes(t[text_col].to_pylist())
+            if len(arr) and len(q):
+                pos = np.searchsorted(arr, q)
+                pos[pos == len(arr)] = 0
+                hit = arr[pos] == q
+            else:
+                hit = np.zeros(len(q), dtype=bool)
+            return t.filter(pa.array(~hit))
+
+        return ds.map_batches(gate, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+    from ray.data.aggregate import Count
+
+    uniq = (ref.map_batches(ref_digests, batch_format="pyarrow")
+            .groupby("text_digest").aggregate(Count(alias_name="n"))
+            .select_columns(["text_digest"]))
+
+    def add_digest(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_digest", pa.array(fast_digest128(t[text_col].to_pylist())))
+
+    left = ds.map_batches(add_digest, batch_format="pyarrow")
+    npart = max(2, min(_join_width(), ref.count() // 250_000 + 2))
+    out = left.join(uniq, join_type="left_anti", num_partitions=npart,
+                    on=("text_digest",))
+    return out.drop_columns(["text_digest"])
 
 
 # ---------------------------------------------------------------------------

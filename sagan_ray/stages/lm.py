@@ -1,0 +1,161 @@
+"""Unigram language-model quality scoring (CCNet-style perplexity proxy).
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+KenLM n-gram model trained on a clean reference corpus and keeps the
+low-perplexity head. KenLM is not in this container, so the same
+pipeline shape is implemented with a unigram LM trained ON a reference
+Dataset — the engine-relevant parts (two-pass train, broadcast model,
+vectorized scoring) are identical to what a KenLM-backed stage would do
+and the model table is swappable.
+
+Scale shape (100 TB corpus):
+- TRAIN is one streaming pass: ``map_batches`` emits per-batch
+  ``(token_hash, count)`` partials (``np.unique`` per batch — the
+  combiner), ONE ``groupby.aggregate(Sum)`` over hash keys (the only
+  shuffle, and it carries hashes+counts, never text), then a
+  distributed sort+limit keeps the top-``vocab_size`` rows. Only the
+  final ≤ ``vocab_size`` rows ever reach the driver.
+- SCORE is map-only: the model broadcasts once via ``ray.put`` as a
+  sorted uint64 hash array + aligned logprob array (plasma-shared,
+  zero-copy per task); each batch probes it with ``searchsorted`` and
+  reduces per-doc means with ``np.add.reduceat`` — no per-row Python.
+
+Token hashing reuses the vectorized MinHash shingle kernel with k=1
+(`dedup._batch_shingle_hashes`), so tokens are whitespace words hashed
+with the same blake2b-mod-Mersenne function the dedup family uses (and
+that the pure-Python differential in the tests mirrors exactly).
+
+Model: p(tok) = count/total for the top-V vocabulary; out-of-vocabulary
+tokens score ``ln(alpha/total)`` (``alpha`` pseudo-occurrences — a
+deterministic floor, not a fitted backoff). ``lm_logprob`` is the mean
+per-token log-prob: higher = more reference-like; CCNet's "keep the
+head" filter is :func:`lm_filter_stage` with a min bound.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _batch_shingle_hashes
+
+
+@dataclass(frozen=True)
+class UnigramLM:
+    """Broadcastable unigram model: vocab hashes (sorted) + logprobs."""
+
+    hashes: np.ndarray      # sorted uint64 token hashes, len <= vocab_size
+    logprob: np.ndarray     # float64 aligned with `hashes`
+    oov_logprob: float
+    total_tokens: int
+
+
+def _token_hash_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-local combiner: unique token hashes + counts (k=1 shingles)."""
+    sh, _starts = _batch_shingle_hashes(list(texts), k=1)
+    if len(sh) == 0:
+        return (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    h, c = np.unique(sh, return_counts=True)
+    return h, c.astype(np.int64)
+
+
+def train_unigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
+                     alpha: float = 0.5) -> UnigramLM:
+    """Two-pass distributed train: partial counts -> Sum groupby ->
+    top-``vocab_size`` by (count desc, hash asc — deterministic ties).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h, c = _token_hash_counts(t[text_col].to_pylist())
+        # sign-bit flip: the int64 view sorts in true uint64 hash order,
+        # so the top-V tie-break (count desc, hash asc) is well-defined
+        h_key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"h": pa.array(h_key), "c": pa.array(c)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    total = int(counts.sum("c") or 0)
+    top = counts.sort(["c", "h"], descending=[True, False]).limit(vocab_size)
+    tt = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"h": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})]
+    )
+    h = (tt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+         ^ np.uint64(1 << 63))
+    c = tt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(h)
+    h, c = h[order], c[order]
+    denom = float(max(total, 1))
+    return UnigramLM(
+        hashes=h,
+        logprob=np.log(c / denom) if len(c) else np.array([], dtype=np.float64),
+        oov_logprob=float(np.log(alpha / denom)),
+        total_tokens=total,
+    )
+
+
+def lm_score_counts(texts: list[str], model: UnigramLM) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (n_tokens, mean token logprob) — one searchsorted probe
+    over the whole batch's token hashes, per-doc reduction via reduceat."""
+    sh, starts = _batch_shingle_hashes(list(texts), k=1)
+    n_docs = len(texts)
+    n_tok = np.diff(starts).astype(np.int64)
+    if len(sh) == 0:
+        return n_tok, np.full(n_docs, model.oov_logprob)
+    if len(model.hashes):
+        idx = np.searchsorted(model.hashes, sh)
+        idx[idx == len(model.hashes)] = 0
+        hit = model.hashes[idx] == sh
+        lp = np.where(hit, model.logprob[idx], model.oov_logprob)
+    else:
+        lp = np.full(len(sh), model.oov_logprob)
+    # reduceat only at NON-empty doc starts: those indices are strictly
+    # increasing and < len(lp), and each segment ends exactly at the next
+    # non-empty doc's start (interleaved/trailing empty docs contribute
+    # zero tokens), so the per-doc sums are exact. Empty docs take the
+    # OOV floor.
+    out = np.full(n_docs, model.oov_logprob)
+    nz = n_tok > 0
+    if nz.any():
+        sums = np.add.reduceat(lp, starts[:-1][nz])
+        out[nz] = sums / n_tok[nz]
+    return n_tok, out
+
+
+def lm_score(ds, model: UnigramLM, text_col: str = "text",
+             keep_text: bool = False):
+    """Append ``lm_logprob`` (and ``n_lm_tokens``): map-only, model
+    broadcast once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        n_tok, lp = lm_score_counts(t[text_col].to_pylist(), m)
+        t = t if keep_text else t.drop_columns([text_col])
+        return (t.append_column("n_lm_tokens", pa.array(n_tok))
+                .append_column("lm_logprob", pa.array(lp)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_filter_stage(ds, model: UnigramLM, min_logprob: float,
+                    text_col: str = "text"):
+    """CCNet head-keep: drop documents whose mean token logprob under the
+    reference model is below ``min_logprob``. Map-only gate; rows pass
+    through with their original columns."""
+    import ray
+
+    ref = ray.put(model)
+
+    def gate(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        _n, lp = lm_score_counts(t[text_col].to_pylist(), m)
+        return t.filter(pa.array(lp >= min_logprob))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -111,12 +111,14 @@ def _shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
     Pure integer arithmetic: replay-stable across runs, processes and
     block layouts (unlike random_shuffle, which is seed-stable only for
     a fixed block layout)."""
-    x = ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
+    off = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):  # wraparound is the point
+        x = ids.astype(np.uint64) + off
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
     return x
 
 
@@ -182,6 +184,113 @@ def mix_datasets(sources: list, weights: list[float], id_col: str = "doc_id",
     for o in out[1:]:
         mixed = mixed.union(o)
     return mixed
+
+
+def _rank_in_key(keys: np.ndarray, order: np.ndarray,
+                 ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted row index, within-key rank) — keys grouped via factorize,
+    ranked ascending by (order, id). One lexsort, no per-key Python."""
+    import pandas as pd
+
+    f = pd.factorize(keys)[0]
+    idx = np.lexsort((ids, order, f))
+    fs = f[idx]
+    n = len(fs)
+    boundary = np.ones(n, dtype=bool)
+    boundary[1:] = fs[1:] != fs[:-1]
+    grp_start = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(grp_start, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(grp_start, sizes)
+    return idx, rank
+
+
+def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
+                order_col: str | None = None, seed: int = 42):
+    """Keep at most ``cap`` rows per key — the RefinedWeb-style
+    per-domain cap (bound any one host's share of the training corpus).
+
+    Keeper rank is ascending ``order_col`` (ties by id) when given —
+    e.g. ``warc_ts`` keeps the earliest crawls — else a deterministic
+    pseudo-random order (splitmix64 of (id, seed)), i.e. an unbiased
+    per-key sample that replays identically across runs.
+
+    Scale shape: only the ``(key, id, order)`` projection ever moves —
+    text never rides a shuffle. Each block pre-prunes to its local
+    top-``cap`` per key (the combiner: a block can contribute at most
+    ``cap`` rows per key to the exchange), the global rank runs per
+    coarse key-hash bucket through the shared sort-shuffle seam, and
+    only LOSERS (rank >= cap — the minority a cap is meant to trim)
+    come back to anti-join the corpus on id.
+    """
+    import pyarrow.compute as _pc  # noqa: F401
+
+    from .correlate import shuffle_groups
+    from .dedup import _digest64, _join_width
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    nb = 256  # coarse co-location buckets (many keys per bucket is fine)
+
+    def _order_of(t: pa.Table, ids: np.ndarray) -> np.ndarray:
+        if order_col is None:
+            # flip the sign bit: int64 view preserves uint64 ascending order
+            return (_shuffle_key(ids, seed)
+                    ^ np.uint64(1 << 63)).view(np.int64)
+        col = t[order_col].combine_chunks()
+        try:
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        o = _order_of(t, ids)
+        idx, rank = _rank_in_key(keys, o, ids)
+        # rows beyond the cap WITHIN this block are globally-sure losers:
+        # they ride the exchange as skinny tagged rows (id only matters)
+        # and skip the rank kernel; only the block's top-`cap` per key
+        # stay candidates, so candidate volume per key is bounded per
+        # block regardless of skew.
+        cand = idx[rank < cap]
+        sure = idx[rank >= cap]
+        kh = _digest64(keys[cand])
+        k_col = np.concatenate([keys[cand], np.full(len(sure), "", object)])
+        gb = np.concatenate([
+            (kh % np.uint64(nb)).astype(np.int32),
+            (ids[sure] % nb).astype(np.int32),
+        ])
+        order = np.concatenate([o[cand], np.zeros(len(sure), dtype=o.dtype)])
+        flag = np.concatenate([np.zeros(len(cand), dtype=np.int8),
+                               np.ones(len(sure), dtype=np.int8)])
+        return pa.table({
+            "k": pa.array(k_col, type=pa.string()),
+            id_col: pa.array(np.concatenate([ids[cand], ids[sure]])),
+            "o": pa.array(order),
+            "gb": pa.array(gb),
+            "sure": pa.array(flag),
+        })
+
+    def losers_fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        flag = t["sure"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = np.asarray(t["k"].to_pylist(), dtype=object)[~flag]
+        o = t["o"].to_numpy(zero_copy_only=False)[~flag]
+        idx, rank = _rank_in_key(keys, o, ids[~flag])
+        lose = ids[~flag][idx[rank >= cap]]
+        return pa.table({id_col: pa.array(
+            np.concatenate([ids[flag], lose]))})
+
+    proj_ds = ds.map_batches(proj, batch_format="pyarrow")
+    losers = shuffle_groups(proj_ds, "gb", losers_fn,
+                            batch_format="pyarrow").materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    npart = (1 if n_losers < 10_000
+             else max(2, min(_join_width(), n_losers // 250_000 + 2)))
+    return ds.join(losers, join_type="left_anti", num_partitions=npart,
+                   on=(id_col,))
 
 
 def split_by_cluster(ds, pairs=None, fractions: dict | None = None,

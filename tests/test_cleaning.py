@@ -108,6 +108,48 @@ def test_cli_clean(tmp_path):
     assert res["dropped"] == res["rows_in"] - res["rows_out"]
 
 
+def test_clean_corpus_lm_refset_and_cap_stages(ray_session):
+    """The round-3c stages wired into the chain: LM head-keep drops the
+    gibberish row, cross-corpus dedup drops the already-released row,
+    and the per-key cap bounds the hot host — each surgically."""
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+    from sagan_ray.stages.lm import train_unigram_lm
+
+    body = "plain reference prose about engines and pipelines number {}"
+    docs = [(i, "h-hot.example", body.format(i)) for i in range(6)]
+    docs += [(6, "h-cold.example", "zzqx vvkw jjpq mmtt rrss nnoo ppuu")]
+    docs += [(7, "h-cold2.example",
+              "already released text that the reference set contains")]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+        "host": [d[1] for d in docs],
+        "text": [d[2] for d in docs],
+    })
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": [body.format("x"), body.format("y")],
+    }))
+    model = train_unigram_lm(train)
+    refset = rd.from_arrow(pa.table({
+        "doc_id": pa.array([99], type=pa.int64()),
+        "text": ["already released text that the reference set contains"],
+    }))
+    out = clean_corpus(
+        rd.from_arrow(t), url_col=None, min_tokens=None,
+        max_dup_line_frac=None, near_dup_threshold=None,
+        lm_model=model, lm_min_logprob=model.oov_logprob + 1e-9,
+        ref_corpus=refset, key_cap=4, key_col="host",
+    ).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    # 6 gone (all-OOV -> mean logprob == oov floor < cut), 7 gone
+    # (released), hot host capped 6 -> 4 keepers
+    assert 6 not in kept and 7 not in kept
+    assert len([i for i in kept if i < 6]) == 4
+    assert sorted(out.columns) == ["doc_id", "host", "text"]
+
+
 def test_minhash_empty_candidates_typed(ray_session):
     """A corpus with no near-dups returns a TYPED empty pair set (a
     schema-less empty Dataset broke downstream joins before)."""

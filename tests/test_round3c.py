@@ -1,0 +1,238 @@
+"""Round-3 additions (second wave): per-key cap sampling, cross-corpus
+exact dedup, unigram-LM quality scoring.
+
+Differentials: ``cap_per_key`` vs a DuckDB ``row_number() OVER
+(PARTITION BY ...)`` restatement (explicit-order mode) and a pure-Python
+splitmix64 mirror (seed mode); ``dedup_against`` broadcast vs join modes
+vs a DuckDB anti-semijoin; the LM scorer vs an independent pure-Python
+Counter model built on the scalar hash path."""
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sagan_ray.stages.dedup import _batch_shingle_hashes, dedup_against
+from sagan_ray.stages.lm import (
+    lm_filter_stage,
+    lm_score,
+    lm_score_counts,
+    train_unigram_lm,
+)
+from sagan_ray.stages.pack import _shuffle_key, cap_per_key
+
+
+def _docs_table(n=400, n_hosts=7, seed=7):
+    rng = np.random.RandomState(seed)
+    hosts = [f"host{h}.example" for h in rng.randint(0, n_hosts, size=n)]
+    # skew: a third of the rows pile onto one hot host
+    hosts[: n // 3] = ["hot.example"] * (n // 3)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array(hosts),
+        "warc_ts": pa.array(rng.randint(0, 10_000, size=n).astype(np.int64)),
+        "text": pa.array([f"doc {i} body" for i in range(n)]),
+    })
+
+
+# ---------------------------------------------------------------------------
+# cap_per_key
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cap", [1, 5, 50])
+def test_cap_per_key_matches_duckdb_row_number(ray_session, cap):
+    import ray.data as rd
+
+    t = _docs_table()
+    got = (cap_per_key(rd.from_arrow(t), "host", cap, order_col="warc_ts")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute(
+        """
+        SELECT * FROM docs
+        QUALIFY row_number() OVER (PARTITION BY host
+                                   ORDER BY warc_ts, doc_id) <= ?
+        ORDER BY doc_id
+        """,
+        [cap],
+    ).fetch_df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got.groupby("host").size() <= cap).all()
+
+
+def test_cap_per_key_seed_mode_matches_splitmix_mirror(ray_session):
+    import ray.data as rd
+
+    t = _docs_table(n=300)
+    cap, seed = 4, 99
+    got = sorted(cap_per_key(rd.from_arrow(t), "host", cap, seed=seed)
+                 .to_pandas()["doc_id"])
+    # pure-Python mirror: per host keep the `cap` smallest splitmix keys
+    df = t.to_pandas()
+    keys = _shuffle_key(df["doc_id"].to_numpy(np.int64), seed)
+    df["k"] = keys  # uint64 — pandas sorts uint64 natively
+    want = sorted(
+        df.sort_values(["k", "doc_id"]).groupby("host").head(cap)["doc_id"])
+    assert got == want
+    # deterministic across runs
+    again = sorted(cap_per_key(rd.from_arrow(t), "host", cap, seed=seed)
+                   .to_pandas()["doc_id"])
+    assert got == again
+
+
+def test_cap_per_key_identity_when_cap_exceeds_groups(ray_session):
+    import ray.data as rd
+
+    t = _docs_table(n=60)
+    out = cap_per_key(rd.from_arrow(t), "host", 10_000, order_col="warc_ts")
+    assert sorted(out.to_pandas()["doc_id"]) == list(range(60))
+
+
+# ---------------------------------------------------------------------------
+# dedup_against
+# ---------------------------------------------------------------------------
+
+
+def _corpora():
+    corpus = pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "text": pa.array([f"fresh document {i % 70}" for i in range(100)]),
+    })
+    refset = pa.table({
+        "doc_id": pa.array(np.arange(1000, 1040, dtype=np.int64)),
+        "text": pa.array([f"fresh document {i}" for i in range(30, 70)]),
+    })
+    return corpus, refset
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_dedup_against_matches_duckdb_antijoin(ray_session, mode):
+    import ray.data as rd
+
+    corpus, refset = _corpora()
+    out = dedup_against(rd.from_arrow(corpus), rd.from_arrow(refset),
+                        mode=mode)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("corpus", corpus)
+    con.register("refset", refset)
+    want = con.execute(
+        "SELECT * FROM corpus WHERE text NOT IN (SELECT text FROM refset) "
+        "ORDER BY doc_id"
+    ).fetch_df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert sorted(got.columns) == sorted(corpus.column_names)
+
+
+def test_dedup_against_no_overlap_is_identity(ray_session):
+    import ray.data as rd
+
+    corpus, _ = _corpora()
+    refset = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                       "text": pa.array(["nothing in common"])})
+    out = dedup_against(rd.from_arrow(corpus), rd.from_arrow(refset))
+    assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+TRAIN_DOCS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog and a mat",
+    "the quick brown fox jumps over the lazy dog",
+    "",
+] * 3
+SCORE_DOCS = [
+    "the cat sat on the mat",          # all in-vocab, frequent
+    "zyxw qprt vvvv unseen tokens",    # all OOV
+    "the dog in the fog",              # mixed
+    "",                                 # empty
+]
+
+
+def _py_model(docs, vocab_size, alpha):
+    """Independent mirror: Counter over token HASHES (the batch kernel's
+    k=1 hash = pandas hash_array of the word), top-V by (count desc,
+    hash asc), p = c/total, OOV floor alpha/total."""
+    cnt = Counter()
+    for d in docs:
+        ws = d.split()
+        if not ws:
+            continue
+        h = pd.util.hash_array(np.array(ws, dtype=object))
+        cnt.update(h.tolist())
+    total = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    lp = {h: np.log(c / total) for h, c in top}
+    return lp, np.log(alpha / max(total, 1)), total
+
+
+def _py_score(doc, lp, oov):
+    ws = doc.split()
+    if not ws:
+        return 0, oov
+    h = pd.util.hash_array(np.array(ws, dtype=object))
+    return len(ws), float(np.mean([lp.get(int(x), oov) for x in h]))
+
+
+@pytest.mark.parametrize("vocab_size", [4, 1 << 16])
+def test_unigram_lm_matches_python_mirror(ray_session, vocab_size):
+    import ray.data as rd
+
+    alpha = 0.5
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(TRAIN_DOCS), dtype=np.int64)),
+        "text": pa.array(TRAIN_DOCS),
+    }))
+    model = train_unigram_lm(train, vocab_size=vocab_size, alpha=alpha)
+    lp, oov, total = _py_model(TRAIN_DOCS, vocab_size, alpha)
+    assert model.total_tokens == total
+    assert len(model.hashes) == len(lp)
+    assert model.oov_logprob == pytest.approx(oov, abs=1e-12)
+    n_tok, scores = lm_score_counts(SCORE_DOCS, model)
+    for i, d in enumerate(SCORE_DOCS):
+        nt, s = _py_score(d, lp, oov)
+        assert n_tok[i] == nt, d
+        assert scores[i] == pytest.approx(s, abs=1e-12), d
+
+
+def test_lm_score_and_filter_stage(ray_session):
+    import ray.data as rd
+
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(TRAIN_DOCS), dtype=np.int64)),
+        "text": pa.array(TRAIN_DOCS),
+    }))
+    model = train_unigram_lm(train)
+    score_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(SCORE_DOCS), dtype=np.int64)),
+        "text": pa.array(SCORE_DOCS),
+    }))
+    df = (lm_score(score_ds, model).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert list(df.columns) == ["doc_id", "n_lm_tokens", "lm_logprob"]
+    # in-vocab text scores strictly higher than all-OOV gibberish
+    assert df.loc[0, "lm_logprob"] > df.loc[1, "lm_logprob"]
+    assert df.loc[1, "lm_logprob"] == pytest.approx(model.oov_logprob)
+    # CCNet head-keep: a cut between the two drops exactly the gibberish
+    cut = (df.loc[0, "lm_logprob"] + df.loc[1, "lm_logprob"]) / 2
+    kept = lm_filter_stage(score_ds, model, min_logprob=cut).to_pandas()
+    assert 1 not in set(kept["doc_id"])
+    assert 0 in set(kept["doc_id"])
+
+
+def test_lm_token_hash_is_word_hash():
+    """The k=1 shingle hash IS the word hash — the contract the pure-
+    Python mirror (and any external restatement) relies on."""
+    sh, starts = _batch_shingle_hashes(["alpha beta", "", "gamma"], k=1)
+    direct = pd.util.hash_array(
+        np.array(["alpha", "beta", "gamma"], dtype=object))
+    assert list(sh) == list(direct)
+    assert list(starts) == [0, 2, 2, 3]
