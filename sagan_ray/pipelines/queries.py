@@ -593,8 +593,15 @@ def q_ev_range_join(sf_dir):
             batch_format="pyarrow",
         )
     )
-    out = range_join(errors, clicks, keys=["user_id"], ts_col="ts",
-                     lo=pd.Timedelta(0), hi=pd.Timedelta(days=1))
+    out = range_join(
+        errors, clicks, keys=["user_id"], ts_col="ts",
+        lo=pd.Timedelta(0), hi=pd.Timedelta(days=1),
+        # explicit types: no Dataset.schema() limit-probe (see window.py)
+        left_types={"err_id": pa.int64(), "ts": pa.timestamp("us"),
+                    "user_id": pa.int64()},
+        right_types={"click_id": pa.int64(), "ts": pa.timestamp("us"),
+                     "user_id": pa.int64()},
+    )
     return out.select_columns(["user_id", "err_id", "click_id"])
 
 
@@ -688,7 +695,14 @@ def q_ev_asof_join(sf_dir):
             batch_format="pyarrow",
         )
     )
-    out = asof_join(purchases, clicks, keys=["user_id"], ts_col="ts")
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="ts",
+        # explicit types: no Dataset.schema() limit-probe (see window.py)
+        left_types={"event_id": pa.int64(), "ts": pa.timestamp("us"),
+                    "user_id": pa.int64()},
+        right_types={"click_event_id": pa.int64(),
+                     "ts": pa.timestamp("us"), "user_id": pa.int64()},
+    )
     return out.select_columns(["event_id", "user_id", "click_event_id"])
 
 

@@ -1,0 +1,297 @@
+"""Corpus-duplicate SPAN masking — token-level exact-substring dedup.
+
+The hash-shingle approximation of suffix-array exact-substring dedup
+(Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better"): instead of dropping whole near-duplicate documents, remove the
+duplicated PASSAGES (license boilerplate, quoted articles, templated
+paragraphs) and keep the unique remainder. Semantics:
+
+1. A word ``k``-gram is *duplicated* when it occurs in >= ``min_docs``
+   distinct documents (within-document repeats count once).
+2. In each document, maximal runs of consecutive duplicated grams that
+   cover >= ``min_span_tokens`` tokens are masked: the covered tokens
+   are deleted and the remainder re-joined with single spaces.
+   Documents with nothing to mask pass through BYTE-IDENTICAL; masked
+   documents are whitespace-normalized (the op feeds a tokenizer — the
+   same contract as the pure token-level original).
+
+Scale shape (two corpus passes, like ``strip_frequent_lines``):
+
+- Count pass: documents explode batch-locally to per-doc-deduped uint64
+  gram hashes — ONLY 8-byte hashes ride the groupby-count shuffle,
+  never text. One k-vector-op pass hashes a whole batch (no per-gram
+  Python).
+- Mask pass, ``mode="broadcast"`` (default): the duplicated-gram set
+  collects into ONE sorted int64 array placed in the object store once
+  (``ray.put``); the corpus streams map-only, each batch probing with
+  ``searchsorted``.  Bound: |set| <= total_grams / min_docs and in
+  practice boilerplate-sized; if a pathological corpus outgrows the
+  object store, use ``mode="join"`` — that is the documented trade,
+  not a silent cap.
+- Mask pass, ``mode="join"``: fully distributed — every gram
+  occurrence ships ``(gram_hash, id, pos)`` through a semi-join against
+  the duplicated set (the unavoidable cost of a distributed filter on a
+  computed key, ~24 B/token), surviving hit positions co-partition with
+  the documents on ``id`` in ONE tagged-union exchange, and each
+  partition rewrites vectorized.
+
+Upstream has no analogue (Sagan processes log lines independently);
+this is a training-data-pipeline operator mandated by the task brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_C = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+      np.uint64(0x165667B19E3779F9))
+
+
+def _gram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-gram hashes for a whole batch, flat + per-doc offsets.
+
+    Returns ``(gh, starts)``: uint64 hashes and int64 offsets such that
+    doc d's grams are ``gh[starts[d]:starts[d+1]]``, in token order
+    (gram g starts at token g). Documents with fewer than k words
+    contribute ZERO grams (a partial gram can't witness duplication —
+    unlike the MinHash shingle kernel, which pads).
+
+    One vectorized pass: all words hash at once (pandas siphash, C),
+    gram mixing is k vector ops over the FLAT word-hash array with
+    doc-boundary-crossing grams masked out — no per-doc Python loop.
+    """
+    n = len(texts)
+    words_per_doc = [t.split() if t else [] for t in texts]
+    wc = np.fromiter((len(ws) for ws in words_per_doc), dtype=np.int64,
+                     count=n)
+    gc = np.maximum(wc - k + 1, 0)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gc, out=starts[1:])
+    total_words = int(wc.sum())
+    if total_words < k or not starts[-1]:
+        return np.empty(0, dtype=np.uint64), starts
+    flat_words = np.empty(total_words, dtype=object)
+    pos = 0
+    for ws in words_per_doc:
+        flat_words[pos:pos + len(ws)] = ws
+        pos += len(ws)
+    wh = pd.util.hash_array(flat_words)  # uint64, vectorized
+    # gram hash at flat word position i mixes wh[i:i+k]
+    m = total_words - k + 1
+    s = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        s = s * _C[j % 3] + wh[j:j + m]
+    # keep only grams fully inside one doc: flat positions
+    # [word_start_d, word_start_d + gc_d) for each doc d — marked via
+    # one inc/dec cumsum, no per-doc loop
+    word_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wc, out=word_starts[1:])
+    inc = np.zeros(m + 1, dtype=np.int64)
+    valid = gc > 0
+    np.add.at(inc, word_starts[:-1][valid], 1)
+    np.add.at(inc, (word_starts[:-1] + gc)[valid], -1)
+    keep = np.cumsum(inc[:-1]) > 0
+    return s[keep], starts
+
+
+def _dedup_within_doc(gh: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Unique (doc, gram_hash) hashes — so min_docs counts DOCUMENTS."""
+    if not len(gh):
+        return gh
+    doc_of = np.repeat(np.arange(len(starts) - 1, dtype=np.int64),
+                       np.diff(starts))
+    order = np.lexsort((gh, doc_of))
+    d_s, h_s = doc_of[order], gh[order]
+    first = np.ones(len(h_s), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return h_s[first]
+
+
+def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
+                          min_docs: int = 2):
+    """Dataset of ``(gram_hash, n_docs)`` for word-k-grams occurring in
+    >= ``min_docs`` documents. Hashes are int64 VIEWS of the uint64
+    siphash (bijective; >2^63 values would overflow the sort-aggregate's
+    python-int conversion — same convention as frequent_line_hashes)."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
+        uniq = _dedup_within_doc(gh, starts)
+        return pa.table({"gram_hash": pa.array(uniq.view(np.int64))})
+
+    counts = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("gram_hash").aggregate(Count(alias_name="n_docs")))
+    return counts.filter(expr=f"n_docs >= {min_docs}")
+
+
+def _mask_doc(words: list[str], pos: np.ndarray, k: int,
+              min_run: int) -> tuple[str, int]:
+    """Rewrite ONE doc given sorted duplicated-gram positions ``pos``.
+
+    Maximal runs of consecutive positions (diff == 1) with run length
+    >= ``min_run`` mask tokens [run_start, run_end + k - 1]."""
+    if not len(pos):
+        return " ".join(words), 0
+    breaks = np.flatnonzero(np.diff(pos) != 1)
+    run_starts = pos[np.r_[0, breaks + 1]]
+    run_ends = pos[np.r_[breaks, len(pos) - 1]]
+    ok = (run_ends - run_starts + 1) >= min_run
+    if not ok.any():
+        return " ".join(words), 0
+    covered = np.zeros(len(words) + 1, dtype=np.int64)
+    np.add.at(covered, run_starts[ok], 1)
+    np.add.at(covered, np.minimum(run_ends[ok] + k, len(words)), -1)
+    keep = np.cumsum(covered[:-1]) == 0
+    n_masked = int(len(words) - keep.sum())
+    return " ".join(w for w, m in zip(words, keep) if m), n_masked
+
+
+def _rewrite_batch(texts: list[str], hit_pos: list[np.ndarray], k: int,
+                   min_run: int) -> tuple[list[str], np.ndarray]:
+    """Apply :func:`_mask_doc` across a batch; untouched docs keep their
+    ORIGINAL text byte-identically (no whitespace normalization)."""
+    out, n_masked = [], np.zeros(len(texts), dtype=np.int64)
+    for i, (t, pos) in enumerate(zip(texts, hit_pos)):
+        if not len(pos):
+            out.append(t)
+            continue
+        new, nm = _mask_doc((t or "").split(), pos, k, min_run)
+        out.append(new if nm else t)
+        n_masked[i] = nm
+    return out, n_masked
+
+
+def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 10, min_docs: int = 2,
+                         min_span_tokens: int | None = None,
+                         mode: str = "broadcast", out_col: str | None = None):
+    """Mask corpus-duplicated token spans in every document (see module
+    docstring for semantics and the broadcast-vs-join scale trade).
+
+    Adds ``n_masked_tokens``; the rewritten text lands in ``out_col``
+    (default: in place). ``min_span_tokens`` defaults to ``k`` (any
+    duplicated gram masks); Lee et al. use 50.
+
+    Like every two-pass corpus operator here, the input lineage
+    executes twice (count pass + mask pass) — materialize / checkpoint
+    the projected input upstream when the scan is expensive (the
+    cleaning pipeline's checkpoint pattern)."""
+    import ray
+
+    min_span = max(min_span_tokens or k, k)
+    min_run = min_span - k + 1
+    dst = out_col or text_col
+    dup = duplicate_gram_hashes(ds, text_col, k, min_docs).select_columns(
+        ["gram_hash"])
+
+    def _emit(t: pa.Table, texts_out: list[str],
+              n_masked: np.ndarray) -> pa.Table:
+        col = pa.array(texts_out, type=pa.string())
+        if dst in t.column_names:
+            t = t.set_column(t.column_names.index(dst), dst, col)
+        else:
+            t = t.append_column(dst, col)
+        return t.append_column("n_masked_tokens", pa.array(n_masked))
+
+    if mode == "broadcast":
+        parts = [b["gram_hash"].to_numpy(zero_copy_only=False)
+                 for b in dup.iter_batches(batch_format="pyarrow")]
+        blk = np.sort(np.concatenate(parts)) if parts else np.empty(
+            0, dtype=np.int64)
+        blk_ref = ray.put(blk)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            arr = ray.get(blk_ref)
+            texts = t[text_col].to_pylist()
+            gh, starts = _gram_hashes(texts, k)
+            ghi = gh.view(np.int64)
+            if len(arr) and len(ghi):
+                idx = np.searchsorted(arr, ghi)
+                idx[idx == len(arr)] = 0
+                hit = arr[idx] == ghi
+            else:
+                hit = np.zeros(len(ghi), dtype=bool)
+            hit_pos = [np.flatnonzero(hit[starts[d]:starts[d + 1]])
+                       for d in range(len(texts))]
+            return _emit(t, *_rewrite_batch(texts, hit_pos, k, min_run))
+
+        return ds.map_batches(rewrite, batch_format="pyarrow")
+
+    if mode != "join":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    from .join import equi_join
+    from .window import grouped_apply
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gram_hash": pa.array(gh.view(np.int64)),
+            id_col: pa.array(np.repeat(doc_ids, np.diff(starts))),
+            "pos": pa.array(
+                np.arange(len(gh), dtype=np.int64)
+                - np.repeat(starts[:-1], np.diff(starts))),
+        })
+
+    id_type = next(t for n, t in zip(ds.schema().names, ds.schema().types)
+                   if n == id_col)
+    hits = equi_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode_pos, batch_format="pyarrow"),
+        dup, on=["gram_hash"], how="left_semi",
+        left_types={"gram_hash": pa.int64(), id_col: id_type,
+                    "pos": pa.int64()},
+        right_types={"gram_hash": pa.int64()},
+    ).select_columns([id_col, "pos"])
+
+    # co-partition docs + hit positions on id in ONE tagged exchange
+    schema = ds.schema()
+    doc_types = dict(zip(schema.names, schema.types))
+    pay = [c for c in schema.names if c != id_col]
+    out_schema = {**doc_types, "n_masked_tokens": pa.int64()}
+    if dst not in out_schema:
+        out_schema[dst] = pa.string()
+    out_cols = schema.names + ([] if dst in schema.names
+                               else [dst]) + ["n_masked_tokens"]
+
+    def pad_docs(t: pa.Table) -> pa.Table:
+        t = t.append_column("pos", pa.nulls(len(t), type=pa.int64()))
+        return t.append_column("side", pa.array(
+            np.zeros(len(t), dtype=np.int8)))
+
+    def pad_hits(t: pa.Table) -> pa.Table:
+        for c in pay:
+            t = t.append_column(c, pa.nulls(len(t), type=doc_types[c]))
+        return t.append_column("side", pa.array(
+            np.ones(len(t), dtype=np.int8)))
+
+    cols = [id_col] + pay + ["pos", "side"]
+    tagged = (ds.map_batches(pad_docs, batch_format="pyarrow")
+              .select_columns(cols)
+              .union(hits.map_batches(pad_hits, batch_format="pyarrow")
+                     .select_columns(cols)))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["side"] == 0].drop(columns=["side", "pos"])
+        hitg = g[g["side"] == 1]
+        pos_by_id: dict = {}
+        if len(hitg):
+            hs = hitg.sort_values([id_col, "pos"], kind="mergesort")
+            for did, sub in hs.groupby(id_col, sort=False)["pos"]:
+                pos_by_id[did] = sub.to_numpy(dtype=np.int64)
+        texts = docs[text_col].tolist()
+        ids = docs[id_col].tolist()
+        hit_pos = [pos_by_id.get(i, np.empty(0, dtype=np.int64))
+                   for i in ids]
+        texts_out, n_masked = _rewrite_batch(texts, hit_pos, k, min_run)
+        out = docs.copy()
+        out[dst] = texts_out
+        out["n_masked_tokens"] = n_masked
+        return out[out_cols]
+
+    return grouped_apply(tagged, [id_col], fn, output_cols=out_cols,
+                         out_schema=out_schema)
