@@ -293,6 +293,182 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
                    on=(id_col,))
 
 
+def _desc_score_key(scores: np.ndarray) -> np.ndarray:
+    """Monotone uint64 key: ascending key == DESCENDING float64 score.
+
+    Standard IEEE-754 total-order bit trick (negatives flip all bits,
+    positives flip the sign bit), then complemented for descending.
+    Null/NaN scores map to -inf first, so they sort LAST (dropped
+    first when a budget tightens)."""
+    s = np.nan_to_num(scores.astype(np.float64), nan=-np.inf)
+    b = s.view(np.uint64)
+    asc = np.where(b >> np.uint64(63) == 1, ~b, b | np.uint64(1 << 63))
+    return ~asc
+
+
+def select_top_tokens(ds, budget: int, score_col: str,
+                      token_col: str = "n_tokens", id_col: str = "doc_id",
+                      seed: int = 42, exact_cap: int = 250_000,
+                      n_buckets: int = 1024):
+    """Keep the highest-``score_col`` documents whose cumulative
+    ``token_col`` fills ``budget`` — the "train on the best N tokens"
+    data-selection step. Exact semantics (differential-tested): order
+    docs by (score DESC, splitmix64(id, seed) ASC), keep while the
+    running token total stays <= budget; the doc that would overflow is
+    excluded (and everything after it).
+
+    Scale shape — NO global sort and NO driver-side corpus pass: the
+    selection threshold is found by iterative HISTOGRAM REFINEMENT over
+    the 64-bit order key. Each round is one map-only pass emitting
+    per-block partial histograms (``n_buckets`` rows/block of
+    (bucket, token_sum, n_docs)) + one tiny groupby-sum; the driver
+    walks the cumulative histogram, picks the bucket where the budget
+    crosses, and recurses into it. The value interval shrinks
+    >= ``n_buckets``x per round (<= 7 rounds for the full uint64 space);
+    when the boundary interval holds <= ``exact_cap`` docs, those
+    (key, tiebreak, tokens) rows — and ONLY those — collect to the
+    driver for the exact cut. Massive score ties cannot stall it: once
+    the interval narrows to a single score value, refinement switches
+    to the uniformly-distributed splitmix64 tiebreak. The final keep is
+    a map-only filter against the broadcast (threshold, boundary) pair.
+
+    Each refinement round re-executes the input lineage — project /
+    checkpoint ``(id, score, tokens)`` upstream when the scan is
+    expensive (2–3 rounds typical).
+    """
+    from ray.data.aggregate import Sum
+
+    def _keys_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k1 = _desc_score_key(
+            t[score_col].to_numpy(zero_copy_only=False).astype(np.float64))
+        k2 = _shuffle_key(ids, seed)
+        toks = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return k1, k2, toks
+
+    def _hist(lo: int, hi: int, level: int, k1_fix: int):
+        """Summed histogram of the in-scope key over [lo, hi) + step."""
+        step = max(1, -((lo - hi) // n_buckets))  # ceil((hi-lo)/B)
+
+        def part(t: pa.Table) -> pa.Table:
+            k1, k2, toks = _keys_of(t)
+            k = k1 if level == 0 else k2
+            scope = (k1 == np.uint64(k1_fix)) if level else np.ones(
+                len(k1), dtype=bool)
+            # hi may be 2^64 (out of uint64 range): compare <= hi-1
+            scope &= (k >= np.uint64(lo)) & (k <= np.uint64(hi - 1))
+            b = ((k[scope] - np.uint64(lo)) // np.uint64(step)).astype(
+                np.int64)
+            tok_s = np.zeros(n_buckets, dtype=np.int64)
+            n_s = np.zeros(n_buckets, dtype=np.int64)
+            np.add.at(tok_s, b, toks[scope])
+            np.add.at(n_s, b, 1)
+            nz = np.flatnonzero(n_s)
+            return pa.table({"bucket": pa.array(nz),
+                             "tok": pa.array(tok_s[nz]),
+                             "n": pa.array(n_s[nz])})
+
+        out = (ds.map_batches(part, batch_format="pyarrow")
+               .groupby("bucket")
+               .aggregate(Sum("tok", alias_name="tok"),
+                          Sum("n", alias_name="n"))
+               .to_pandas())
+        return out.sort_values("bucket").reset_index(drop=True), step
+
+    # ---- refinement loop: find the boundary interval ----
+    lo, hi = 0, 1 << 64
+    level, k1_fix = 0, 0
+    remaining = int(budget)
+    # interval shrinks >= n_buckets x per round; 2 levels of a 64-bit
+    # space, +2 slack (7+7+2 = 16 rounds at the default 1024 buckets)
+    max_rounds = 2 * (-(-64 // max(1, int(np.log2(n_buckets))))) + 2
+    for _ in range(max_rounds):
+        h, step = _hist(lo, hi, level, k1_fix)
+        if len(h) == 0:
+            # empty scope: an empty corpus (level 0, round 1) or an
+            # already-resolved boundary — nothing ambiguous remains
+            if level == 0:
+                return ds
+            lo = hi
+            break
+        cum_tok = h["tok"].cumsum()
+        over = cum_tok > remaining
+        if not over.any():
+            # whole scope fits: keep everything in it
+            if level == 0:
+                return ds  # entire corpus fits the budget
+            remaining -= int(cum_tok.iloc[-1]) if len(h) else 0
+            lo = hi  # nothing boundary-ambiguous remains
+            break
+        i = int(np.argmax(over.to_numpy()))
+        remaining -= int(cum_tok.iloc[i - 1]) if i else 0
+        b = int(h["bucket"].iloc[i])
+        n_docs = int(h["n"].iloc[i])
+        lo, hi = lo + b * step, min(lo + (b + 1) * step, hi)
+        if n_docs <= exact_cap:
+            break
+        if hi - lo == 1 and level == 0:
+            # one score value, huge tie: refine on the uniform tiebreak
+            level, k1_fix = 1, lo
+            lo, hi = 0, 1 << 64
+
+    # ---- exact cut inside the boundary interval ----
+    blo, bhi, blevel, bfix = lo, hi, level, k1_fix
+
+    def boundary(t: pa.Table) -> pa.Table:
+        k1, k2, toks = _keys_of(t)
+        k = k1 if blevel == 0 else k2
+        scope = (k1 == np.uint64(bfix)) if blevel else np.ones(
+            len(k1), dtype=bool)
+        scope &= ((k >= np.uint64(blo)) & (k <= np.uint64(bhi - 1))
+                  if bhi > blo else np.zeros(len(k1), dtype=bool))
+        return pa.table({
+            "k1": pa.array(k1[scope].view(np.int64)),
+            "k2": pa.array(k2[scope].view(np.int64)),
+            "tok": pa.array(toks[scope]),
+        })
+
+    rows = [b for b in ds.map_batches(boundary, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+    if rows:
+        bt = pa.concat_tables(rows)
+        bk1 = bt["k1"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bk2 = bt["k2"].to_numpy(zero_copy_only=False).view(np.uint64)
+        btok = bt["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bk2, bk1))
+        fits = np.cumsum(btok[order]) <= remaining
+        n_in = int(fits.sum())
+    else:
+        n_in = 0
+    if n_in:
+        cut_k1 = int(bk1[order][n_in - 1])
+        cut_k2 = int(bk2[order][n_in - 1])
+    else:
+        cut_k1 = cut_k2 = -1  # nothing from the boundary set
+
+    def keep(t: pa.Table) -> pa.Table:
+        k1, k2, _ = _keys_of(t)
+        if blevel == 0:
+            m = k1 < np.uint64(blo)
+            if n_in:
+                in_b = (k1 >= np.uint64(blo)) & (k1 <= np.uint64(bhi - 1))
+                m |= in_b & (
+                    (k1 < np.uint64(cut_k1))
+                    | ((k1 == np.uint64(cut_k1)) & (k2 <= np.uint64(cut_k2)))
+                )
+        else:
+            m = k1 < np.uint64(bfix)
+            same = k1 == np.uint64(bfix)
+            m |= same & (k2 < np.uint64(blo))
+            if n_in:
+                in_b = same & (k2 >= np.uint64(blo)) & (
+                    k2 <= np.uint64(bhi - 1))
+                m |= in_b & (k2 <= np.uint64(cut_k2))
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
                      id_col: str = "doc_id", seed: int = 42,
                      out_col: str = "split"):
