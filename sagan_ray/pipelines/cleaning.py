@@ -47,8 +47,10 @@ def _url_keeper_filter(ds, url_col: str, id_col: str):
     dup_groups = url_dedup(ds, url_col=url_col, id_col=id_col).filter(
         expr="n > 1"
     )
+    from ..functions.collect import collect_blocks
+
     url_s, keep_id = [], []
-    for b in dup_groups.iter_batches(batch_format="pyarrow"):
+    for b in collect_blocks(dup_groups):
         url_s.extend(b["canonical_url"].to_pylist())
         keep_id.extend(b["keeper_doc_id"].to_pylist())
     keeper_by_url = dict(zip(url_s, keep_id))
@@ -148,9 +150,11 @@ def _exact_losers(ds, dup_groups, text_col: str, id_col: str):
     import numpy as np
     import ray
 
+    from ..functions.collect import collect_blocks
+
     rows = dup_groups.select_columns(["text_digest", "keeper_doc_id"])
     dig, keep_id = [], []
-    for b in rows.iter_batches(batch_format="pyarrow"):
+    for b in collect_blocks(rows):
         dig.extend(b["text_digest"].to_pylist())
         keep_id.extend(b["keeper_doc_id"].to_pylist())
     keeper_by_digest = dict(zip(dig, keep_id))
@@ -172,14 +176,10 @@ def _anti_by_id(ds, losers, id_col: str):
     import pyarrow as pa
     import ray
 
-    ids = np.sort(
-        np.concatenate(
-            [b[id_col].to_numpy(zero_copy_only=False)
-             for b in losers.iter_batches(batch_format="pyarrow")]
-            or [np.array([], dtype=np.int64)]
-        )
-    )
-    ref = ray.put(ids)
+    from ..functions.collect import collect_column_numpy
+
+    ref = ray.put(np.sort(collect_column_numpy(losers, id_col,
+                                               dtype=np.int64)))
 
     def gate(t: pa.Table) -> pa.Table:
         blk = ray.get(ref)

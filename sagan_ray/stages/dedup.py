@@ -137,13 +137,11 @@ def dedup_against(ds, ref, text_col: str = "text",
             fast_digest128(t[text_col].to_pylist()))})
 
     if mode == "broadcast":
-        parts = [
-            b["text_digest"].to_numpy(zero_copy_only=False).astype("S32")
-            for b in ref.map_batches(ref_digests, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow")
-        ]
-        dig = (np.unique(np.concatenate(parts)) if parts
-               else np.empty(0, dtype="S32"))
+        from ..functions.collect import collect_column_numpy
+
+        dig = np.unique(collect_column_numpy(
+            ref.map_batches(ref_digests, batch_format="pyarrow"),
+            "text_digest", dtype="S32"))
         dig_ref = ray.put(dig)
 
         def gate(t: pa.Table) -> pa.Table:

@@ -79,11 +79,12 @@ def train_unigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
               .materialize())
     total = int(counts.sum("c") or 0)
     top = counts.sort(["c", "h"], descending=[True, False]).limit(vocab_size)
-    tt = pa.concat_tables(
-        [b for b in top.iter_batches(batch_format="pyarrow")]
-        or [pa.table({"h": pa.array([], pa.int64()),
-                      "c": pa.array([], pa.int64())})]
-    )
+    from ..functions.collect import collect_table
+
+    tt = collect_table(top)
+    if tt is None:
+        tt = pa.table({"h": pa.array([], pa.int64()),
+                       "c": pa.array([], pa.int64())})
     h = (tt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
          ^ np.uint64(1 << 63))
     c = tt["c"].to_numpy(zero_copy_only=False).astype(np.float64)

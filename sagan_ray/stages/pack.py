@@ -225,7 +225,7 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     import pyarrow.compute as _pc  # noqa: F401
 
     from .correlate import shuffle_groups
-    from .dedup import _digest64, _join_width
+    from .dedup import _digest64
 
     if cap < 1:
         raise ValueError("cap must be >= 1")
@@ -287,10 +287,36 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     n_losers = losers.count()
     if n_losers == 0:
         return ds
-    npart = (1 if n_losers < 10_000
-             else max(2, min(_join_width(), n_losers // 250_000 + 2)))
-    return ds.join(losers, join_type="left_anti", num_partitions=npart,
-                   on=(id_col,))
+    if n_losers <= 20_000_000:
+        # loser ids broadcast as ONE sorted int64 array (8 B/id — 20M
+        # ids = 160 MB, object-store-sized) and the corpus streams
+        # MAP-ONLY through a searchsorted gate: zero shuffle, vs the
+        # full-corpus exchange any anti-join pays. Measured: the bench's
+        # cap_per_host (32M rows, ~7M losers) 48 s -> map-only.
+        import ray
+
+        from ..functions.collect import collect_column_numpy
+
+        ref = ray.put(np.sort(collect_column_numpy(losers, id_col,
+                                                   dtype=np.int64)))
+
+        def gate(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(arr, ids)
+            pos[pos == len(arr)] = 0
+            return t.filter(pa.array(~(arr[pos] == ids)))
+
+        return ds.map_batches(gate, batch_format="pyarrow")
+    # loser set too big to broadcast: distributed anti-join. The
+    # sort-exchange equi_join, not native Dataset.join — native's
+    # per-row Python hash_partition dominates at this size (SCALE.md
+    # A/B: 3.4x on an 8M x 2M semi).
+    from .join import equi_join
+
+    lt = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
+    return equi_join(ds, losers, on=(id_col,), how="left_anti",
+                     left_types=lt, right_types={id_col: pa.int64()})
 
 
 def _desc_score_key(scores: np.ndarray) -> np.ndarray:
@@ -428,10 +454,10 @@ def select_top_tokens(ds, budget: int, score_col: str,
             "tok": pa.array(toks[scope]),
         })
 
-    rows = [b for b in ds.map_batches(boundary, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")]
-    if rows:
-        bt = pa.concat_tables(rows)
+    from ..functions.collect import collect_table
+
+    bt = collect_table(ds.map_batches(boundary, batch_format="pyarrow"))
+    if bt is not None:
         bk1 = bt["k1"].to_numpy(zero_copy_only=False).view(np.uint64)
         bk2 = bt["k2"].to_numpy(zero_copy_only=False).view(np.uint64)
         btok = bt["tok"].to_numpy(zero_copy_only=False)
@@ -501,9 +527,11 @@ def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
     if pairs is not None:
         from .dedup import dedup_clusters
 
+        from ..functions.collect import collect_blocks
+
         clusters = dedup_clusters(pairs)
         ks, vs = [], []
-        for b in clusters.iter_batches(batch_format="pyarrow"):
+        for b in collect_blocks(clusters):
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             cl = b["cluster_id"].to_numpy(zero_copy_only=False)
             ne = ids != cl

@@ -197,11 +197,10 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         return t.append_column("n_masked_tokens", pa.array(n_masked))
 
     if mode == "broadcast":
-        parts = [b["gram_hash"].to_numpy(zero_copy_only=False)
-                 for b in dup.iter_batches(batch_format="pyarrow")]
-        blk = np.sort(np.concatenate(parts)) if parts else np.empty(
-            0, dtype=np.int64)
-        blk_ref = ray.put(blk)
+        from ..functions.collect import collect_column_numpy
+
+        blk_ref = ray.put(np.sort(collect_column_numpy(
+            dup, "gram_hash", dtype=np.int64)))
 
         def rewrite(t: pa.Table) -> pa.Table:
             arr = ray.get(blk_ref)

@@ -450,15 +450,11 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
     import pandas as pd
     import ray
 
+    from ..functions.collect import collect_column_numpy
+
     freq = frequent_line_hashes(ds, text_col, min_count, min_chars)
-    arr = np.sort(
-        np.concatenate(
-            [b["line_hash"].to_numpy(zero_copy_only=False)
-             for b in freq.iter_batches(batch_format="pyarrow")]
-            or [np.array([], dtype=np.int64)]
-        ).astype(np.int64)
-    )
-    ref = ray.put(arr)
+    ref = ray.put(np.sort(collect_column_numpy(freq, "line_hash",
+                                               dtype=np.int64)))
     dst = out_col or text_col
 
     def rewrite(t: pa.Table) -> pa.Table:
