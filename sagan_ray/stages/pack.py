@@ -204,8 +204,225 @@ def _rank_in_key(keys: np.ndarray, order: np.ndarray,
     return idx, rank
 
 
+def _int64_sortable_u64(x: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 preserving order (flip the sign bit)."""
+    return x.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+
+
+def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
+                          order_col: str | None = None, seed: int = 42,
+                          hot_key_limit: int = 100_000,
+                          n_buckets: int = 512,
+                          boundary_cap: int = 65_536):
+    """:func:`cap_per_key` semantics with ZERO row shuffle — the scale
+    path for corpora where rows dwarf keys (the web reality).
+
+    Instead of exchanging every ``(key, id, order)`` row to rank
+    globally, each over-cap ("hot") key's exact rank-``cap`` cutoff —
+    the cap-th smallest ``(order, id)`` pair — is found by per-key
+    HISTOGRAM REFINEMENT (the select_top_tokens machinery, one interval
+    per hot key, all keys refined concurrently in each round): every
+    round is a map-only pass emitting sparse ``(key, bucket, count)``
+    partials + one tiny groupby-sum. A hot key whose interval ties on a
+    single order value switches to a second refinement level on the
+    (unique) id. Boundary intervals (<= ``boundary_cap`` rows each)
+    collect once for the exact cut; the final filter is a broadcast
+    ``{key: (order*, id*)}`` map-only gate.
+
+    Data movement: ~R+3 scans of the 2–3-column projection (R = rounds,
+    2–3 typical for the uniform seed order) and per-round partials of
+    |hot keys| x n_buckets rows — vs the exchange mode's full-row
+    shuffle. Returns None when |hot keys| > ``hot_key_limit`` (the
+    per-round partial volume bound) — caller falls back to the
+    exchange; at web scale over-cap domains are the Zipf head, far
+    below the limit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.collect import collect_table
+
+    def _order_u64(t: pa.Table, ids: np.ndarray) -> np.ndarray:
+        if order_col is None:
+            return _shuffle_key(ids, seed)
+        col = t[order_col].combine_chunks()
+        try:
+            o = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            o = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _int64_sortable_u64(o)
+
+    def _key_codes(t: pa.Table):
+        """(codes, uniques) via Arrow dictionary encode — the key column
+        never materializes as Python strings (only the few uniques do);
+        this runs once per pass per batch, so it must stay C-speed."""
+        enc = t[key_col].combine_chunks().dictionary_encode()
+        f = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return f, enc.dictionary.to_pylist()
+
+    def _cols(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, _order_u64(t, ids), _int64_sortable_u64(ids)
+
+    # ---- pass 1: per-key counts (distinct-key partials only) ----
+    def count_part(t: pa.Table) -> pa.Table:
+        f, uk = _key_codes(t)
+        return pa.table({"k": pa.array(uk, type=pa.string()),
+                         "n": pa.array(np.bincount(
+                             f, minlength=len(uk)).astype(np.int64))})
+
+    counts = (ds.map_batches(count_part, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("n", alias_name="n"))
+              .filter(expr=f"n > {cap}"))
+    ct = collect_table(counts)
+    if ct is None:
+        return ds  # no key over cap: identity
+    hot_keys = np.asarray(ct["k"].to_pylist(), dtype=object)
+    if len(hot_keys) > hot_key_limit:
+        return None  # fall back to the exchange mode
+    kidx = {k: i for i, k in enumerate(hot_keys)}
+    nk = len(hot_keys)
+    # per-key state: active flag; level 0=refine order, 1=refine id
+    lo = np.zeros(nk, dtype=object)  # python ints: hi may be 2^64
+    hi = np.array([1 << 64] * nk, dtype=object)
+    fixed = np.zeros(nk, dtype=np.uint64)
+    level = np.zeros(nk, dtype=np.int8)
+    active = np.ones(nk, dtype=bool)
+    need = np.full(nk, cap, dtype=np.int64)
+
+    def _state_ref():
+        step = np.array([max(1, -((int(l) - int(h)) // n_buckets))
+                         for l, h in zip(lo, hi)], dtype=np.uint64)
+        return ray.put((kidx, active.copy(), level.copy(),
+                        np.array([int(x) for x in lo], dtype=np.uint64),
+                        np.array([int(x) - 1 for x in hi],
+                                 dtype=np.uint64),
+                        step, fixed.copy()))
+
+    def _round_pass(state_ref):
+        def part(t: pa.Table) -> pa.Table:
+            km, act_a, lv, lo_a, hi1, step_a, fx = ray.get(state_ref)
+            f, uk = _key_codes(t)
+            ids, ou, iu = _cols(t)
+            # map the few DISTINCT keys through the dict (not per row)
+            m = np.array([km.get(k, -1) for k in uk], dtype=np.int64)
+            ki = m[f]
+            act = (ki >= 0) & act_a[np.maximum(ki, 0)]
+            if not act.any():
+                return pa.table({"g": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            ki = ki[act]
+            lvl = lv[ki]
+            v = np.where(lvl == 0, ou[act], iu[act])
+            scope = (lvl == 0) | (ou[act] == fx[ki])
+            # interval test via hi-1 (hi may be 2^64, out of uint64)
+            inb = scope & (v >= lo_a[ki]) & (v <= hi1[ki])
+            with np.errstate(over="ignore"):
+                b = ((v[inb] - lo_a[ki][inb])
+                     // step_a[ki][inb]).astype(np.int64)
+            gid = ki[inb] * n_buckets + b
+            u, cnt = np.unique(gid, return_counts=True)
+            return pa.table({"g": pa.array(u),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        h = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("g").aggregate(Sum("n", alias_name="n")))
+        return collect_table(h)
+
+    # ---- refinement rounds ----
+    max_rounds = 2 * (-(-64 // max(1, int(np.log2(n_buckets))))) + 2
+    for _ in range(max_rounds):
+        if not active.any():
+            break
+        ht = _round_pass(_state_ref())
+        g = (ht["g"].to_numpy(zero_copy_only=False)
+             if ht is not None else np.empty(0, dtype=np.int64))
+        n = (ht["n"].to_numpy(zero_copy_only=False)
+             if ht is not None else np.empty(0, dtype=np.int64))
+        order = np.argsort(g, kind="stable")
+        g, n = g[order], n[order]
+        kk, bb = g // n_buckets, g % n_buckets
+        for i in np.flatnonzero(active):
+            sel = kk == i
+            if not sel.any():
+                active[i] = False  # empty scope: boundary is empty
+                continue
+            cum = np.cumsum(n[sel])
+            j = int(np.searchsorted(cum, need[i]))  # first cum >= need
+            need[i] -= int(cum[j - 1]) if j else 0
+            step = max(1, -((int(lo[i]) - int(hi[i])) // n_buckets))
+            b = int(bb[sel][j])
+            new_lo = int(lo[i]) + b * step
+            new_hi = min(new_lo + step, int(hi[i]))
+            lo[i], hi[i] = new_lo, new_hi
+            cnt = int(n[sel][j])
+            if cnt <= boundary_cap:
+                active[i] = False
+            elif new_hi - new_lo == 1:
+                if level[i] == 0:  # one order value, huge tie -> ids
+                    fixed[i] = np.uint64(new_lo)
+                    level[i] = 1
+                    lo[i], hi[i] = 0, 1 << 64
+                else:
+                    active[i] = False  # duplicate ids: collect anyway
+
+    # ---- boundary collect: exact per-key threshold pair ----
+    b_state = ray.put((kidx, level.copy(),
+                       np.array([int(x) for x in lo], dtype=np.uint64),
+                       np.array([int(x) - 1 for x in hi], dtype=np.uint64),
+                       fixed.copy()))
+
+    def bpart(t: pa.Table) -> pa.Table:
+        km, lv, lo_a, hi1, fx = ray.get(b_state)
+        f, uk = _key_codes(t)
+        ids, ou, iu = _cols(t)
+        m = np.array([km.get(k, -1) for k in uk], dtype=np.int64)
+        ki = m[f]
+        act = ki >= 0
+        ki0 = np.maximum(ki, 0)
+        on_id = lv[ki0] == 1
+        v = np.where(on_id, iu, ou)
+        scope = ~on_id | (ou == fx[ki0])
+        act &= scope & (v >= lo_a[ki0]) & (v <= hi1[ki0])
+        return pa.table({"ki": pa.array(ki[act]),
+                         "ou": pa.array(ou[act].view(np.int64)),
+                         "iu": pa.array(iu[act].view(np.int64))})
+
+    bt = collect_table(ds.map_batches(bpart, batch_format="pyarrow"))
+    thr_o = np.zeros(nk, dtype=np.uint64)
+    thr_i = np.zeros(nk, dtype=np.uint64)
+    if bt is not None and bt.num_rows:
+        bki = bt["ki"].to_numpy(zero_copy_only=False)
+        bou = bt["ou"].to_numpy(zero_copy_only=False).view(np.uint64)
+        biu = bt["iu"].to_numpy(zero_copy_only=False).view(np.uint64)
+        srt = np.lexsort((biu, bou, bki))
+        bki, bou, biu = bki[srt], bou[srt], biu[srt]
+        starts = np.r_[0, 1 + np.flatnonzero(bki[1:] != bki[:-1])]
+        ends = np.r_[starts[1:], len(bki)]
+        for s, e, i in zip(starts, ends, bki[starts]):
+            # need[i]-th smallest in-scope pair = the last keeper
+            # (the crossing bucket holds >= need rows by construction;
+            # min() guards the duplicate-id fallback)
+            p = min(s + need[i] - 1, e - 1)
+            thr_o[i], thr_i[i] = bou[p], biu[p]
+    g_state = ray.put((kidx, thr_o, thr_i))
+
+    def gate(t: pa.Table) -> pa.Table:
+        km, to, ti = ray.get(g_state)
+        f, uk = _key_codes(t)
+        ids, ou, iu = _cols(t)
+        m = np.array([km.get(k, -1) for k in uk], dtype=np.int64)
+        ki = m[f]
+        ki0 = np.maximum(ki, 0)
+        keep = (ki < 0) | (ou < to[ki0]) | ((ou == to[ki0])
+                                            & (iu <= ti[ki0]))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
-                order_col: str | None = None, seed: int = 42):
+                order_col: str | None = None, seed: int = 42,
+                method: str = "auto"):
     """Keep at most ``cap`` rows per key — the RefinedWeb-style
     per-domain cap (bound any one host's share of the training corpus).
 
@@ -214,13 +431,20 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     pseudo-random order (splitmix64 of (id, seed)), i.e. an unbiased
     per-key sample that replays identically across runs.
 
-    Scale shape: only the ``(key, id, order)`` projection ever moves —
-    text never rides a shuffle. Each block pre-prunes to its local
-    top-``cap`` per key (the combiner: a block can contribute at most
-    ``cap`` rows per key to the exchange), the global rank runs per
-    coarse key-hash bucket through the shared sort-shuffle seam, and
-    only LOSERS (rank >= cap — the minority a cap is meant to trim)
-    come back to anti-join the corpus on id.
+    Two exact engines, identical keeper sets (differential-tested):
+
+    - ``method="threshold"`` (:func:`cap_per_key_threshold`): zero row
+      shuffle — per-hot-key histogram refinement finds each key's exact
+      rank-cap cutoff, then a broadcast map-only gate. A few extra
+      projection scans; the scale default.
+    - ``method="exchange"``: one sort-exchange of the (key, id, order)
+      projection with block-local pre-pruning, losers broadcast back
+      (or anti-joined above 20M). One scan; wins when the input scan
+      itself is the expensive part and keys are many.
+
+    ``method="auto"`` tries threshold and falls back to exchange when
+    over-cap keys exceed its broadcast bound. Both require a
+    DETERMINISTIC input lineage (threshold re-scans it per round).
     """
     import pyarrow.compute as _pc  # noqa: F401
 
@@ -229,6 +453,16 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
 
     if cap < 1:
         raise ValueError("cap must be >= 1")
+    if method not in ("auto", "threshold", "exchange"):
+        raise ValueError(f"unknown method {method!r}")
+    if method in ("auto", "threshold"):
+        out = cap_per_key_threshold(ds, key_col, cap, id_col=id_col,
+                                    order_col=order_col, seed=seed)
+        if out is not None:
+            return out
+        if method == "threshold":
+            raise ValueError("over-cap keys exceed hot_key_limit; "
+                             "use method='exchange'")
     nb = 256  # coarse co-location buckets (many keys per bucket is fine)
 
     def _order_of(t: pa.Table, ids: np.ndarray) -> np.ndarray:

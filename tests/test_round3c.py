@@ -92,6 +92,63 @@ def test_cap_per_key_identity_when_cap_exceeds_groups(ray_session):
     assert sorted(out.to_pandas()["doc_id"]) == list(range(60))
 
 
+@pytest.mark.parametrize("method", ["threshold", "exchange"])
+@pytest.mark.parametrize("order_col", [None, "warc_ts"])
+def test_cap_engines_agree(ray_session, method, order_col):
+    import ray.data as rd
+
+    t = _docs_table(n=500, n_hosts=5, seed=13)
+    got = sorted(cap_per_key(rd.from_arrow(t), "host", 7,
+                             order_col=order_col, method=method)
+                 .to_pandas()["doc_id"])
+    ref = sorted(cap_per_key(rd.from_arrow(t), "host", 7,
+                             order_col=order_col, method="exchange")
+                 .to_pandas()["doc_id"])
+    assert got == ref
+    assert len(got) <= 6 * 7  # 5 random hosts + hot.example, all capped
+
+
+def test_cap_threshold_forced_rounds_and_tie_level(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import cap_per_key_threshold
+
+    # constant order value: the cutoff is decided entirely by the id
+    # tiebreak -> exercises the level-2 refinement with rounds forced
+    # by a tiny bucket/boundary configuration
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array(["hot.example"] * n),
+        "warc_ts": pa.array(np.full(n, 777, dtype=np.int64)),
+        "text": pa.array(["x"] * n),
+    })
+    out = cap_per_key_threshold(rd.from_arrow(t), "host", 25,
+                                order_col="warc_ts", n_buckets=4,
+                                boundary_cap=8)
+    got = sorted(out.to_pandas()["doc_id"])
+    # ties on order break by id ascending -> ids 0..24 survive
+    assert got == list(range(25))
+
+
+def test_cap_threshold_fallback_to_exchange(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import cap_per_key_threshold
+
+    t = _docs_table(n=200, n_hosts=4, seed=5)
+    assert cap_per_key_threshold(rd.from_arrow(t), "host", 3,
+                                 hot_key_limit=1) is None
+    # auto still yields the exact result via the exchange engine
+    got = sorted(cap_per_key(rd.from_arrow(t), "host", 3,
+                             order_col="warc_ts", method="auto")
+                 .to_pandas()["doc_id"])
+    ref = sorted(cap_per_key(rd.from_arrow(t), "host", 3,
+                             order_col="warc_ts", method="exchange")
+                 .to_pandas()["doc_id"])
+    assert got == ref
+
+
 # ---------------------------------------------------------------------------
 # dedup_against
 # ---------------------------------------------------------------------------
