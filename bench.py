@@ -235,6 +235,40 @@ def run_bench() -> dict:
     lm_score(_corpus(["doc_id", "text"]), model).count()
     timings["lm_train_score"] = round(time.perf_counter() - t0, 3)
 
+    from sagan_ray.stages.spans import mask_duplicate_spans
+    from sagan_ray.stages.text import token_count_batch
+    from sagan_ray.stages.pack import select_top_tokens, _shuffle_key
+
+    def _is_quarter(t):  # deterministic 1/4 slice: doc_id % 4 == 0
+        import pyarrow.compute as _pc
+        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 3), 0))
+
+    t0 = time.perf_counter()
+    # 8M-doc slice: exact gram counting moves every distinct gram once
+    # (~40M rows here) — the honest cost of substring-level dedup
+    mask_duplicate_spans(
+        _corpus(["doc_id", "text"]).map_batches(_is_quarter,
+                                                batch_format="pyarrow"),
+        k=8, min_docs=64).count()
+    timings["mask_dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # the documented pattern: checkpoint the skinny (id, score, tokens)
+    # projection ONCE so refinement rounds never rescan text
+    def _score(t):
+        import numpy as np
+        import pyarrow as _pa
+        q = token_count_batch(t)
+        s = (_shuffle_key(q["doc_id"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64), 7).astype(np.float64)
+             / float(2 << 63))
+        return q.append_column("score", _pa.array(s))
+    proj = _corpus(["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow").materialize()
+    total_tok = int(proj.sum("n_tokens"))
+    select_top_tokens(proj, total_tok // 2, "score").count()
+    timings["select_budget"] = round(time.perf_counter() - t0, 3)
+
     # late reps: ~2 minutes after the early ones, so at least one rep
     # pair straddles any single steal window
     variant_rep("flagship_100_rules", rules100, False)

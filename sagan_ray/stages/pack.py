@@ -93,6 +93,56 @@ def pack_batch(t: pa.Table, cap: int, count_col: str | None = None,
     })
 
 
+def chunk_batch(t: pa.Table, chunk_tokens: int, overlap: int,
+                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Split each document into token-bounded chunks with overlap.
+
+    Tokens are whitespace words (the same normalization contract as the
+    span-dedup rewrite: chunk text re-joins with single spaces — the op
+    feeds a tokenizer). Chunk c covers tokens
+    ``[c*stride, c*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is the remainder
+    (never empty, never duplicated: docs with <= chunk_tokens tokens
+    yield exactly one chunk, empty docs yield one empty chunk).
+
+    Output: (id_col, chunk_id, text, n_tokens) — a 1->N explode,
+    map-only, deterministic.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_chunk, out_text, out_n = [], [], [], []
+    for did, txt in zip(ids, t[text_col].to_pylist()):
+        ws = (txt or "").split()
+        m = len(ws)
+        # number of chunks: ceil(max(m - overlap, 1) / stride)
+        n_chunks = max(1, -(-(m - overlap) // stride)) if m > 0 else 1
+        for c in range(n_chunks):
+            seg = ws[c * stride: c * stride + chunk_tokens]
+            out_ids.append(did)
+            out_chunk.append(c)
+            out_text.append(" ".join(seg))
+            out_n.append(len(seg))
+    return pa.table({
+        id_col: pa.array(out_ids, type=t[id_col].type),
+        "chunk_id": pa.array(out_chunk, type=pa.int64()),
+        "text": pa.array(out_text, type=pa.string()),
+        "n_tokens": pa.array(out_n, type=pa.int64()),
+    })
+
+
+def chunk_documents(ds, chunk_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of documents -> Dataset of overlapping token chunks
+    (map-only 1->N explode, streams; the pre-tokenization step between
+    cleaning and :func:`pack_stage`)."""
+    return ds.map_batches(
+        lambda t: chunk_batch(t, chunk_tokens, overlap, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
 def pack_stage(ds, cap: int = 2048, **kwargs):
     """Dataset of documents -> Dataset of packed sequences (block-local,
     map-only, streams)."""

@@ -113,18 +113,45 @@ def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
                           min_docs: int = 2):
     """Dataset of ``(gram_hash, n_docs)`` for word-k-grams occurring in
     >= ``min_docs`` documents. Hashes are int64 VIEWS of the uint64
-    siphash (bijective; >2^63 values would overflow the sort-aggregate's
-    python-int conversion — same convention as frequent_line_hashes)."""
-    from ray.data.aggregate import Count
+    siphash (bijective — same convention as frequent_line_hashes).
+
+    NOT ``groupby().aggregate(Count)``: Ray's sort-aggregate builds
+    per-group Python state in the reduce, and gram keys are
+    corpus-cardinality (measured: 11M distinct keys = 1400 CPU-seconds,
+    60 s wall — vs 2 s for this shape). Blocks emit per-block
+    ``(gram_hash, partial_count)`` (doc-deduped, then block-deduped
+    with counts), ride ONE coarse-bucket sort exchange, and each
+    partition sums counts with a vectorized sort + ``reduceat``."""
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
 
     def explode(t: pa.Table) -> pa.Table:
         gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
         uniq = _dedup_within_doc(gh, starts)
-        return pa.table({"gram_hash": pa.array(uniq.view(np.int64))})
+        u, c = np.unique(uniq, return_counts=True)
+        return pa.table({
+            "gram_hash": pa.array(u.view(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+            "gb": pa.array((u % nb).astype(np.int64)),
+        })
 
-    counts = (ds.map_batches(explode, batch_format="pyarrow")
-              .groupby("gram_hash").aggregate(Count(alias_name="n_docs")))
-    return counts.filter(expr=f"n_docs >= {min_docs}")
+    def count_fn(t: pa.Table) -> pa.Table:
+        g = t["gram_hash"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, cs = g[order], c[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        keep = sums >= min_docs
+        return pa.table({"gram_hash": pa.array(gs[starts][keep]),
+                         "n_docs": pa.array(sums[keep])})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return shuffle_groups(exploded, "gb", count_fn,
+                          batch_format="pyarrow")
 
 
 def _mask_doc(words: list[str], pos: np.ndarray, k: int,

@@ -394,16 +394,26 @@ def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
     """Dataset of ``(line_hash, n)`` for lines appearing in >= min_count
     DOCUMENTS across the corpus (cookie banners, nav bars, footers).
 
-    Shape: docs explode to (line_hash) rows batch-locally — only uint64
-    hashes ride the shuffle, never line text — then one groupby-count.
+    Shape: docs explode to (line_hash, count) partials batch-locally —
+    only uint64 hashes + counts ride the shuffle, never line text —
+    then ONE coarse-bucket sort exchange with a vectorized
+    sort+``reduceat`` sum per partition (NOT ``groupby().aggregate``:
+    Ray's sort-aggregate builds per-group Python state, pathological at
+    corpus-cardinality keys — same fix as duplicate_gram_hashes).
     ``min_chars`` skips short lines (blank separators, bullets) whose
     repetition is organic. Within-doc repeats count once (dedup before
     the explode) so a doc cannot promote its own line to "frequent".
     """
     import pandas as pd
-    from ray.data.aggregate import Count
+
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
 
     def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"line_hash": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64()),
+                          "gb": pa.array([], type=pa.int64())})
         lines = pc.split_pattern(t[text_col], "\n")
         flat = pc.list_flatten(lines)
         flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
@@ -412,26 +422,39 @@ def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
         doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
         mask = keep.to_numpy(zero_copy_only=False)
         if not mask.any():
-            return pa.table({"line_hash": pa.array([], type=pa.int64())})
-        # int64 VIEW of the uint64 siphash: >2^63 values overflow the
-        # sort-aggregate's python-int conversion; the view is a bijection
-        # so counting/matching semantics are unchanged (rewrite() views
-        # the same way)
+            return empty
+        # int64 VIEW of the uint64 siphash — a bijection, so counting /
+        # matching semantics are unchanged (rewrite() views the same way)
         lh = pd.util.hash_array(
             np.asarray(flat.filter(keep).to_pylist(), dtype=object)
-        ).view(np.int64)
+        )
         d = doc_of[mask]
-        # count each (doc, line) once
+        # count each (doc, line) once, then partial-count per block
         order = np.lexsort((lh, d))
         d_s, h_s = d[order], lh[order]
         first = np.ones(len(h_s), dtype=bool)
         first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        return pa.table({"line_hash": pa.array(h_s[first])})
+        u, c = np.unique(h_s[first], return_counts=True)
+        return pa.table({"line_hash": pa.array(u.view(np.int64)),
+                         "c": pa.array(c.astype(np.int64)),
+                         "gb": pa.array((u % nb).astype(np.int64))})
 
-    counts = ds.map_batches(explode, batch_format="pyarrow").groupby(
-        "line_hash"
-    ).aggregate(Count(alias_name="n"))
-    return counts.filter(expr=f"n >= {min_count}")
+    def count_fn(t: pa.Table) -> pa.Table:
+        g = t["line_hash"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, cs = g[order], c[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        keep2 = sums >= min_count
+        return pa.table({"line_hash": pa.array(gs[starts][keep2]),
+                         "n": pa.array(sums[keep2])})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return shuffle_groups(exploded, "gb", count_fn,
+                          batch_format="pyarrow")
 
 
 def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,

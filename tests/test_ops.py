@@ -504,3 +504,46 @@ def test_quality_filter_stage_matches_duckdb(ray_session):
           AND ((n_chars - (n_tok - 1)) * 1.0 / n_tok) <= 9.0
         ORDER BY doc_id""").fetchall()]
     assert got == want and 0 < len(got) < 500
+
+
+def test_asof_join_forward_direction(ray_session):
+    """direction="forward" == DuckDB ASOF LEFT JOIN with l.ts <= r.ts
+    (nearest right row at or after each left row), randomized."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import asof_join
+
+    rng = np.random.RandomState(23)
+    con = duckdb.connect()
+    base = pd.Timestamp("2024-03-01")
+    for trial in range(6):
+        nl, nr = rng.randint(1, 40), rng.randint(0, 40)
+
+        def mk(n, vcol):
+            return pd.DataFrame({
+                "k": rng.randint(0, 5, size=n),
+                "ts": base + pd.to_timedelta(
+                    rng.randint(0, 3600, size=n), "s"),
+                vcol: np.arange(n, dtype=np.int64),
+            })
+
+        left, right = mk(nl, "lv"), mk(nr, "rv")
+        right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        con.register("l", left)
+        con.register("r", right)
+        got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                         keys=["k"], ts_col="ts", direction="forward")
+               .to_pandas().sort_values(["k", "ts", "lv"])
+               .reset_index(drop=True))
+        ref = con.execute(
+            "SELECT l.k, l.ts, l.lv, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts <= r.ts ORDER BY l.k, l.ts, l.lv"
+        ).df()
+        assert len(got) == len(ref), f"trial {trial}"
+        for a, b in zip(got["rv"].tolist(), ref["rv"].tolist()):
+            assert (pd.isna(a) and pd.isna(b)) or int(a) == int(b), \
+                f"trial {trial}"
+        con.unregister("l")
+        con.unregister("r")

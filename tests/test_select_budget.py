@@ -101,3 +101,72 @@ def test_degenerate_budgets(ray_session):
     assert _got(t, 0) == []
     all_ids = sorted(t["doc_id"].to_pylist())
     assert _got(t, int(t["n_tokens"].to_numpy().sum())) == all_ids
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def ref_chunks(texts, chunk_tokens, overlap):
+    stride = chunk_tokens - overlap
+    out = []
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        chunks = []
+        c = 0
+        while True:
+            seg = ws[c * stride: c * stride + chunk_tokens]
+            if c > 0 and not seg:
+                break
+            if c > 0 and len(seg) <= overlap:
+                break  # fully covered by the previous chunk
+            chunks.append(" ".join(seg))
+            if c * stride + chunk_tokens >= len(ws):
+                break
+            c += 1
+        out.append(chunks)
+    return out
+
+
+def test_chunk_documents_matches_reference(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import chunk_documents
+
+    rng = np.random.RandomState(8)
+    texts = [" ".join(f"w{j}" for j in range(rng.randint(0, 40)))
+             for _ in range(60)]
+    texts += ["", "one", " ".join(f"w{j}" for j in range(12))]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = (chunk_documents(rd.from_arrow(t), chunk_tokens=12, overlap=4)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    exp = ref_chunks(texts, 12, 4)
+    for did, grp in got.groupby("doc_id"):
+        assert grp["text"].tolist() == exp[did], f"doc {did}"
+        assert (grp["n_tokens"] == grp["text"].str.split().str.len()
+                .fillna(0)).all()
+    assert set(got["doc_id"]) == set(range(len(texts)))
+    # consecutive chunks overlap by exactly `overlap` tokens when full
+    full = got[got["n_tokens"] == 12]
+    for _, r in full.iterrows():
+        nxt = got[(got["doc_id"] == r["doc_id"])
+                  & (got["chunk_id"] == r["chunk_id"] + 1)]
+        if len(nxt):
+            tail = r["text"].split()[-4:]
+            head = nxt.iloc[0]["text"].split()[:4]
+            assert tail == head
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import chunk_documents
+
+    t = pa.table({"doc_id": pa.array([0]), "text": pa.array(["a b"])})
+    with pytest.raises(Exception):
+        chunk_documents(rd.from_arrow(t), chunk_tokens=4,
+                        overlap=4).count()
