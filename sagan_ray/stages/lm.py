@@ -65,18 +65,35 @@ def train_unigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
     """Two-pass distributed train: partial counts -> Sum groupby ->
     top-``vocab_size`` by (count desc, hash asc — deterministic ties).
     """
-    from ray.data.aggregate import Sum
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
 
     def partial(t: pa.Table) -> pa.Table:
         h, c = _token_hash_counts(t[text_col].to_pylist())
         # sign-bit flip: the int64 view sorts in true uint64 hash order,
         # so the top-V tie-break (count desc, hash asc) is well-defined
         h_key = (h ^ np.uint64(1 << 63)).view(np.int64)
-        return pa.table({"h": pa.array(h_key), "c": pa.array(c)})
+        return pa.table({"h": pa.array(h_key), "c": pa.array(c),
+                         "gb": pa.array((h % nb).astype(np.int64))})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("h").aggregate(Sum("c", alias_name="c"))
-              .materialize())
+    def sum_fn(t: pa.Table) -> pa.Table:
+        # vectorized per-partition sum — NOT groupby().aggregate(Sum),
+        # whose per-group Python reduce state is pathological at
+        # vocab-cardinality keys (same fix as duplicate_gram_hashes)
+        g = t["h"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, cs = g[order], c[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        return pa.table({"h": pa.array(gs[starts]), "c": pa.array(sums)})
+
+    counts = shuffle_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), "gb", sum_fn,
+        batch_format="pyarrow").materialize()
     total = int(counts.sum("c") or 0)
     top = counts.sort(["c", "h"], descending=[True, False]).limit(vocab_size)
     from ..functions.collect import collect_table

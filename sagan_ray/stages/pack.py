@@ -287,7 +287,6 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
     exchange; at web scale over-cap domains are the Zipf head, far
     below the limit."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.collect import collect_table
 
@@ -304,8 +303,10 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
     def _key_codes(t: pa.Table):
         """(codes, uniques) via Arrow dictionary encode — the key column
         never materializes as Python strings (only the few uniques do);
-        this runs once per pass per batch, so it must stay C-speed."""
-        enc = t[key_col].combine_chunks().dictionary_encode()
+        this runs once per pass per batch, so it must stay C-speed.
+        Null keys group under '' (they'd otherwise null the indices)."""
+        col = pc.fill_null(t[key_col].combine_chunks(), "")
+        enc = col.dictionary_encode()
         f = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         return f, enc.dictionary.to_pylist()
 
@@ -313,16 +314,35 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return ids, _order_u64(t, ids), _int64_sortable_u64(ids)
 
-    # ---- pass 1: per-key counts (distinct-key partials only) ----
+    # ---- pass 1: per-key counts. NOT groupby().aggregate (per-group
+    # Python state in the reduce — pathological at key cardinality);
+    # block partials ride one coarse-bucket exchange and each partition
+    # sums with factorize + bincount.
+    from .correlate import _n_buckets, shuffle_groups
+    from .dedup import _digest64
+
     def count_part(t: pa.Table) -> pa.Table:
         f, uk = _key_codes(t)
+        uk_arr = np.asarray(uk, dtype=object)
+        gb = (_digest64(uk_arr) % np.uint64(_n_buckets())).astype(np.int64)
         return pa.table({"k": pa.array(uk, type=pa.string()),
                          "n": pa.array(np.bincount(
-                             f, minlength=len(uk)).astype(np.int64))})
+                             f, minlength=len(uk)).astype(np.int64)),
+                         "gb": pa.array(gb)})
 
-    counts = (ds.map_batches(count_part, batch_format="pyarrow")
-              .groupby("k").aggregate(Sum("n", alias_name="n"))
-              .filter(expr=f"n > {cap}"))
+    def count_sum(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        f, uk = pd.factorize(np.asarray(t["k"].to_pylist(), dtype=object))
+        sums = np.bincount(f, weights=t["n"].to_numpy(
+            zero_copy_only=False), minlength=len(uk)).astype(np.int64)
+        keep = sums > cap
+        return pa.table({"k": pa.array(uk[keep], type=pa.string()),
+                         "n": pa.array(sums[keep])})
+
+    counts = shuffle_groups(
+        ds.map_batches(count_part, batch_format="pyarrow"), "gb",
+        count_sum, batch_format="pyarrow")
     ct = collect_table(counts)
     if ct is None:
         return ds  # no key over cap: identity
@@ -372,10 +392,24 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
             gid = ki[inb] * n_buckets + b
             u, cnt = np.unique(gid, return_counts=True)
             return pa.table({"g": pa.array(u),
-                             "n": pa.array(cnt.astype(np.int64))})
+                             "n": pa.array(cnt.astype(np.int64)),
+                             "gb": pa.array(u % np.int64(_n_buckets()))})
 
-        h = (ds.map_batches(part, batch_format="pyarrow")
-             .groupby("g").aggregate(Sum("n", alias_name="n")))
+        def sum_fn(t: pa.Table) -> pa.Table:
+            gg = t["g"].to_numpy(zero_copy_only=False)
+            cc = t["n"].to_numpy(zero_copy_only=False)
+            order2 = np.argsort(gg, kind="stable")
+            gs, cs = gg[order2], cc[order2]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = gs[1:] != gs[:-1]
+            st = np.flatnonzero(first)
+            sums = np.add.reduceat(cs, st) if len(st) else cs[:0]
+            return pa.table({"g": pa.array(gs[st]), "n": pa.array(sums)})
+
+        # distributed reduceat sum (same high-cardinality rationale as
+        # pass 1: hot_keys x n_buckets groups would stall sort-aggregate)
+        h = shuffle_groups(ds.map_batches(part, batch_format="pyarrow"),
+                           "gb", sum_fn, batch_format="pyarrow")
         return collect_table(h)
 
     # ---- refinement rounds ----
