@@ -162,6 +162,33 @@ def lm_score(ds, model: UnigramLM, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def lm_importance(ds, target: UnigramLM, background: UnigramLM,
+                  text_col: str = "text", keep_text: bool = True):
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc mean token
+    log-ratio ``log p_target(tok) - log p_background(tok)`` under two
+    unigram LMs — train ``target`` on the wanted distribution (e.g.
+    curated reference), ``background`` on the raw corpus, keep the high
+    end (via :func:`select_top_tokens` on the emitted score or a plain
+    filter). Map-only: both models broadcast once; one tokenize pass
+    scores both."""
+    import ray
+
+    ref_t, ref_b = ray.put(target), ray.put(background)
+
+    def score(t: pa.Table) -> pa.Table:
+        mt, mb = ray.get(ref_t), ray.get(ref_b)
+        texts = t[text_col].to_pylist()
+        n_tok, lp_t = lm_score_counts(texts, mt)
+        _, lp_b = lm_score_counts(texts, mb)
+        if not keep_text:
+            t = t.drop_columns([text_col])
+        return (t.append_column("n_lm_tokens", pa.array(n_tok))
+                .append_column("dsir_logratio", pa.array(lp_t - lp_b)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def lm_filter_stage(ds, model: UnigramLM, min_logprob: float,
                     text_col: str = "text"):
     """CCNet head-keep: drop documents whose mean token logprob under the

@@ -293,3 +293,39 @@ def test_lm_token_hash_is_word_hash():
         np.array(["alpha", "beta", "gamma"], dtype=object))
     assert list(sh) == list(direct)
     assert list(starts) == [0, 2, 2, 3]
+
+
+def test_lm_importance_logratio(ray_session):
+    """dsir_logratio == lm_score(target) - lm_score(background), and the
+    planted target-like docs rank above background-like docs."""
+    import ray.data as rd
+
+    from sagan_ray.stages.lm import lm_importance, lm_score
+
+    target_docs = [f"science research method {i}" for i in range(40)]
+    noise_docs = [f"spam click offer {i}" for i in range(40)]
+    tgt = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(target_docs)}))
+    bg = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(target_docs + noise_docs)}))
+    m_t = train_unigram_lm(tgt, vocab_size=256)
+    m_b = train_unigram_lm(bg, vocab_size=256)
+    probe = pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(["science research method x",
+                          "spam click offer y",
+                          "science spam research click",
+                          ""]),
+    })
+    got = (lm_importance(rd.from_arrow(probe), m_t, m_b)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    st = (lm_score(rd.from_arrow(probe), m_t, keep_text=True)
+          .to_pandas().sort_values("doc_id")["lm_logprob"].to_numpy())
+    sb = (lm_score(rd.from_arrow(probe), m_b, keep_text=True)
+          .to_pandas().sort_values("doc_id")["lm_logprob"].to_numpy())
+    assert np.allclose(got["dsir_logratio"].to_numpy(), st - sb, atol=1e-12)
+    # target-like doc scores above noise-like; mixed in between
+    r = got["dsir_logratio"].to_numpy()
+    assert r[0] > r[2] > r[1]
