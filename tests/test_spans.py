@@ -151,3 +151,18 @@ def test_gram_hashes_flat_kernel_edges():
     g1, _ = _gram_hashes(["x y z"], 3)
     g2, _ = _gram_hashes(["junk pad", "x y z"], 3)
     assert g1[0] == g2[-1]
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_out_col_preserves_original_text(ray_session, mode):
+    import ray.data as rd
+
+    docs = ["dup span here now ok", "dup span here now ok", "unique words"]
+    out = mask_duplicate_spans(
+        rd.from_arrow(_table(docs)), k=3, min_docs=2, min_span_tokens=3,
+        mode=mode, out_col="clean_text",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == docs          # original untouched
+    assert out["clean_text"][0] == ""            # fully masked
+    assert out["clean_text"][2] == "unique words"
+    assert out["n_masked_tokens"].tolist() == [5, 5, 0]
