@@ -37,6 +37,21 @@ def collect_table(ds) -> pa.Table | None:
     return pa.concat_tables(blocks) if blocks else None
 
 
+def sorted_isin(sorted_arr: np.ndarray, vals: np.ndarray,
+                return_pos: bool = False):
+    """Membership of ``vals`` in a SORTED array — the broadcast-probe
+    gate every ``ray.put``-set operator uses (searchsorted + clamp +
+    equality), empty-safe. With ``return_pos`` also returns the probe
+    positions (valid where the mask is True) for aligned-value lookup."""
+    if not len(sorted_arr) or not len(vals):
+        hit = np.zeros(len(vals), dtype=bool)
+        return (hit, np.zeros(len(vals), dtype=np.int64)) if return_pos else hit
+    pos = np.searchsorted(sorted_arr, vals)
+    pos[pos == len(sorted_arr)] = 0
+    hit = sorted_arr[pos] == vals
+    return (hit, pos) if return_pos else hit
+
+
 def collect_column_numpy(ds, col: str, dtype=None) -> np.ndarray:
     """One numpy array of ``ds[col]`` (empty -> typed empty array)."""
     parts = [b[col].to_numpy(zero_copy_only=False)

@@ -182,13 +182,12 @@ def _anti_by_id(ds, losers, id_col: str):
                                                dtype=np.int64)))
 
     def gate(t: pa.Table) -> pa.Table:
+        from ..functions.collect import sorted_isin
+
         blk = ray.get(ref)
         vals = t[id_col].to_numpy(zero_copy_only=False)
         if not len(blk):
             return t
-        idx = np.searchsorted(blk, vals)
-        idx[idx == len(blk)] = 0
-        drop = blk[idx] == vals
-        return t.filter(pa.array(~drop))
+        return t.filter(pa.array(~sorted_isin(blk, vals)))
 
     return ds.map_batches(gate, batch_format="pyarrow")

@@ -73,6 +73,23 @@ def shuffle_groups(ds, key: str, fn, batch_format: str = "pandas"):
     return ds.groupby(key).map_groups(fn, batch_format=batch_format)
 
 
+def reduceat_sum(keys: "np.ndarray", counts: "np.ndarray"):
+    """(unique key, summed count) over UNSORTED partials — one argsort +
+    ``np.add.reduceat``. The shared per-partition reduce for every
+    high-cardinality count in the repo (duplicate grams, frequent
+    lines, LM vocab, cap-threshold partials): Ray's
+    ``groupby().aggregate`` builds per-group Python reduce state, which
+    at corpus-cardinality keys IS the job (SCALE.md: 11M keys = 1400
+    CPU-seconds vs ~2 s for this)."""
+    order = np.argsort(keys, kind="stable")
+    ks, cs = keys[order], counts[order]
+    first = np.ones(len(ks), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+    return ks[starts], sums
+
+
 def _track_col(track: str) -> str:
     """Track spec -> alert column. by_src/by_host -> host (the reporting
     endpoint), by_dst -> the parsed dst_ip column (upstream

@@ -51,12 +51,9 @@ def contamination_counts(texts: list[str], block_sorted: np.ndarray,
     first = np.ones(len(h_s), dtype=bool)
     first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
     d_u, h_u = d_s[first], h_s[first]
-    if len(block_sorted):
-        idx = np.searchsorted(block_sorted, h_u)
-        idx[idx == len(block_sorted)] = 0
-        hit = block_sorted[idx] == h_u
-    else:
-        hit = np.zeros(len(h_u), dtype=bool)
+    from ..functions.collect import sorted_isin
+
+    hit = sorted_isin(block_sorted, h_u)
     np.add.at(n_ngrams, d_u, 1)
     np.add.at(n_hits, d_u, hit.astype(np.int64))
     return n_ngrams, n_hits

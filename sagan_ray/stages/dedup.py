@@ -145,15 +145,11 @@ def dedup_against(ds, ref, text_col: str = "text",
         dig_ref = ray.put(dig)
 
         def gate(t: pa.Table) -> pa.Table:
+            from ..functions.collect import sorted_isin
+
             arr = ray.get(dig_ref)
             q = fast_digest128_bytes(t[text_col].to_pylist())
-            if len(arr) and len(q):
-                pos = np.searchsorted(arr, q)
-                pos[pos == len(arr)] = 0
-                hit = arr[pos] == q
-            else:
-                hit = np.zeros(len(q), dtype=bool)
-            return t.filter(pa.array(~hit))
+            return t.filter(pa.array(~sorted_isin(arr, q)))
 
         return ds.map_batches(gate, batch_format="pyarrow")
 

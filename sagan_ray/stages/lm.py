@@ -78,18 +78,11 @@ def train_unigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
                          "gb": pa.array((h % nb).astype(np.int64))})
 
     def sum_fn(t: pa.Table) -> pa.Table:
-        # vectorized per-partition sum — NOT groupby().aggregate(Sum),
-        # whose per-group Python reduce state is pathological at
-        # vocab-cardinality keys (same fix as duplicate_gram_hashes)
-        g = t["h"].to_numpy(zero_copy_only=False)
-        c = t["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(g, kind="stable")
-        gs, cs = g[order], c[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = gs[1:] != gs[:-1]
-        starts = np.flatnonzero(first)
-        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
-        return pa.table({"h": pa.array(gs[starts]), "c": pa.array(sums)})
+        from .correlate import reduceat_sum
+
+        u, sums = reduceat_sum(t["h"].to_numpy(zero_copy_only=False),
+                               t["c"].to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(u), "c": pa.array(sums)})
 
     counts = shuffle_groups(
         ds.map_batches(partial, batch_format="pyarrow"), "gb", sum_fn,
@@ -125,9 +118,9 @@ def lm_score_counts(texts: list[str], model: UnigramLM) -> tuple[np.ndarray, np.
     if len(sh) == 0:
         return n_tok, np.full(n_docs, model.oov_logprob)
     if len(model.hashes):
-        idx = np.searchsorted(model.hashes, sh)
-        idx[idx == len(model.hashes)] = 0
-        hit = model.hashes[idx] == sh
+        from ..functions.collect import sorted_isin
+
+        hit, idx = sorted_isin(model.hashes, sh, return_pos=True)
         lp = np.where(hit, model.logprob[idx], model.oov_logprob)
     else:
         lp = np.full(len(sh), model.oov_logprob)

@@ -379,7 +379,8 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
             act = (ki >= 0) & act_a[np.maximum(ki, 0)]
             if not act.any():
                 return pa.table({"g": pa.array([], type=pa.int64()),
-                                 "n": pa.array([], type=pa.int64())})
+                                 "n": pa.array([], type=pa.int64()),
+                                 "gb": pa.array([], type=pa.int64())})
             ki = ki[act]
             lvl = lv[ki]
             v = np.where(lvl == 0, ou[act], iu[act])
@@ -396,15 +397,11 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
                              "gb": pa.array(u % np.int64(_n_buckets()))})
 
         def sum_fn(t: pa.Table) -> pa.Table:
-            gg = t["g"].to_numpy(zero_copy_only=False)
-            cc = t["n"].to_numpy(zero_copy_only=False)
-            order2 = np.argsort(gg, kind="stable")
-            gs, cs = gg[order2], cc[order2]
-            first = np.ones(len(gs), dtype=bool)
-            first[1:] = gs[1:] != gs[:-1]
-            st = np.flatnonzero(first)
-            sums = np.add.reduceat(cs, st) if len(st) else cs[:0]
-            return pa.table({"g": pa.array(gs[st]), "n": pa.array(sums)})
+            from .correlate import reduceat_sum
+
+            u, sums = reduceat_sum(t["g"].to_numpy(zero_copy_only=False),
+                                   t["n"].to_numpy(zero_copy_only=False))
+            return pa.table({"g": pa.array(u), "n": pa.array(sums)})
 
         # distributed reduceat sum (same high-cardinality rationale as
         # pass 1: hot_keys x n_buckets groups would stall sort-aggregate)
@@ -562,7 +559,11 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
 
     def proj(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        # null keys group under '' — the same contract as the threshold
+        # engine's _key_codes, so both engines cap identical sets
+        keys = np.asarray(
+            pc.fill_null(t[key_col].combine_chunks(), "").to_pylist(),
+            dtype=object)
         o = _order_of(t, ids)
         idx, rank = _rank_in_key(keys, o, ids)
         # rows beyond the cap WITHIN this block are globally-sure losers:
@@ -621,9 +622,9 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
         def gate(t: pa.Table) -> pa.Table:
             arr = ray.get(ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(arr, ids)
-            pos[pos == len(arr)] = 0
-            return t.filter(pa.array(~(arr[pos] == ids)))
+            from ..functions.collect import sorted_isin
+
+            return t.filter(pa.array(~sorted_isin(arr, ids)))
 
         return ds.map_batches(gate, batch_format="pyarrow")
     # loser set too big to broadcast: distributed anti-join. The
@@ -867,10 +868,10 @@ def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cl = ids
         if len(keys):
+            from ..functions.collect import sorted_isin
+
             # vectorized sorted-array lookup (no per-row dict probe)
-            pos = np.searchsorted(keys, ids)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == ids
+            hit, pos = sorted_isin(keys, ids, return_pos=True)
             cl = np.where(hit, vals[pos], ids)
         u = _shuffle_key(cl, seed).astype(np.float64) / float(2**64)
         idx = np.searchsorted(cuts, u, side="right")

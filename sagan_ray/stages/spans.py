@@ -137,16 +137,13 @@ def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
         })
 
     def count_fn(t: pa.Table) -> pa.Table:
-        g = t["gram_hash"].to_numpy(zero_copy_only=False)
-        c = t["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(g, kind="stable")
-        gs, cs = g[order], c[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = gs[1:] != gs[:-1]
-        starts = np.flatnonzero(first)
-        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        from .correlate import reduceat_sum
+
+        u, sums = reduceat_sum(
+            t["gram_hash"].to_numpy(zero_copy_only=False),
+            t["c"].to_numpy(zero_copy_only=False))
         keep = sums >= min_docs
-        return pa.table({"gram_hash": pa.array(gs[starts][keep]),
+        return pa.table({"gram_hash": pa.array(u[keep]),
                          "n_docs": pa.array(sums[keep])})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
@@ -194,7 +191,8 @@ def _rewrite_batch(texts: list[str], hit_pos: list[np.ndarray], k: int,
 def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 10, min_docs: int = 2,
                          min_span_tokens: int | None = None,
-                         mode: str = "broadcast", out_col: str | None = None):
+                         mode: str = "broadcast", out_col: str | None = None,
+                         doc_types: dict | None = None):
     """Mask corpus-duplicated token spans in every document (see module
     docstring for semantics and the broadcast-vs-join scale trade).
 
@@ -232,14 +230,10 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         def rewrite(t: pa.Table) -> pa.Table:
             arr = ray.get(blk_ref)
             texts = t[text_col].to_pylist()
+            from ..functions.collect import sorted_isin
+
             gh, starts = _gram_hashes(texts, k)
-            ghi = gh.view(np.int64)
-            if len(arr) and len(ghi):
-                idx = np.searchsorted(arr, ghi)
-                idx[idx == len(arr)] = 0
-                hit = arr[idx] == ghi
-            else:
-                hit = np.zeros(len(ghi), dtype=bool)
+            hit = sorted_isin(arr, gh.view(np.int64))
             hit_pos = [np.flatnonzero(hit[starts[d]:starts[d + 1]])
                        for d in range(len(texts))]
             return _emit(t, *_rewrite_batch(texts, hit_pos, k, min_run))
@@ -263,8 +257,14 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                 - np.repeat(starts[:-1], np.diff(starts))),
         })
 
-    id_type = next(t for n, t in zip(ds.schema().names, ds.schema().types)
-                   if n == id_col)
+    # doc_types (col -> pa.DataType, ALL input columns) skips the
+    # Dataset.schema() limit-probe on a lazy input — the same wasted
+    # partial execution / Ray 2.49 cancel-race the asof/range joins'
+    # left_types/right_types avoid (window.py _TypesView)
+    if doc_types is None:
+        schema = ds.schema()
+        doc_types = dict(zip(schema.names, schema.types))
+    id_type = doc_types[id_col]
     hits = equi_join(
         ds.select_columns([id_col, text_col]).map_batches(
             explode_pos, batch_format="pyarrow"),
@@ -275,14 +275,12 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     ).select_columns([id_col, "pos"])
 
     # co-partition docs + hit positions on id in ONE tagged exchange
-    schema = ds.schema()
-    doc_types = dict(zip(schema.names, schema.types))
-    pay = [c for c in schema.names if c != id_col]
+    names = list(doc_types)
+    pay = [c for c in names if c != id_col]
     out_schema = {**doc_types, "n_masked_tokens": pa.int64()}
     if dst not in out_schema:
         out_schema[dst] = pa.string()
-    out_cols = schema.names + ([] if dst in schema.names
-                               else [dst]) + ["n_masked_tokens"]
+    out_cols = names + ([] if dst in names else [dst]) + ["n_masked_tokens"]
 
     def pad_docs(t: pa.Table) -> pa.Table:
         t = t.append_column("pos", pa.nulls(len(t), type=pa.int64()))

@@ -440,16 +440,13 @@ def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
                          "gb": pa.array((u % nb).astype(np.int64))})
 
     def count_fn(t: pa.Table) -> pa.Table:
-        g = t["line_hash"].to_numpy(zero_copy_only=False)
-        c = t["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(g, kind="stable")
-        gs, cs = g[order], c[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = gs[1:] != gs[:-1]
-        starts = np.flatnonzero(first)
-        sums = np.add.reduceat(cs, starts) if len(starts) else cs[:0]
+        from .correlate import reduceat_sum
+
+        u, sums = reduceat_sum(
+            t["line_hash"].to_numpy(zero_copy_only=False),
+            t["c"].to_numpy(zero_copy_only=False))
         keep2 = sums >= min_count
-        return pa.table({"line_hash": pa.array(gs[starts][keep2]),
+        return pa.table({"line_hash": pa.array(u[keep2]),
                          "n": pa.array(sums[keep2])})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
@@ -491,11 +488,10 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
             lh = pd.util.hash_array(
                 np.asarray(vals, dtype=object)
             ).view(np.int64)
+            from ..functions.collect import sorted_isin
+
             ok_len = np.array([len(v) < min_chars for v in vals])
-            idx = np.searchsorted(blk, lh)
-            idx[idx == len(blk)] = 0
-            hit = (blk[idx] == lh) if len(blk) else np.zeros(len(lh), bool)
-            keep = ok_len | ~hit  # short lines always stay
+            keep = ok_len | ~sorted_isin(blk, lh)  # short lines always stay
         else:
             keep = np.array([], dtype=bool)
         pos = 0

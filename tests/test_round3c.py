@@ -329,3 +329,27 @@ def test_lm_importance_logratio(ray_session):
     # target-like doc scores above noise-like; mixed in between
     r = got["dsir_logratio"].to_numpy()
     assert r[0] > r[2] > r[1]
+
+
+def test_cap_engines_agree_on_null_keys(ray_session):
+    """Null keys group under '' in BOTH engines (the documented
+    contract) — method='auto' can't silently change the kept corpus."""
+    import ray.data as rd
+
+    n = 24
+    hosts = ([None] * 6 + [""] * 6 + ["a.example"] * 12)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array(hosts, type=pa.string()),
+        "warc_ts": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["x"] * n),
+    })
+    got_t = sorted(cap_per_key(rd.from_arrow(t), "host", 4,
+                               order_col="warc_ts", method="threshold")
+                   .to_pandas()["doc_id"])
+    got_e = sorted(cap_per_key(rd.from_arrow(t), "host", 4,
+                               order_col="warc_ts", method="exchange")
+                   .to_pandas()["doc_id"])
+    assert got_t == got_e
+    # null+'' form ONE group of 12 -> 4 kept; a.example -> 4 kept
+    assert len(got_t) == 8
