@@ -236,6 +236,67 @@ def mix_datasets(sources: list, weights: list[float], id_col: str = "doc_id",
     return mixed
 
 
+def weighted_sample_k(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                      seed: int = 42):
+    """Deterministic weighted random sample WITHOUT replacement of
+    ``k`` rows — inclusion probability proportional to ``weight_col``
+    (Efraimidis–Spirakis A-Res keys): e.g. sample training docs
+    proportional to a quality score.
+
+    Key per row = ln(u) / w with u ~ U(0,1] derived from
+    splitmix64(id, seed) — a pure function of (id, seed, weight), so
+    the sample replays identically across runs and block layouts. The
+    k LARGEST keys win (classic A-Res). Zero-weight rows never win
+    while any positive-weight row remains; negative weights are
+    rejected.
+
+    Scale shape: map-only per-block top-``k`` combiner over the
+    (id, key) projection — each block contributes <= k candidate rows —
+    then one tiny sort+limit over <= k x blocks candidates and a
+    broadcast id gate. Neither the corpus nor the weights ride a
+    shuffle.
+    """
+    import ray
+
+    from ..functions.collect import collect_column_numpy, sorted_isin
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def es_keys(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        if (w < 0).any():
+            raise ValueError("weights must be >= 0")
+        # u in (0,1]: (h+1)/2^64 with h in [0,2^64-1]
+        u = (_shuffle_key(ids, seed).astype(np.float64) + 1.0) / float(2**64)
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / w          # w=0 -> -inf (never wins)
+        key[w == 0] = -np.inf
+        return key
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = es_keys(ids, w)
+        if len(key) > k:
+            part = np.argpartition(key, len(key) - k)[len(key) - k:]
+        else:
+            part = np.arange(len(key))
+        part = part[np.isfinite(key[part])]
+        return pa.table({id_col: pa.array(ids[part]),
+                         "_es_key": pa.array(key[part])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    top = cand.sort(["_es_key", id_col], descending=[True, False]).limit(k)
+    win = ray.put(np.sort(collect_column_numpy(top, id_col,
+                                               dtype=np.int64)))
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(sorted_isin(ray.get(win), ids)))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def _rank_in_key(keys: np.ndarray, order: np.ndarray,
                  ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(sorted row index, within-key rank) — keys grouped via factorize,

@@ -170,3 +170,55 @@ def test_chunk_documents_rejects_bad_overlap(ray_session):
     with pytest.raises(Exception):
         chunk_documents(rd.from_arrow(t), chunk_tokens=4,
                         overlap=4).count()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_pure_python_mirror(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import weighted_sample_k
+
+    rng = np.random.RandomState(4)
+    n, k, seed = 500, 40, 9
+    w = rng.rand(n) * 3
+    w[:20] = 0.0  # zero-weight rows never win
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "weight": pa.array(w),
+    })
+    got = sorted(weighted_sample_k(rd.from_arrow(t), k, "weight", seed=seed)
+                 .to_pandas()["doc_id"])
+    # pure mirror of the A-Res key definition
+    ids = np.arange(n, dtype=np.int64)
+    u = (_shuffle_key(ids, seed).astype(np.float64) + 1.0) / float(2**64)
+    with np.errstate(divide="ignore"):
+        key = np.log(u) / w
+    key[w == 0] = -np.inf
+    exp = sorted(ids[np.argsort(-key, kind="stable")][:k].tolist())
+    assert got == exp
+    assert not (set(got) & set(range(20)))  # no zero-weight winners
+    # layout invariance
+    re = sorted(weighted_sample_k(rd.from_arrow(t).repartition(7), k,
+                                  "weight", seed=seed)
+                .to_pandas()["doc_id"])
+    assert re == got
+
+
+def test_weighted_sample_bias_toward_heavy_rows(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import weighted_sample_k
+
+    n = 2000
+    w = np.where(np.arange(n) < n // 2, 10.0, 0.1)  # heavy first half
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "weight": pa.array(w),
+    })
+    got = weighted_sample_k(rd.from_arrow(t), 200, "weight").to_pandas()
+    heavy = (got["doc_id"] < n // 2).mean()
+    assert heavy > 0.9  # ~99% expected; 0.9 leaves seed slack
