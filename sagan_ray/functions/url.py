@@ -93,8 +93,10 @@ def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
     """URL-level dedup: one row per canonical URL (keeper = min id).
 
     The cheapest dedup tier — only (canonical_url, id) rides the
-    shuffle, never text/html."""
-    from ray.data.aggregate import Count, Min
+    shuffle, never text/html; the reduce is
+    ``dedup.grouped_min_count`` (URL keys are corpus-cardinality —
+    SCALE.md's groupby-aggregate rule)."""
+    from ..stages.dedup import grouped_min_count
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -104,7 +106,6 @@ def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
             }
         )
 
-    return ds.map_batches(project, batch_format="pyarrow").groupby(
-        "canonical_url"
-    ).aggregate(Min(id_col, alias_name="keeper_doc_id"),
-                Count(alias_name="n"))
+    return grouped_min_count(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "canonical_url", id_col, "keeper_doc_id", "n")

@@ -80,6 +80,46 @@ def fast_digest128(texts) -> np.ndarray:
     return fast_digest128_bytes(texts).astype(str)
 
 
+def grouped_min_count(ds, key_col: str, id_col: str, min_name: str,
+                      n_name: str):
+    """One row per distinct string key: (key, min id, count).
+
+    NOT ``groupby().aggregate(Min, Count)`` — Ray's sort-aggregate
+    builds per-group Python reduce state, pathological at
+    corpus-cardinality keys (digests/URLs: one group per distinct
+    content; see SCALE.md). Shape: project (key, id, gb=h(key)%nb),
+    ONE coarse-bucket exchange, per-partition lexsort + run-length
+    min/count."""
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        return pa.table({
+            key_col: t[key_col], id_col: t[id_col],
+            "gb": pa.array((_digest64(keys) % nb).astype(np.int64)),
+        })
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        ks, is_ = keys[order], ids[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(ks)))
+        return pa.table({
+            key_col: pa.array(ks[starts], type=pa.string()),
+            min_name: pa.array(is_[starts]),  # ids ascend within key
+            n_name: pa.array(n.astype(np.int64)),
+        })
+
+    return shuffle_groups(ds.map_batches(tag, batch_format="pyarrow"),
+                          "gb", fn, batch_format="pyarrow")
+
+
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
                        digest: str = "fast128"):
     """-> (digest col, keeper_doc_id, n): one row per distinct content.
@@ -89,9 +129,8 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
     vectorized DuckDB md5 kernel, output column ``text_md5`` — the
     oracle-facing choice since DuckDB can restate ``md5(text)``. No
     per-row Python either way, and only (digest, id) rides the
-    shuffle, never text."""
-    from ray.data.aggregate import Count, Min
-
+    shuffle, never text; the reduce is :func:`grouped_min_count`
+    (digest keys are corpus-cardinality)."""
     col = "text_md5" if digest == "md5" else "text_digest"
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -102,10 +141,7 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({col: h, id_col: t[id_col]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    out = hashed.groupby(col).aggregate(
-        Min(id_col, alias_name="keeper_doc_id"), Count(alias_name="n")
-    )
-    return out
+    return grouped_min_count(hashed, col, id_col, "keeper_doc_id", "n")
 
 
 def dedup_against(ds, ref, text_col: str = "text",
@@ -155,11 +191,27 @@ def dedup_against(ds, ref, text_col: str = "text",
 
     if mode != "join":
         raise ValueError(f"unknown mode {mode!r}")
-    from ray.data.aggregate import Count
+    from .correlate import _n_buckets, shuffle_groups
 
-    uniq = (ref.map_batches(ref_digests, batch_format="pyarrow")
-            .groupby("text_digest").aggregate(Count(alias_name="n"))
-            .select_columns(["text_digest"]))
+    nb = np.uint64(_n_buckets())
+
+    def ref_tagged(t: pa.Table) -> pa.Table:
+        d = fast_digest128(t[text_col].to_pylist())
+        return pa.table({
+            "text_digest": pa.array(d),
+            "gb": pa.array((_digest64(np.asarray(d, dtype=object))
+                            % nb).astype(np.int64)),
+        })
+
+    def distinct_fn(t: pa.Table) -> pa.Table:
+        d = np.unique(np.asarray(t["text_digest"].to_pylist(),
+                                 dtype=object))
+        return pa.table({"text_digest": pa.array(d, type=pa.string())})
+
+    # distinct via the bucket exchange (digest keys: corpus-cardinality)
+    uniq = shuffle_groups(
+        ref.map_batches(ref_tagged, batch_format="pyarrow"), "gb",
+        distinct_fn, batch_format="pyarrow")
 
     def add_digest(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1173,8 +1225,6 @@ def dedup_clusters(pairs, id_a: str = "doc_id_a", id_b: str = "doc_id_b",
     sizes below ~10^8 rows (measured 110 s -> 17.4 s on a 220k-node /
     360k-edge planted graph, labels exact vs union-find).
     """
-    from ray.data.aggregate import Min
-
     from .correlate import shuffle_groups
 
     nb = _cc_buckets()
@@ -1202,20 +1252,27 @@ def dedup_clusters(pairs, id_a: str = "doc_id_a", id_b: str = "doc_id_b",
         edges = edges.repartition(npart).materialize()
 
     # initial label: min(self, neighbors) — the first propagation round
-    # folded into initialization. (k=node, v=label, gb=h(node))
-    labels = edges.groupby("k").aggregate(Min("v", alias_name="label"))
-    labels = labels.map_batches(
-        lambda t: pa.table({
-            "k": t["k"],
-            "v": pa.compute.min_element_wise(
-                t["k"].combine_chunks().cast(pa.int64()),
-                t["label"].combine_chunks().cast(pa.int64()),
-            ),
-            "gb": _cc_gb(_np64(t, "k"), nb),
-            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+    # folded into initialization. (k=node, v=label, gb=h(node)). Edges
+    # are already co-partitioned on gb=h(k), so this is one vectorized
+    # lexsort per partition — NOT groupby().aggregate(Min), whose
+    # per-group Python reduce state is pathological at node cardinality.
+    def init_labels(t: pa.Table) -> pa.Table:
+        k = _np64(t, "k")
+        v = _np64(t, "v")
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        node = ks[first]
+        lbl = np.minimum(node, vs[first])  # min(self, min neighbor)
+        return pa.table({
+            "k": pa.array(node), "v": pa.array(lbl),
+            "gb": _cc_gb(node, nb),
+            "side": pa.array(np.ones(len(node), dtype=np.int8)),
+        })
+
+    labels = shuffle_groups(edges, "gb", init_labels,
+                            batch_format="pyarrow").materialize()
 
     send_min_msgs, fold_labels, jump = _cc_kernels(nb)
 
