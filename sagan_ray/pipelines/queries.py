@@ -794,20 +794,61 @@ def q_wp_client_report(sf_dir):
     the stream max). Merges the track-clients.c liveness check and the
     client-stats.c counters into one distributed aggregate; only the
     per-host result (tiny) reaches the driver for the global-max flag."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ..stages.correlate import _n_buckets, shuffle_groups
+    from ..stages.dedup import _digest64
 
     ds = webpages_from_documents(sf_dir, include_html=False)
+    nbk = np.uint64(_n_buckets())
 
-    def add_len(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "n_bytes", pc.cast(pc.utf8_length(t["text"]), pa.int64())
+    def _host_stats(h: np.ndarray, nb: np.ndarray,
+                    ts_i: np.ndarray, cnt_in: np.ndarray | None):
+        """(host, count, sum, max) per distinct host — one lexsort +
+        reduceat (hosts are key-cardinality at web scale: the
+        groupby-aggregate per-group-Python rule in SCALE.md)."""
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(first)
+        cnt = (np.diff(np.append(starts, len(hs))) if cnt_in is None
+               else np.add.reduceat(cnt_in[order], starts))
+        sums = np.add.reduceat(nb[order], starts)
+        maxs = np.maximum.reduceat(ts_i[order], starts)
+        return hs[starts], cnt.astype(np.int64), sums, maxs
+
+    def part(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["host"].to_pylist(), dtype=object)
+        nb = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts_i = t["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        uk, cnt, sums, maxs = _host_stats(h, nb, ts_i, None)
+        return pa.table({
+            "host": pa.array(uk, type=pa.string()),
+            "n_events": pa.array(cnt),
+            "sum_bytes": pa.array(sums),
+            "last_i": pa.array(maxs),
+            "gb": pa.array((_digest64(uk) % nbk).astype(np.int64)),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["host"].to_pylist(), dtype=object)
+        uk, cnt, sums, maxs = _host_stats(
+            h,
+            t["sum_bytes"].to_numpy(zero_copy_only=False),
+            t["last_i"].to_numpy(zero_copy_only=False),
+            t["n_events"].to_numpy(zero_copy_only=False),
         )
+        return pa.table({
+            "host": pa.array(uk, type=pa.string()),
+            "n_events": pa.array(cnt),
+            "sum_bytes": pa.array(sums),
+            "last_seen": pa.array(maxs.view("datetime64[us]")),
+        })
 
-    ds = ds.map_batches(add_len, batch_format="pyarrow")
-    agg = ds.groupby("host").aggregate(
-        Count(alias_name="n_events"),
-        Sum("n_bytes", alias_name="sum_bytes"),
-        Max("warc_ts", alias_name="last_seen"),
+    agg = shuffle_groups(
+        ds.map_batches(part, batch_format="pyarrow"), "gb", combine,
+        batch_format="pyarrow",
     ).materialize()  # one row per host (tiny); reused by max + flag pass
     # only a single SCALAR (the global max) reaches the driver; the
     # quiet flag attaches distributed, and the result stays a Dataset
