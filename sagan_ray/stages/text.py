@@ -291,6 +291,66 @@ def quality_filter_stage(ds, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# unicode normalization (cleaning pre-pass)
+# ---------------------------------------------------------------------------
+
+#: control + zero-width codepoints stripped by normalize_text_batch —
+#: RE2 class shared verbatim with the DuckDB oracle restatement
+#: (both engines run RE2, so rewrites are byte-identical). Keeps
+#: \t \n \r; drops C0 controls, DEL, ZWSP/ZWNJ/ZWJ and the BOM.
+CONTROL_CHAR_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{200B}-\x{200D}\x{FEFF}]"
+)
+
+
+def normalize_text_batch(t: pa.Table, text_col: str = "text",
+                         out_col: str | None = None,
+                         collapse_spaces: bool = False) -> pa.Table:
+    """Unicode NFC normalization + control/zero-width stripping —
+    the canonicalization pre-pass of a cleaning chain (mojibake-safe
+    dedup keys: 'café' composed and decomposed hash identically after
+    this). Order: NFC first, then the strip (the documented contract;
+    the DuckDB restatement is
+    ``regexp_replace(nfc_normalize(text), CONTROL_CHAR_RE, '', 'g')``).
+    ``collapse_spaces`` additionally squeezes space runs to one.
+
+    NFC runs as the shared in-process DuckDB kernel, NOT
+    ``pc.utf8_normalize``: pyarrow 16.1's NFC decomposes instead of
+    composing (verified: NFC('\\u00e9') == NFD — 'e'+U+0301), so Arrow
+    cannot produce true NFC here, and the DuckDB kernel matches the
+    oracle bit-for-bit by construction. The strip is one Arrow RE2
+    pass; no per-row Python anywhere."""
+    from ..functions.duck import project
+
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    txt = (project(pa.table({"t": col}),
+                   "SELECT nfc_normalize(t) AS n FROM b")
+           .column("n").combine_chunks().cast(pa.string()))
+    txt = pc.replace_substring_regex(txt, pattern=CONTROL_CHAR_RE,
+                                     replacement="")
+    if collapse_spaces:
+        txt = pc.replace_substring_regex(txt, pattern=r"  +",
+                                         replacement=" ")
+    dest = out_col or text_col
+    if dest in t.column_names:
+        return t.set_column(t.column_names.index(dest), dest, txt)
+    return t.append_column(dest, txt)
+
+
+def normalize_text_stage(ds, text_col: str = "text",
+                         out_col: str | None = None,
+                         collapse_spaces: bool = False):
+    return ds.map_batches(
+        lambda t: normalize_text_batch(t, text_col, out_col,
+                                       collapse_spaces),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition features (C4 dup-line fraction, Gopher top-2-gram fraction)
 # ---------------------------------------------------------------------------
 

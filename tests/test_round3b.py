@@ -196,3 +196,51 @@ def test_strip_frequent_lines_rewrites(ray_session):
     # the boilerplate line is gone everywhere, short lines survive
     assert all("cookies" not in t for t in out["text"])
     assert "short" in out["text"].tolist()[4]
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    """NFC + control-strip is byte-identical to the DuckDB restatement
+    (same RE2 pattern, same NFC) on composed/decomposed/mojibake text."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.stages.text import CONTROL_CHAR_RE, normalize_text_stage
+
+    docs = [
+        "café naive",          # decomposed accent -> NFC composes
+        "café already composed",
+        "zero​width‌join‍ here﻿",
+        "ctrl\x00\x01\x1f\x7fchars keep\ttab and\nnewline\r",
+        "",
+        "plain ascii",
+        "A\u030a ring",          # A + combining ring -> NFC \u00c5
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    got = (normalize_text_stage(rd.from_arrow(t))
+           .to_pandas().sort_values("doc_id")["text"].tolist())
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute(
+        "SELECT regexp_replace(nfc_normalize(text), ?, '', 'g') "
+        "FROM docs ORDER BY doc_id", [CONTROL_CHAR_RE]
+    ).fetchall()
+    assert got == [w[0] for w in want]
+    assert got[0] == "café naive"
+    assert got[2] == "zerowidthjoin here"
+    assert got[3] == "ctrlchars keep\ttab and\nnewline\r"
+    assert got[6] == "Å ring"
+
+
+def test_normalize_text_collapse_spaces(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.text import normalize_text_stage
+
+    t = pa.table({"doc_id": pa.array([0]),
+                  "text": pa.array(["a   b  c d"])})
+    out = normalize_text_stage(rd.from_arrow(t),
+                               collapse_spaces=True).to_pandas()
+    assert out["text"][0] == "a b c d"
