@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--min-tokens", type=int, default=5)
     cl.add_argument("--near-dup-threshold", type=float, default=0.8)
     cl.add_argument("--boilerplate-min-count", type=int, default=None)
+    cl.add_argument("--normalize", action="store_true",
+                    help="unicode NFC + control-strip before all gates")
+    cl.add_argument("--span-min-docs", type=int, default=None,
+                    help="mask token spans duplicated across >= N docs")
     cl.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -146,6 +150,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 boilerplate_min_count=args.boilerplate_min_count,
                 near_dup_threshold=args.near_dup_threshold,
+                normalize=args.normalize,
+                span_min_docs=args.span_min_docs,
             )
             out.write_parquet(args.out)
             import pyarrow.parquet as _pq

@@ -85,11 +85,23 @@ def clean_corpus(
     ref_corpus=None,
     key_cap: int | None = None,
     key_col: str = "host",
+    normalize: bool = False,
+    span_min_docs: int | None = None,
+    span_k: int = 10,
 ):
     """Run the full cleaning chain; any stage disables with ``None``.
 
     Returns the cleaned Dataset (same schema as the input).
+    ``normalize`` prepends unicode NFC + control-strip (off by default —
+    it REWRITES text, changing downstream hashes). ``span_min_docs``
+    enables duplicate-SPAN masking AFTER the document-level dedups
+    (before them, exact-duplicate documents would fully mask each
+    other and no copy would survive).
     """
+    if normalize:
+        from ..stages.text import normalize_text_stage
+
+        ds = normalize_text_stage(ds, text_col)
     if url_col is not None:
         ds = _url_keeper_filter(ds, url_col, id_col)
     if boilerplate_min_count is not None:
@@ -131,6 +143,17 @@ def clean_corpus(
                                          id_col=id_col,
                                          threshold=near_dup_threshold)
         ds = _dedup.dedup_keep_first(ds, pairs, id_col=id_col)
+    if span_min_docs is not None:
+        # duplicate-SPAN masking AFTER document-level dedup: run before
+        # it, exact-duplicate documents fully mask EACH OTHER (every
+        # gram is "duplicated") and no copy survives — masking must see
+        # one keeper per content. (Found by the chain-composition test.)
+        from ..stages.spans import mask_duplicate_spans
+
+        ds = mask_duplicate_spans(ds, text_col, id_col=id_col, k=span_k,
+                                  min_docs=span_min_docs)
+        # chain contract: same schema as the input
+        ds = ds.drop_columns(["n_masked_tokens"]).materialize()
     if key_cap is not None:
         # RefinedWeb-style per-domain cap LAST: bounds any one key's
         # share of the *deduplicated* corpus (cap-then-dedup would let

@@ -224,3 +224,42 @@ def test_split_by_cluster_leakage_free(ray_session):
     frac_train = (out == "train").mean()
     assert 0.65 < frac_train < 0.95
     assert set(out.unique()) <= {"train", "val", "test"}
+
+
+def test_clean_corpus_normalize_and_span_stages(ray_session):
+    """The optional normalize + span-mask stages compose into the chain:
+    decomposed text normalizes (then dedups against its composed twin),
+    duplicated spans mask, and the output schema stays the input's."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+
+    boiler = "follow us on all the social networks today friends"
+    docs = [
+        "café menu with many unique words here",    # composed
+        "café menu with many unique words here",   # decomposed twin
+        f"one unique doc body text {boiler}",
+        f"two unique doc body text also {boiler}",
+        "third totally different document body here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    out = clean_corpus(
+        rd.from_arrow(t), url_col=None, min_tokens=2,
+        max_dup_line_frac=None, near_dup_threshold=None,
+        normalize=True, span_min_docs=2, span_k=3,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.columns) == ["doc_id", "text"]
+    # normalize unified the twins -> exact dedup kept only doc 0, and
+    # the surviving copy is NOT self-masked (spans run post-dedup)
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+    kept0 = out[out["doc_id"] == 0]["text"].iloc[0]
+    assert "menu with many unique words" in kept0
+    # the duplicated span is masked out of both carriers
+    assert set(out["doc_id"]) == {0, 2, 3, 4}
+    for txt in out[out["doc_id"].isin([2, 3])]["text"]:
+        assert boiler not in txt
