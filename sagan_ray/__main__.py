@@ -138,7 +138,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"no input files match {args.input!r}", file=sys.stderr)
                 return 2
             ds = read_parquet_clean(files)
-            n_in = ds.count()
+            # rows_in from parquet footers — a Dataset.count() here
+            # would pay a full extra scan purely for the report line
+            import pyarrow.parquet as _pqm
+
+            n_in = sum(_pqm.read_metadata(f).num_rows for f in files)
             eval_texts = None
             if args.eval_file:
                 with open(args.eval_file) as f:

@@ -30,10 +30,16 @@ CANON_RULES: list[tuple[str, str]] = [
     (r"^(https://[^/:?#]+):443(/|\?|#|$)", r"\1\2"),
     # 3. fragment
     (r"#.*$", ""),
-    # 4. tracking params (leading "?" or "&" + name=value)
-    (r"[?&](?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*", ""),
-    # promote a surviving "&..." to "?..." if the "?" got stripped
-    (r"^([^?]*)&", r"\1?"),
+    # 4. tracking params, in three ?-preserving steps: strip
+    #    "&name=value" anywhere, then a LEADING "?name=value&" keeps
+    #    the "?" for the surviving params, and a lone "?name=value"
+    #    drops entirely. (An earlier revision stripped "[?&]name=value"
+    #    and then promoted any surviving "&" to "?" unconditionally —
+    #    which corrupted query-less URLs whose PATH contains "&",
+    #    colliding distinct documents in URL dedup.)
+    (r"&(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*", ""),
+    (r"\?(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*&", "?"),
+    (r"\?(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*$", ""),
     # dangling "?" with nothing after it
     (r"\?$", ""),
     # 5. trailing slash on a non-root path

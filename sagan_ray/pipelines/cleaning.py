@@ -47,24 +47,34 @@ def _url_keeper_filter(ds, url_col: str, id_col: str):
     dup_groups = url_dedup(ds, url_col=url_col, id_col=id_col).filter(
         expr="n > 1"
     )
-    from ..functions.collect import collect_blocks
+    from ..functions.collect import collect_blocks, sorted_isin
+    from ..stages.dedup import fast_digest128_bytes
 
+    # loser-sized broadcast as TWO aligned sorted numpy arrays (128-bit
+    # url digest -> keeper id) — zero-copy from plasma per task, probed
+    # with one searchsorted per batch. A dict here would re-deserialize
+    # on EVERY batch and probe per row in Python (review finding).
     url_s, keep_id = [], []
     for b in collect_blocks(dup_groups):
         url_s.extend(b["canonical_url"].to_pylist())
         keep_id.extend(b["keeper_doc_id"].to_pylist())
-    keeper_by_url = dict(zip(url_s, keep_id))
-    ref = ray.put(keeper_by_url)
+    dig = fast_digest128_bytes(url_s) if url_s else np.empty(0, dtype="S32")
+    order = np.argsort(dig)
+    ref = ray.put((dig[order],
+                   np.asarray(keep_id, dtype=np.int64)[order]))
 
     def gate(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        canon = canonicalize_urls(t[url_col]).to_pylist()
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        keep = np.array(
-            [c not in m or m[c] == i for c, i in zip(canon, ids)],
-            dtype=bool,
-        )
-        return t.filter(pa.array(keep))
+        keys, keepers = ray.get(ref)
+        if not len(keys):
+            return t  # no duplicated urls anywhere
+        canon = canonicalize_urls(t[url_col])
+        # null urls group under '' — grouped_min_count's contract
+        q = fast_digest128_bytes(
+            pa.compute.fill_null(canon, "").to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, pos = sorted_isin(keys, q, return_pos=True)
+        drop = hit & (keepers[pos] != ids)
+        return t.filter(pa.array(~drop))
 
     return ds.map_batches(gate, batch_format="pyarrow")
 
@@ -165,31 +175,38 @@ def clean_corpus(
 
 
 def _exact_losers(ds, dup_groups, text_col: str, id_col: str):
-    """Ids to drop: every member of a >1 digest group except its keeper."""
-    import pyarrow as pa
+    """Ids to drop: every member of a >1 digest group except its keeper.
 
-    from ..stages.dedup import fast_digest128
-
+    Broadcast form: two aligned sorted arrays (S32 digest -> keeper id),
+    zero-copy per task, one searchsorted probe per batch — not a
+    python dict probed per row (review finding)."""
     import numpy as np
+    import pyarrow as pa
     import ray
 
-    from ..functions.collect import collect_blocks
+    from ..functions.collect import collect_blocks, sorted_isin
+    from ..stages.dedup import fast_digest128_bytes
 
     rows = dup_groups.select_columns(["text_digest", "keeper_doc_id"])
     dig, keep_id = [], []
     for b in collect_blocks(rows):
         dig.extend(b["text_digest"].to_pylist())
         keep_id.extend(b["keeper_doc_id"].to_pylist())
-    keeper_by_digest = dict(zip(dig, keep_id))
-    ref = ray.put(keeper_by_digest)
+    keys = (np.asarray(dig, dtype="S32") if dig
+            else np.empty(0, dtype="S32"))
+    order = np.argsort(keys)
+    ref = ray.put((keys[order],
+                   np.asarray(keep_id, dtype=np.int64)[order]))
 
     def find(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        digs = fast_digest128(t[text_col].to_pylist())
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out = [int(i) for d, i in zip(digs, ids)
-               if d in m and m[d] != i]
-        return pa.table({id_col: pa.array(out, type=pa.int64())})
+        keys_s, keepers = ray.get(ref)
+        if not len(keys_s):
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        q = fast_digest128_bytes(t[text_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, pos = sorted_isin(keys_s, q, return_pos=True)
+        lose = hit & (keepers[pos] != ids)
+        return pa.table({id_col: pa.array(ids[lose])})
 
     return ds.map_batches(find, batch_format="pyarrow")
 

@@ -480,7 +480,11 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
                     raise ValueError(f"undefined var {ref}")
             else:
                 values = tuple(_unquote(ref).split("|"))
-            metas.append(MetaContent(template=_decode_hex(tpl), values=values))
+            metas.append(MetaContent(template=_decode_hex(tpl), values=values,
+                                     nocase=pending_meta_nocase))
+            # a meta_nocase written BEFORE its meta_content modifies the
+            # NEXT matcher, not whichever happens to be last at rule end
+            pending_meta_nocase = False
         elif key == "meta_nocase":
             if metas:
                 last = metas[-1]

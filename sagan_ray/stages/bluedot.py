@@ -62,9 +62,14 @@ class BluedotLookup:
         return val
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         now = self.clock()
         keys = np.asarray(batch[self.key_col].to_pandas(), dtype=object)
-        uk, inv = np.unique(keys, return_inverse=True)
+        # factorize, not np.unique: unique sorts with '<' and raises
+        # TypeError on null keys
+        inv, uk = pd.factorize(keys, use_na_sentinel=False)
+        uk = np.asarray(uk, dtype=object)
         vals: dict[str, str] = {}
         need: list[str] = []
         for k in uk:

@@ -95,9 +95,12 @@ def grouped_min_count(ds, key_col: str, id_col: str, min_name: str,
     nb = np.uint64(_n_buckets())
 
     def tag(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        # null keys group under '' (np.lexsort on an object array with
+        # None raises; the same null contract as cap_per_key)
+        col = pa.compute.fill_null(t[key_col].combine_chunks(), "")
+        keys = np.asarray(col.to_pylist(), dtype=object)
         return pa.table({
-            key_col: t[key_col], id_col: t[id_col],
+            key_col: col, id_col: t[id_col],
             "gb": pa.array((_digest64(keys) % nb).astype(np.int64)),
         })
 
@@ -165,8 +168,10 @@ def dedup_against(ds, ref, text_col: str = "text",
     """
     import ray
 
+    n_ref = None
     if mode == "auto":
-        mode = "broadcast" if ref.count() <= broadcast_limit else "join"
+        n_ref = ref.count()  # counted ONCE; reused for join sizing
+        mode = "broadcast" if n_ref <= broadcast_limit else "join"
 
     def ref_digests(t: pa.Table) -> pa.Table:
         return pa.table({"text_digest": pa.array(
@@ -218,7 +223,9 @@ def dedup_against(ds, ref, text_col: str = "text",
             "text_digest", pa.array(fast_digest128(t[text_col].to_pylist())))
 
     left = ds.map_batches(add_digest, batch_format="pyarrow")
-    npart = max(2, min(_join_width(), ref.count() // 250_000 + 2))
+    if n_ref is None:
+        n_ref = ref.count()
+    npart = max(2, min(_join_width(), n_ref // 250_000 + 2))
     out = left.join(uniq, join_type="left_anti", num_partitions=npart,
                     on=("text_digest",))
     return out.drop_columns(["text_digest"])

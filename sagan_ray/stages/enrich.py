@@ -202,9 +202,15 @@ class DnsCache:
         return ip
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         hosts = np.asarray(batch["host"].to_pandas(), dtype=object)
-        uh, inv = np.unique(hosts, return_inverse=True)
-        resolved = np.array([self.resolve(h) for h in uh], dtype=object)
+        # factorize, not np.unique: unique sorts with '<' and raises
+        # TypeError on a null host (Enrich.__call__ has the same fix)
+        inv, uh = pd.factorize(hosts, use_na_sentinel=False)
+        resolved = np.array(
+            [self.resolve(h) if isinstance(h, str) else None
+             for h in np.asarray(uh, dtype=object)], dtype=object)
         return batch.append_column(
             "resolved_ip", pa.array(resolved[inv].tolist(), type=pa.string())
         )
@@ -295,10 +301,16 @@ def ips_in_cidrs(ips: list[str | None], starts: np.ndarray,
         if len(parts) != 4:
             continue
         try:
-            v = (int(parts[0]) << 24) | (int(parts[1]) << 16) | (int(parts[2]) << 8) | int(parts[3])
+            p0, p1, p2, p3 = (int(x) for x in parts)
         except ValueError:
             continue
-        vals[i] = v
+        if max(p0, p1, p2, p3) > 255 or min(p0, p1, p2, p3) < 0:
+            # IPV4_RE admits 0-999 octets; a '999.1.1.1' token is not a
+            # real IPv4 — without this guard the uint32 assignment
+            # wraps (numpy 1.x, false blacklist hits) or raises
+            # OverflowError (numpy 2.x, kills the batch)
+            continue
+        vals[i] = (p0 << 24) | (p1 << 16) | (p2 << 8) | p3
         ok[i] = True
     if len(starts):
         idx = np.searchsorted(starts, vals, side="right") - 1

@@ -382,10 +382,16 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
     from .correlate import _n_buckets, shuffle_groups
     from .dedup import _digest64
 
+    # shuffle modulus captured ONCE at plan build: _n_buckets() reads
+    # cluster resources at call time, and two blocks hashing one key to
+    # different gb values would split its counts across partitions,
+    # silently un-capping it (correlate.py documents the same invariant)
+    nbk_shuffle = np.uint64(_n_buckets())
+
     def count_part(t: pa.Table) -> pa.Table:
         f, uk = _key_codes(t)
         uk_arr = np.asarray(uk, dtype=object)
-        gb = (_digest64(uk_arr) % np.uint64(_n_buckets())).astype(np.int64)
+        gb = (_digest64(uk_arr) % nbk_shuffle).astype(np.int64)
         return pa.table({"k": pa.array(uk, type=pa.string()),
                          "n": pa.array(np.bincount(
                              f, minlength=len(uk)).astype(np.int64)),
@@ -455,7 +461,7 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
             u, cnt = np.unique(gid, return_counts=True)
             return pa.table({"g": pa.array(u),
                              "n": pa.array(cnt.astype(np.int64)),
-                             "gb": pa.array(u % np.int64(_n_buckets()))})
+                             "gb": pa.array(u % np.int64(nbk_shuffle))})
 
         def sum_fn(t: pa.Table) -> pa.Table:
             from .correlate import reduceat_sum

@@ -357,8 +357,11 @@ def normalize_text_stage(ds, text_col: str = "text",
 def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc repetition features, fully vectorized (no per-doc loop).
 
-    - ``dup_line_frac``: fraction of lines that repeat an earlier line in
-      the same document (C4's duplicate-line signal).
+    - ``dup_line_frac``: fraction of NON-EMPTY lines that repeat an
+      earlier line in the same document (C4's duplicate-line signal).
+      Empty lines are excluded from numerator and denominator — they
+      are paragraph separators, not content, and counting them flagged
+      ordinary multi-paragraph prose as repetitive (review finding).
     - ``dup_line_char_frac``: fraction of characters living in those
       repeated lines (Gopher's character-weighted form).
     - ``top_2gram_frac``: occurrences of the doc's most frequent word
@@ -384,6 +387,11 @@ def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         lh = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
         lchars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+        # drop empty lines everywhere (see docstring)
+        ne = lchars > 0
+        lh, lchars, doc_of = lh[ne], lchars[ne], doc_of[ne]
+        n_lines = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_lines, doc_of, 1)
         order = np.lexsort((lh, doc_of))
         d_s, h_s, c_s = doc_of[order], lh[order], lchars[order]
         first = np.ones(len(h_s), dtype=bool)

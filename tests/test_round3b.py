@@ -86,7 +86,9 @@ REP_DOCS = [
 
 
 def _py_repetition(text: str):
-    lines = text.split("\n")
+    # empty lines are paragraph separators, not content (matches the
+    # stage's documented exclusion)
+    lines = [ln for ln in text.split("\n") if ln]
     seen, dup, dup_chars = set(), 0, 0
     for ln in lines:
         if ln in seen:
@@ -244,3 +246,19 @@ def test_normalize_text_collapse_spaces(ray_session):
     out = normalize_text_stage(rd.from_arrow(t),
                                collapse_spaces=True).to_pandas()
     assert out["text"][0] == "a b c d"
+
+
+def test_multi_paragraph_prose_not_flagged_repetitive(ray_session):
+    """Regression (review finding): blank paragraph separators must not
+    count as duplicate lines — clean prose was exceeding the 0.3 gate."""
+    import ray.data as rd
+
+    from sagan_ray.stages.text import repetition_filter_stage
+
+    paras = "\n\n".join(
+        f"paragraph {i} has its own words entirely" for i in range(5))
+    t = pa.table({"doc_id": pa.array([0]), "text": pa.array([paras])})
+    r = repetition_batch(t)
+    assert r["dup_line_frac"][0].as_py() == 0.0
+    kept = repetition_filter_stage(rd.from_arrow(t)).count()
+    assert kept == 1

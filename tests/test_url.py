@@ -70,3 +70,28 @@ def test_url_dedup_counts(ray_session):
         "https://a.com/x": 0, "https://b.com/y": 3,
         "http://b.com/y": 4, "https://c.com/z": 5,
     }
+
+
+def test_ampersand_in_queryless_path_is_preserved(ray_session):
+    """Regression (review finding): a '&' in a query-less path must NOT
+    be promoted to '?' — distinct URLs were colliding in URL dedup."""
+    from sagan_ray.functions.url import canonicalize_urls
+
+    got = canonicalize_urls([
+        "https://example.com/a&b",        # & in path, no query
+        "https://example.com/a?b",        # real query
+        "http://x.com/p&q=1",             # &-separated path junk
+        "https://e.com/p?utm_a=1&x=2",    # leading tracker + survivor
+        "https://e.com/p?x=2&utm_a=1",    # trailing tracker
+        "https://e.com/p?utm_a=1",        # lone tracker
+        "https://e.com/p?utm_a=1&utm_b=2",  # only trackers
+    ]).to_pylist()
+    assert got == [
+        "https://example.com/a&b",
+        "https://example.com/a?b",
+        "http://x.com/p&q=1",
+        "https://e.com/p?x=2",
+        "https://e.com/p?x=2",
+        "https://e.com/p",
+        "https://e.com/p",
+    ]
