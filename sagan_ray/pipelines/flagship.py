@@ -315,11 +315,8 @@ def run_flagship(
     from sagan_ray.sources import read_parquet_clean
 
     alerts = gate_alerts(read_parquet_clean(ckpt_root), rules)
-    import shutil
-
-    sink_dir = os.path.join(run_dir, "sinks")
-    if os.path.isdir(sink_dir):
-        shutil.rmtree(sink_dir)  # stage B is cheap and always rebuilt
+    # stale-sink cleanup happens inside route_alerts (its own rmtree —
+    # one canonical cleanup, no drifting copy here)
     # sinks carry part_id so the manifest records per-partition sink
     # counts (north-star lineage shape) and replays stay addressable
     manifest = route_alerts(alerts, run_dir,

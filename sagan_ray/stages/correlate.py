@@ -412,12 +412,18 @@ def apply_correlation(alerts_ds, rules: list[Rule]):
             pc.invert(pc.is_in(batch["sid"], value_set=corr_sids).combine_chunks())
         )
 
+    # modulus captured ONCE at plan build (the fused path's invariant:
+    # every task must use the SAME modulus within a run — a mid-run
+    # autoscale would otherwise split one logical group across two
+    # partitions and double a limit-rule's budget)
+    nb_run = _n_buckets()
+
     def split_corr(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.is_in(batch["sid"], value_set=corr_sids))
         sub = _attach_keys(sub, specs)
         pdf = sub.to_pandas()
         pdf = _preprune_limit(pdf, specs)
-        pdf = _attach_gb(pdf, ["sid", "ckey", "bucket"])
+        pdf = _attach_gb(pdf, ["sid", "ckey", "bucket"], nb=nb_run)
         return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
@@ -457,12 +463,12 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     assert can_fuse(rules), "rule with both threshold/after and xbits: use two-phase"
     by_sid = {r.sid: r for r in rules}
     corr_sids = pa.array(list(specs.keys()), type=pa.int64())
-    xb_sids = pa.array(list(xspecs.keys()), type=pa.int64())
     test_sids = {
         s for s, xbs in xspecs.items()
         if any(x.action in ("isset", "isnotset") for x in xbs)
     }
     noalert_sids = {s for s, xbs in xspecs.items() if by_sid[s].noalert}
+    noalert_arr = pa.array(sorted(noalert_sids), type=pa.int64())
     # rows that route WITHOUT shuffling: not correlated, and either no
     # xbits at all or xbits that only set/unset (and not noalert)
     bypass_keep = pa.array(
@@ -558,7 +564,9 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
                 elif xc in rsub.column_names:
                     xkey_col = pc.fill_null(rsub[xc], "")
                 else:
-                    xkey_col = rsub["host"]
+                    # missing track column keys to '' (one group) — see
+                    # explode_xbit; keeps the two engines in agreement
+                    xkey_col = _const(m, "", "str")
                 t2 = (
                     rsub.append_column("ckey", _const(m, "", "str"))
                     .append_column("bucket", _const(m, -1, "int"))
@@ -596,7 +604,13 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
             # set/unset rows contribute state inside the resolver; only
             # isset/isnotset keeps are emitted. Set-only rules' own
             # routing happens on the bypass branch (no duplicates).
-            outs.append(_resolve_partition_pa(xb_rows))
+            res = _resolve_partition_pa(xb_rows)
+            if len(noalert_arr) and res.num_rows:
+                # noalert TEST rules evaluate (state consumed) but never
+                # route — flagship.py's documented contract
+                res = res.filter(pc.invert(pc.is_in(
+                    res["sid"], value_set=noalert_arr).combine_chunks()))
+            outs.append(res)
         out = pa.concat_tables(outs) if outs else g.slice(0, 0)
         return out.drop_columns(
             [c for c in helper_cols + ["gb"] if c in out.column_names]
@@ -656,6 +670,10 @@ def _resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
     to any-active-set (monotone windows)."""
     if g.empty:
         return g
+    # null xkeys would be silently EXCLUDED by the keyed-Series groupby
+    # ffills below (dropna), losing their state and diverging from the
+    # Arrow twin (which groups null codes); '' matches both engines
+    g = g.assign(xkey=g["xkey"].fillna(""))
     order = {"set": 0, "unset": 1, "isset": 2, "isnotset": 3}
     g = g.assign(_ord=g["xaction"].map(order))
     g = g.sort_values(["xname", "xkey", "warc_ts", "_ord", "url"], kind="mergesort")
@@ -667,7 +685,6 @@ def _resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
     _ts_i[np.isnat(_ts_dt)] = np.iinfo(np.int64).max
     ts = pd.Series(_ts_i, index=g.index)
     keys = g[["xname", "xkey"]]
-    grp = g.groupby(["xname", "xkey"], sort=False)
 
     is_set = (g["xaction"] == "set").to_numpy()
     is_unset = (g["xaction"] == "unset").to_numpy()
@@ -794,6 +811,8 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
         s for s, xbs in specs.items() if any(x.action in ("isset", "isnotset") for x in xbs)
     }
     noalert_sids = {s for s, xbs in specs.items() if by_sid[s].noalert}
+    # same plan-build modulus capture as the fused/correlation paths
+    nb_run = _n_buckets()
 
     def split_plain(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -819,7 +838,10 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
                 elif xc in rows.columns:
                     r2["xkey"] = rows[xc].fillna("")
                 else:
-                    r2["xkey"] = rows["host"]
+                    # missing track column keys to '' (one group) — the
+                    # _track_col contract; the old host fallback made
+                    # this path disagree with the correlation family
+                    r2["xkey"] = ""
                 r2["xexpire"] = np.int64(xb.expire if xb.expire is not None else -1)
                 parts.append(r2)
         if not parts:
@@ -830,7 +852,7 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
             out["xexpire"] = pd.Series(dtype=np.int64)
             parts = [out]
         out = pd.concat(parts, ignore_index=True)
-        out = _attach_gb(out, ["xname", "xkey"])
+        out = _attach_gb(out, ["xname", "xkey"], nb=nb_run)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
@@ -838,6 +860,15 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
     resolved = shuffle_groups(xb, "gb", _resolve_partition).drop_columns(
         ["xname", "xaction", "xkey", "xexpire", "gb"]
     )
+    if noalert_sids:
+        # noalert TEST rules evaluate (their state was consumed in the
+        # resolver) but never route
+        noalert_arr2 = pa.array(sorted(noalert_sids), type=pa.int64())
+        resolved = resolved.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t["sid"], value_set=noalert_arr2).combine_chunks())),
+            batch_format="pyarrow",
+        )
 
     # rules whose ONLY xbit options are set/unset still route their own
     # alert (unless noalert) — their rows aren't in `resolved`

@@ -257,7 +257,13 @@ def rule_mask(batch: pa.Table, rule: Rule, text_col: str = "text") -> np.ndarray
         hour = np.asarray(pc.hour(ts).combine_chunks()
                           if isinstance(pc.hour(ts), pa.ChunkedArray) else pc.hour(ts))
         at = rule.alert_time
-        hmask = (hour >= at.start_hour) & (hour < at.end_hour)
+        if at.start_hour <= at.end_hour:
+            hmask = (hour >= at.start_hour) & (hour < at.end_hour)
+        else:
+            # window wraps midnight (e.g. hours 2200-0600 — the
+            # canonical 'alert only at night' aetas window): OR the
+            # two half-windows, else the rule can never fire
+            hmask = (hour >= at.start_hour) | (hour < at.end_hour)
         if len(at.days) < 7:
             dow = pc.day_of_week(ts)  # 0=Monday
             dow = np.asarray(dow.combine_chunks() if isinstance(dow, pa.ChunkedArray) else dow)
@@ -630,7 +636,8 @@ def match_alerts(ds, rules: list[Rule], text_col: str = "text",
     names = schema_names if schema_names is not None else ds.schema().names
     keep = [c for c in ["url", "warc_ts", "host", "lang", "text", "source",
                         "event_id", "props", "country", "blacklisted",
-                        "part_id", "facility", "level", "program", "tag"]
+                        "part_id", "facility", "level", "program", "tag",
+                        "proto"]  # header proto gate reads it (flow.c)
             if c in names]
     if needs_raw and "html" in names:
         def _latin1(t: pa.Table) -> pa.Table:

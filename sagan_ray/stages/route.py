@@ -86,10 +86,19 @@ def route_alerts(
 def _eve_tee(eve_dir: str):
     def tee(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            import uuid
-
             lines = format_eve_lines(batch)
-            p = os.path.join(eve_dir, f"eve-{uuid.uuid4().hex[:12]}.json")
+            # CONTENT-ADDRESSED filename, not uuid4: a Ray task retry
+            # re-executes this tee, and a random name would append a
+            # duplicate EVE file (double-counted alerts) while the
+            # parquet sink dedups by deterministic name. Same content
+            # -> same path -> the retry overwrites.
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=8)
+            for ln in lines[:64]:
+                h.update(ln.encode())
+            h.update(str(len(lines)).encode())
+            p = os.path.join(eve_dir, f"eve-{h.hexdigest()}.json")
             with open(p, "w") as f:
                 f.write("\n".join(lines) + "\n")
         return batch
@@ -160,15 +169,22 @@ def format_fast_lines(batch: pa.Table) -> pa.Table:
     one human-readable line per alert."""
     import pyarrow.compute as pc
 
-    ts = pc.strftime(pc.cast(batch["warc_ts"], pa.timestamp("us")),
-                     format="%m/%d/%Y-%H:%M:%S")
+    ts = pc.fill_null(
+        pc.strftime(pc.cast(batch["warc_ts"], pa.timestamp("us")),
+                    format="%m/%d/%Y-%H:%M:%S"), "-")
+    # every field null-filled: join_element_wise emits NULL for the
+    # whole line if ANY input is null, and "\n".join(...) on a None
+    # line would kill the sink task (alert host/url ARE nullable)
+    def _s(name: str):
+        return pc.fill_null(pc.cast(batch[name], pa.string()), "-")
+
     line = pc.binary_join_element_wise(
         ts, pa.scalar("  [**] ["),
-        pc.cast(batch["sid"], pa.string()), pa.scalar(":"),
-        pc.cast(batch["rev"], pa.string()), pa.scalar("] "),
-        batch["msg"], pa.scalar(" [**] [Classification: "),
-        batch["classification"], pa.scalar("] {HOST} "),
-        batch["host"], pa.scalar(" "), batch["url"], "",
+        _s("sid"), pa.scalar(":"),
+        _s("rev"), pa.scalar("] "),
+        _s("msg"), pa.scalar(" [**] [Classification: "),
+        _s("classification"), pa.scalar("] {HOST} "),
+        _s("host"), pa.scalar(" "), _s("url"), "",
     )
     return pa.table({"line": line})
 
@@ -176,14 +192,20 @@ def format_fast_lines(batch: pa.Table) -> pa.Table:
 def write_fast_log(alerts_ds, fast_dir: str) -> None:
     """Parallel text sink: each block writes one .log part file."""
     import os as _os
-    import uuid
 
     _os.makedirs(fast_dir, exist_ok=True)
 
     def dump(batch: pa.Table) -> pa.Table:
         lines = format_fast_lines(batch)["line"].to_pylist()
         if lines:
-            p = _os.path.join(fast_dir, f"alert-{uuid.uuid4().hex[:12]}.log")
+            # content-addressed name — retry-idempotent (see _eve_tee)
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=8)
+            for ln in lines[:64]:
+                h.update(ln.encode())
+            h.update(str(len(lines)).encode())
+            p = _os.path.join(fast_dir, f"alert-{h.hexdigest()}.log")
             with open(p, "w") as f:
                 f.write("\n".join(lines) + "\n")
         return pa.table({"n": pa.array([len(lines)], type=pa.int64())})
