@@ -20,6 +20,56 @@ import pyarrow.parquet as pq
 
 from ..schema import ALERTS_SCHEMA
 
+# (last task id, next sequence number) for _sink_token — a plain module
+# global, not thread-local: Ray map tasks run single-threaded per worker
+# process, and the token only has to be stable WITHIN one task lineage
+_SINK_SEQ = ["", 0]
+
+
+def _sink_token() -> str:
+    """Retry-stable, block-unique sink-file discriminator.
+
+    Content addressing alone cannot separate two blocks with genuinely
+    identical alert content (an alert flood split across equal-size
+    blocks) — one file would overwrite the other and undercount. Ray
+    task ids are identical across retries of the same task but distinct
+    across tasks, so ``task_id`` + a per-task call sequence (batches
+    replay in the same order on retry) names each block uniquely while
+    a retry still rewrites the same path. Caveat (documented): a task
+    re-executed in the SAME live worker process with no intervening
+    task would continue the sequence instead of resetting — Ray only
+    replays tasks after a worker/node loss, where the process is gone.
+    """
+    import ray
+
+    tid = None
+    try:
+        if ray.is_initialized():
+            tid = ray.get_runtime_context().get_task_id()
+    except Exception:
+        tid = None
+    tid = tid or "driver"
+    if _SINK_SEQ[0] != tid:
+        _SINK_SEQ[0] = tid
+        _SINK_SEQ[1] = 0
+    seq = _SINK_SEQ[1]
+    _SINK_SEQ[1] += 1
+    return f"{tid[:20]}-{seq}"
+
+
+def _sink_name(lines: list[str], prefix: str, suffix: str) -> str:
+    """Content+lineage-addressed sink filename: blake2b over ALL lines
+    (not a 64-line prefix — two blocks sharing a prefix and a count must
+    not collide) mixed with the :func:`_sink_token` block discriminator."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\x00")
+    h.update(str(len(lines)).encode())
+    return f"{prefix}{h.hexdigest()}-{_sink_token()}{suffix}"
+
 _ALERT_TYPES = {f.name: f.type for f in ALERTS_SCHEMA}
 # extraction + enrichment columns ride on alerts; all-null blocks from
 # pandas round-trips must cast back to these, not stay `null`-typed
@@ -61,12 +111,16 @@ def route_alerts(
     """Write alerts partitioned by classification; return the manifest."""
     partition_cols = partition_cols or ["classification"]
     sink_dir = os.path.join(out_dir, "sinks")
-    if os.path.isdir(sink_dir):
+    eve_dir = os.path.join(out_dir, "eve")
+    for stale in (sink_dir, eve_dir):
         # a re-route is a fresh fan-out: stale part files from a prior
-        # run must not double-count in the manifest
-        import shutil
+        # run must not double-count — in the manifest (sinks) OR for any
+        # EVE consumer (eve-*.json from a prior run with different
+        # content would persist alongside the new ones)
+        if os.path.isdir(stale):
+            import shutil
 
-        shutil.rmtree(sink_dir)
+            shutil.rmtree(stale)
     os.makedirs(sink_dir, exist_ok=True)
     alerts_ds = alerts_ds.map_batches(normalize_alerts, batch_format="pyarrow")
     if write_eve:
@@ -74,7 +128,6 @@ def route_alerts(
         # object per alert line, written as a TEE inside the same pass
         # (each block dumps its own .json part before flowing on to the
         # parquet write — no second read of the sinks).
-        eve_dir = os.path.join(out_dir, "eve")
         os.makedirs(eve_dir, exist_ok=True)
         alerts_ds = alerts_ds.map_batches(
             _eve_tee(eve_dir), batch_format="pyarrow"
@@ -87,18 +140,13 @@ def _eve_tee(eve_dir: str):
     def tee(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
             lines = format_eve_lines(batch)
-            # CONTENT-ADDRESSED filename, not uuid4: a Ray task retry
-            # re-executes this tee, and a random name would append a
-            # duplicate EVE file (double-counted alerts) while the
-            # parquet sink dedups by deterministic name. Same content
-            # -> same path -> the retry overwrites.
-            import hashlib
-
-            h = hashlib.blake2b(digest_size=8)
-            for ln in lines[:64]:
-                h.update(ln.encode())
-            h.update(str(len(lines)).encode())
-            p = os.path.join(eve_dir, f"eve-{h.hexdigest()}.json")
+            # CONTENT+LINEAGE-ADDRESSED filename, not uuid4: a Ray task
+            # retry re-executes this tee, and a random name would append
+            # a duplicate EVE file (double-counted alerts) while the
+            # parquet sink dedups by deterministic name. Same block ->
+            # same path -> the retry overwrites; distinct blocks (even
+            # with identical content) -> distinct paths (_sink_name).
+            p = os.path.join(eve_dir, _sink_name(lines, "eve-", ".json"))
             with open(p, "w") as f:
                 f.write("\n".join(lines) + "\n")
         return batch
@@ -198,14 +246,9 @@ def write_fast_log(alerts_ds, fast_dir: str) -> None:
     def dump(batch: pa.Table) -> pa.Table:
         lines = format_fast_lines(batch)["line"].to_pylist()
         if lines:
-            # content-addressed name — retry-idempotent (see _eve_tee)
-            import hashlib
-
-            h = hashlib.blake2b(digest_size=8)
-            for ln in lines[:64]:
-                h.update(ln.encode())
-            h.update(str(len(lines)).encode())
-            p = _os.path.join(fast_dir, f"alert-{h.hexdigest()}.log")
+            # content+lineage-addressed name — retry-idempotent AND
+            # collision-free across blocks (see _sink_name / _eve_tee)
+            p = _os.path.join(fast_dir, _sink_name(lines, "alert-", ".log"))
             with open(p, "w") as f:
                 f.write("\n".join(lines) + "\n")
         return pa.table({"n": pa.array([len(lines)], type=pa.int64())})

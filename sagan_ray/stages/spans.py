@@ -21,13 +21,13 @@ Scale shape (two corpus passes, like ``strip_frequent_lines``):
   gram hashes — ONLY 8-byte hashes ride the groupby-count shuffle,
   never text. One k-vector-op pass hashes a whole batch (no per-gram
   Python).
-- Mask pass, ``mode="broadcast"`` (default): the duplicated-gram set
-  collects into ONE sorted int64 array placed in the object store once
+- Mask pass, ``mode="broadcast"``: the duplicated-gram set collects
+  into ONE sorted int64 array placed in the object store once
   (``ray.put``); the corpus streams map-only, each batch probing with
-  ``searchsorted``.  Bound: |set| <= total_grams / min_docs and in
-  practice boilerplate-sized; if a pathological corpus outgrows the
-  object store, use ``mode="join"`` — that is the documented trade,
-  not a silent cap.
+  ``searchsorted``. The dup-gram set is DATA-DEPENDENT, so
+  ``mode="auto"`` (default) counts it first and only broadcasts below
+  ``broadcast_limit`` (8 B/gram) — the ``dedup_against`` auto-switch
+  pattern, never an unbounded broadcast.
 - Mask pass, ``mode="join"``: fully distributed — every gram
   occurrence ships ``(gram_hash, id, pos)`` through a semi-join against
   the duplicated set (the unavoidable cost of a distributed filter on a
@@ -191,14 +191,25 @@ def _rewrite_batch(texts: list[str], hit_pos: list[np.ndarray], k: int,
 def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 10, min_docs: int = 2,
                          min_span_tokens: int | None = None,
-                         mode: str = "broadcast", out_col: str | None = None,
-                         doc_types: dict | None = None):
+                         mode: str = "auto", out_col: str | None = None,
+                         doc_types: dict | None = None,
+                         broadcast_limit: int = 8_000_000):
     """Mask corpus-duplicated token spans in every document (see module
     docstring for semantics and the broadcast-vs-join scale trade).
 
     Adds ``n_masked_tokens``; the rewritten text lands in ``out_col``
     (default: in place). ``min_span_tokens`` defaults to ``k`` (any
     duplicated gram masks); Lee et al. use 50.
+
+    ``mode="auto"`` (default) counts the duplicated-gram set ONCE (a
+    hashes-only Dataset — the count is one metadata pass over it) and
+    picks ``"broadcast"`` when it fits ``broadcast_limit`` (8 B/gram —
+    the default 8M grams = 64 MB, the same object-store bound as
+    ``dedup_against``), else ``"join"``. The dup-gram set is
+    DATA-DEPENDENT (boilerplate-sized in practice, tens of GB on a
+    pathological corpus), so an unguarded broadcast default would be a
+    100-TB scale-killer — same rationale as ``dedup_against(mode=
+    "auto")``.
 
     Like every two-pass corpus operator here, the input lineage
     executes twice (count pass + mask pass) — materialize / checkpoint
@@ -211,6 +222,12 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     dst = out_col or text_col
     dup = duplicate_gram_hashes(ds, text_col, k, min_docs).select_columns(
         ["gram_hash"])
+    if mode == "auto":
+        # the dup Dataset is consumed twice in broadcast mode (count +
+        # collect) and once as a join side — pin it so the gram-count
+        # shuffle never re-executes
+        dup = dup.materialize()
+        mode = ("broadcast" if dup.count() <= broadcast_limit else "join")
 
     def _emit(t: pa.Table, texts_out: list[str],
               n_masked: np.ndarray) -> pa.Table:
@@ -244,7 +261,6 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(f"unknown mode {mode!r}")
 
     from .join import equi_join
-    from .window import grouped_apply
 
     def explode_pos(t: pa.Table) -> pa.Table:
         gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
@@ -274,13 +290,41 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         right_types={"gram_hash": pa.int64()},
     ).select_columns([id_col, "pos"])
 
-    # co-partition docs + hit positions on id in ONE tagged exchange
+    def build(docs: pd.DataFrame, hit_pos: list[np.ndarray]) -> pd.DataFrame:
+        texts_out, n_masked = _rewrite_batch(docs[text_col].tolist(),
+                                             hit_pos, k, min_run)
+        out = docs.copy()
+        out[dst] = texts_out
+        out["n_masked_tokens"] = n_masked
+        return out
+
+    return copartition_doc_hits(
+        ds, hits, id_col, doc_types, build,
+        extra_types={} if dst in doc_types else {dst: pa.string()},
+        appended_types={"n_masked_tokens": pa.int64()})
+
+
+def copartition_doc_hits(ds, hits, id_col: str, doc_types: dict, build,
+                         extra_types: dict | None = None,
+                         appended_types: dict | None = None):
+    """Co-partition documents with per-doc hit POSITIONS on ``id_col``
+    in ONE tagged-union exchange, then rewrite each partition.
+
+    ``hits`` is a Dataset of ``(id_col, pos:int64)`` rows; ``build(docs,
+    hit_pos)`` receives the partition's doc frame (original columns) and
+    an aligned list of sorted per-doc hit-position arrays, and returns
+    the rewritten frame (original columns + ``extra_types`` +
+    ``appended_types``). Shared by the join modes of
+    :func:`mask_duplicate_spans` and ``text.strip_frequent_lines`` —
+    the scale path when the duplicated set outgrows a broadcast."""
+    from .window import grouped_apply
+
+    extra_types = extra_types or {}
+    appended_types = appended_types or {}
     names = list(doc_types)
     pay = [c for c in names if c != id_col]
-    out_schema = {**doc_types, "n_masked_tokens": pa.int64()}
-    if dst not in out_schema:
-        out_schema[dst] = pa.string()
-    out_cols = names + ([] if dst in names else [dst]) + ["n_masked_tokens"]
+    out_schema = {**doc_types, **extra_types, **appended_types}
+    out_cols = names + list(extra_types) + list(appended_types)
 
     def pad_docs(t: pa.Table) -> pa.Table:
         t = t.append_column("pos", pa.nulls(len(t), type=pa.int64()))
@@ -307,15 +351,10 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
             hs = hitg.sort_values([id_col, "pos"], kind="mergesort")
             for did, sub in hs.groupby(id_col, sort=False)["pos"]:
                 pos_by_id[did] = sub.to_numpy(dtype=np.int64)
-        texts = docs[text_col].tolist()
         ids = docs[id_col].tolist()
         hit_pos = [pos_by_id.get(i, np.empty(0, dtype=np.int64))
                    for i in ids]
-        texts_out, n_masked = _rewrite_batch(texts, hit_pos, k, min_run)
-        out = docs.copy()
-        out[dst] = texts_out
-        out["n_masked_tokens"] = n_masked
-        return out[out_cols]
+        return build(docs, hit_pos)[out_cols]
 
     return grouped_apply(tagged, [id_col], fn, output_cols=out_cols,
                          out_schema=out_schema)

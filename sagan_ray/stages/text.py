@@ -523,17 +523,29 @@ def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
 
 
 def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
-                         min_chars: int = 10, out_col: str | None = None):
+                         min_chars: int = 10, out_col: str | None = None,
+                         mode: str = "auto", id_col: str = "doc_id",
+                         doc_types: dict | None = None,
+                         broadcast_limit: int = 8_000_000):
     """Rewrite each document with its corpus-frequent lines removed.
 
     Two passes over the corpus (count, then rewrite) — the counting
-    pass ships hashes only. The frequent set is broadcast via
-    ``ray.put`` as ONE sorted uint64 array; at boilerplate thresholds
-    it is vocabulary-sized, not corpus-sized (every line in it appears
-    >= min_count times, so |set| <= total_lines/min_count, and in
-    practice orders of magnitude smaller). If a corpus ever makes it
-    too big to broadcast, raise ``min_count`` or partition both sides
-    by hash range — documented trade, not a silent cap.
+    pass ships hashes only. ``mode="broadcast"``: the frequent set is
+    broadcast via ``ray.put`` as ONE sorted int64 array — at
+    boilerplate thresholds it is vocabulary-sized, not corpus-sized
+    (|set| <= total_lines/min_count), but that bound only holds if
+    ``min_count`` scales with the corpus, so ``mode="auto"`` (default)
+    counts the set first and switches to the fully-distributed
+    ``mode="join"`` above ``broadcast_limit`` (8 B/line-hash — the
+    ``dedup_against`` / ``mask_duplicate_spans`` auto-switch pattern).
+
+    ``mode="join"``: line occurrences ship ``(line_hash, id, pos)``
+    through a semi-join against the frequent set, surviving positions
+    co-partition with the documents on ``id_col`` in ONE tagged
+    exchange (``spans.copartition_doc_hits``), and each partition
+    rewrites vectorized — nothing broadcasts. ``id_col``/``doc_types``
+    are only used by the join path (doc_types: col -> pa.DataType for
+    ALL input columns, skips the Dataset.schema() limit-probe).
     """
     import pandas as pd
     import ray
@@ -541,9 +553,17 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
     from ..functions.collect import collect_column_numpy
 
     freq = frequent_line_hashes(ds, text_col, min_count, min_chars)
+    dst = out_col or text_col
+    if mode == "auto":
+        freq = freq.materialize()  # consumed by count + (collect | join)
+        mode = ("broadcast" if freq.count() <= broadcast_limit else "join")
+    if mode == "join":
+        return _strip_frequent_lines_join(
+            ds, freq, text_col, min_chars, dst, id_col, doc_types)
+    if mode != "broadcast":
+        raise ValueError(f"unknown mode {mode!r}")
     ref = ray.put(np.sort(collect_column_numpy(freq, "line_hash",
                                                dtype=np.int64)))
-    dst = out_col or text_col
 
     def rewrite(t: pa.Table) -> pa.Table:
         blk = ray.get(ref)
@@ -574,3 +594,74 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
                 else t.append_column(dst, col))
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
+                               dst: str, id_col: str,
+                               doc_types: dict | None):
+    """Distributed mask pass of :func:`strip_frequent_lines`: nothing
+    broadcasts. Line occurrences semi-join the frequent-hash set, hit
+    POSITIONS co-partition with the docs on id, each partition rewrites
+    vectorized. Hashing is bit-identical to the broadcast path (same
+    ``pd.util.hash_array`` int64 view), so the two modes produce
+    byte-identical rewrites (differential-tested)."""
+    import pandas as pd
+
+    from .join import equi_join
+    from .spans import copartition_doc_hits
+
+    if doc_types is None:
+        schema = ds.schema()
+        doc_types = dict(zip(schema.names, schema.types))
+    id_type = doc_types[id_col]
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t[text_col], "\n")
+        flat = pc.list_flatten(lines)
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        n_per = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        # position = line index WITHIN the doc (short lines count — the
+        # rewrite drops by original index)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(np.r_[0, np.cumsum(n_per)[:-1]], n_per))
+        keep = pc.greater_equal(
+            pc.utf8_length(flat), min_chars).to_numpy(zero_copy_only=False)
+        vals = flat.filter(pa.array(keep)).to_pylist()
+        lh = (pd.util.hash_array(np.asarray(vals, dtype=object))
+              .view(np.int64) if vals else np.empty(0, dtype=np.int64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "line_hash": pa.array(lh),
+            id_col: pa.array(ids[doc_of[keep]]),
+            "pos": pa.array(pos[keep]),
+        })
+
+    hits = equi_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode_pos, batch_format="pyarrow"),
+        freq.select_columns(["line_hash"]), on=["line_hash"],
+        how="left_semi",
+        left_types={"line_hash": pa.int64(), id_col: id_type,
+                    "pos": pa.int64()},
+        right_types={"line_hash": pa.int64()},
+    ).select_columns([id_col, "pos"])
+
+    def build(docs: pd.DataFrame, hit_pos: list) -> pd.DataFrame:
+        out_texts = []
+        for txt, hp in zip(docs[text_col].tolist(), hit_pos):
+            if not len(hp):
+                out_texts.append(txt)  # untouched docs: byte-identical
+                continue
+            ls = (txt or "").split("\n")
+            drop = set(hp.tolist())
+            out_texts.append("\n".join(
+                v for i, v in enumerate(ls) if i not in drop))
+        out = docs.copy()
+        out[dst] = out_texts
+        return out
+
+    return copartition_doc_hits(
+        ds, hits, id_col, doc_types, build,
+        extra_types={} if dst in doc_types else {dst: pa.string()})
