@@ -320,6 +320,17 @@ def _int64_sortable_u64(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
 
 
+class NondeterministicInputError(RuntimeError):
+    """The histogram-threshold engine observed an impossible scan: a
+    still-hot key's refinement scope or boundary interval came back
+    EMPTY, which cannot happen when the input lineage replays
+    deterministically (each round's interval was chosen to contain
+    >= `need` rows on the previous scan). Raised instead of silently
+    defaulting the key's threshold to (0,0) — which would drop
+    essentially every row of that key; ``cap_per_key(method="auto")``
+    catches this and falls back to the single-scan exchange engine."""
+
+
 def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
                           order_col: str | None = None, seed: int = 42,
                           hot_key_limit: int = 100_000,
@@ -492,8 +503,12 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
         for i in np.flatnonzero(active):
             sel = kk == i
             if not sel.any():
-                active[i] = False  # empty scope: boundary is empty
-                continue
+                # a still-hot key's scope CANNOT be empty under a
+                # deterministic lineage (the interval held >= need rows
+                # last scan) — fail loudly, never default to (0,0)
+                raise NondeterministicInputError(
+                    f"refinement scope for hot key {hot_keys[i]!r} came "
+                    "back empty — input lineage is not deterministic")
             cum = np.cumsum(n[sel])
             j = int(np.searchsorted(cum, need[i]))  # first cum >= need
             need[i] -= int(cum[j - 1]) if j else 0
@@ -538,6 +553,7 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
     bt = collect_table(ds.map_batches(bpart, batch_format="pyarrow"))
     thr_o = np.zeros(nk, dtype=np.uint64)
     thr_i = np.zeros(nk, dtype=np.uint64)
+    thr_set = np.zeros(nk, dtype=bool)
     if bt is not None and bt.num_rows:
         bki = bt["ki"].to_numpy(zero_copy_only=False)
         bou = bt["ou"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -552,6 +568,15 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
             # min() guards the duplicate-id fallback)
             p = min(s + need[i] - 1, e - 1)
             thr_o[i], thr_i[i] = bou[p], biu[p]
+            thr_set[i] = True
+    if not thr_set.all():
+        # every hot key's boundary interval held >= need rows on the
+        # scan that chose it — an empty collect means the lineage did
+        # not replay. (0,0) would silently drop ~all rows of that key.
+        missing = hot_keys[~thr_set][:3].tolist()
+        raise NondeterministicInputError(
+            f"boundary collect returned no rows for hot key(s) "
+            f"{missing!r} — input lineage is not deterministic")
     g_state = ray.put((kidx, thr_o, thr_i))
 
     def gate(t: pa.Table) -> pa.Table:
@@ -570,7 +595,8 @@ def cap_per_key_threshold(ds, key_col: str, cap: int, id_col: str = "doc_id",
 
 def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
                 order_col: str | None = None, seed: int = 42,
-                method: str = "auto"):
+                method: str = "auto", types: dict | None = None,
+                loser_broadcast_limit: int = 20_000_000):
     """Keep at most ``cap`` rows per key — the RefinedWeb-style
     per-domain cap (bound any one host's share of the training corpus).
 
@@ -591,8 +617,17 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
       itself is the expensive part and keys are many.
 
     ``method="auto"`` tries threshold and falls back to exchange when
-    over-cap keys exceed its broadcast bound. Both require a
-    DETERMINISTIC input lineage (threshold re-scans it per round).
+    over-cap keys exceed its broadcast bound OR when a refinement scan
+    comes back inconsistent (:class:`NondeterministicInputError` — the
+    exchange engine scans the input exactly once, so it is immune).
+    ``method="threshold"`` re-raises instead. Both engines otherwise
+    require a DETERMINISTIC input lineage (threshold re-scans it per
+    round).
+
+    ``types`` (col -> pa.DataType, all columns of ``ds``) skips the
+    ``Dataset.schema()`` probe the >20M-loser anti-join fallback would
+    otherwise pay — the same contract as :func:`~.window.asof_join`;
+    pass it whenever ``ds`` is an expensive lazy plan.
     """
     import pyarrow.compute as _pc  # noqa: F401
 
@@ -604,8 +639,13 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     if method not in ("auto", "threshold", "exchange"):
         raise ValueError(f"unknown method {method!r}")
     if method in ("auto", "threshold"):
-        out = cap_per_key_threshold(ds, key_col, cap, id_col=id_col,
-                                    order_col=order_col, seed=seed)
+        try:
+            out = cap_per_key_threshold(ds, key_col, cap, id_col=id_col,
+                                        order_col=order_col, seed=seed)
+        except NondeterministicInputError:
+            if method == "threshold":
+                raise
+            out = None  # auto: single-scan exchange engine below
         if out is not None:
             return out
         if method == "threshold":
@@ -673,7 +713,7 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     n_losers = losers.count()
     if n_losers == 0:
         return ds
-    if n_losers <= 20_000_000:
+    if n_losers <= loser_broadcast_limit:
         # loser ids broadcast as ONE sorted int64 array (8 B/id — 20M
         # ids = 160 MB, object-store-sized) and the corpus streams
         # MAP-ONLY through a searchsorted gate: zero shuffle, vs the
@@ -700,9 +740,14 @@ def cap_per_key(ds, key_col: str, cap: int, id_col: str = "doc_id",
     # A/B: 3.4x on an 8M x 2M semi).
     from .join import equi_join
 
-    lt = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
+    if types is None:
+        # schema probe = a wasted partial execution of the full corpus
+        # lineage (window.py documents the Ray 2.49 limit-probe hazard);
+        # callers with expensive plans pass `types` to skip it.
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
     return equi_join(ds, losers, on=(id_col,), how="left_anti",
-                     left_types=lt, right_types={id_col: pa.int64()})
+                     left_types=types, right_types={id_col: pa.int64()})
 
 
 def _desc_score_key(scores: np.ndarray) -> np.ndarray:

@@ -165,3 +165,87 @@ def test_strip_frequent_lines_join_matches_broadcast(ray_session,
     assert got["text"].tolist() == base["text"].tolist()
     # untouched docs byte-identical through the join path too
     assert got["text"].tolist()[5] == DOCS[5]
+
+
+# ---------------------------------------------------------------------------
+# pack.py — nondeterministic-lineage guard + anti-join path plumbing
+# ---------------------------------------------------------------------------
+
+
+def _hot_table(n=60, cap_extra=5):
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array(["hot.example"] * n),
+    })
+
+
+def _flaky_fn(counter_path):
+    """Returns the full block on the FIRST execution of the lineage,
+    an empty block on every later one — a deliberately nondeterministic
+    lineage (each cap_per_key_threshold pass re-executes it once)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = 0
+        if os.path.exists(counter_path):
+            with open(counter_path) as f:
+                n = int(f.read())
+        with open(counter_path, "w") as f:
+            f.write(str(n + 1))
+        return t if n == 0 else t.slice(0, 0)
+    return fn
+
+
+def test_threshold_engine_raises_on_nondeterministic_lineage(
+        ray_session, tmp_path):
+    """A still-hot key whose refinement scan comes back empty must raise
+    (r3 silently set its threshold to (0,0) and dropped ~every row)."""
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import (NondeterministicInputError,
+                                       cap_per_key)
+
+    ds = rd.from_arrow(_hot_table()).map_batches(
+        _flaky_fn(str(tmp_path / "ctr")), batch_format="pyarrow")
+    with pytest.raises(NondeterministicInputError):
+        cap_per_key(ds, "host", 5, method="threshold").materialize()
+
+
+def test_auto_falls_back_to_exchange_on_nondeterminism(
+        ray_session, tmp_path):
+    """method='auto' catches the guard and completes via the
+    single-scan exchange engine instead of raising."""
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import cap_per_key
+
+    ds = rd.from_arrow(_hot_table()).map_batches(
+        _flaky_fn(str(tmp_path / "ctr")), batch_format="pyarrow")
+    out = cap_per_key(ds, "host", 5, method="auto").materialize()
+    # the flaky lineage returns SOMETHING without raising; exact rows
+    # are undefined for a nondeterministic input, bounded by the cap
+    assert out.count() <= 60
+
+
+def test_exchange_anti_join_path_with_types(ray_session):
+    """loser_broadcast_limit=0 forces the distributed anti-join branch;
+    passing `types` (no schema probe) must keep the exact keeper set."""
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import cap_per_key
+
+    rng = np.random.RandomState(3)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array([f"h{i}" for i in rng.randint(0, 8, n)]),
+        "warc_ts": pa.array(rng.randint(0, 10_000, n).astype(np.int64)),
+    })
+    base = sorted(cap_per_key(rd.from_arrow(t), "host", 10,
+                              order_col="warc_ts", method="exchange")
+                  .to_pandas()["doc_id"].tolist())
+    got = sorted(cap_per_key(
+        rd.from_arrow(t), "host", 10, order_col="warc_ts",
+        method="exchange", loser_broadcast_limit=0,
+        types={"doc_id": pa.int64(), "host": pa.string(),
+               "warc_ts": pa.int64()})
+        .to_pandas()["doc_id"].tolist())
+    assert got == base and len(base) <= 80
