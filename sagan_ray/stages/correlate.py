@@ -201,6 +201,19 @@ def _attach_keys(batch: pa.Table, specs: dict[int, dict]) -> pa.Table:
     ).append_column("bucket", pa.array(bucket))
 
 
+def _gb_hash(nb: np.uint64, *cols) -> pa.Array:
+    """Coarse co-location key from raw arrays (Arrow-branch twin of
+    :func:`_attach_gb`): vectorized siphash chain, % nb. Only controls
+    WHICH partition a logical group lands in — consistency within a run
+    is the only requirement."""
+    h = pd.util.hash_array(np.asarray(cols[0], dtype=object))
+    for c in cols[1:]:
+        h = h * np.uint64(31) + pd.util.hash_array(
+            np.asarray(c) if not isinstance(c, np.ndarray) else c
+        )
+    return pa.array((h % nb).astype(np.int64))
+
+
 def _attach_gb(pdf: pd.DataFrame, cols: list[str],
                nb: int | None = None) -> pd.DataFrame:
     """Coarse co-location key: hash of the logical group key.
@@ -419,19 +432,29 @@ def apply_correlation(alerts_ds, rules: list[Rule]):
     nb_run = _n_buckets()
 
     def split_corr(batch: pa.Table) -> pa.Table:
+        # Arrow-native: wide columns (text/url) never round-trip through
+        # pandas pre-shuffle — only the KEY frame does (the fused path's
+        # explode_safe pattern; the old full-payload to_pandas cost
+        # seconds per hot block just materializing strings)
         sub = batch.filter(pc.is_in(batch["sid"], value_set=corr_sids))
         sub = _attach_keys(sub, specs)
-        pdf = sub.to_pandas()
-        pdf = _preprune_limit(pdf, specs)
-        pdf = _attach_gb(pdf, ["sid", "ckey", "bucket"], nb=nb_run)
-        return pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(None)
+        kdf = sub.select(["sid", "ckey", "bucket", "warc_ts",
+                          "url"]).to_pandas()
+        keep = _preprune_mask(kdf, specs)
+        if not keep.all():
+            sub = sub.filter(pa.array(keep))
+            kdf = kdf[keep]
+        kdf = _attach_gb(kdf, ["sid", "ckey", "bucket"], nb=nb_run)
+        return sub.append_column(
+            "gb", pa.array(kdf["gb"].to_numpy(dtype=np.int64)))
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     corr = alerts_ds.map_batches(split_corr, batch_format="pyarrow")
 
     gated = shuffle_groups(
-        corr, "gb", lambda g: _gate_partition(g, specs)
-    ).drop_columns(["ckey", "bucket"])
+        corr, "gb", lambda g: _gate_partition_pa(g, specs),
+        batch_format="pyarrow",
+    ).drop_columns(["ckey", "bucket", "gb"])
     return plain.union(gated)
 
 
@@ -489,12 +512,7 @@ def apply_correlation_fused(alerts_ds, rules: list[Rule]):
     # task must use the SAME modulus within a run
 
     def _hash_gb_arrays(*cols) -> pa.Array:
-        h = pd.util.hash_array(np.asarray(cols[0], dtype=object))
-        for c in cols[1:]:
-            h = h * np.uint64(31) + pd.util.hash_array(
-                np.asarray(c) if not isinstance(c, np.ndarray) else c
-            )
-        return pa.array((h % nb).astype(np.int64))
+        return _gb_hash(nb, *cols)
 
     def _const(n: int, val, typ) -> pa.Array:
         if typ == "str":
@@ -819,47 +837,64 @@ def apply_xbits(alerts_ds, rules: list[Rule]):
             pc.invert(pc.is_in(batch["sid"], value_set=xb_sids).combine_chunks())
         )
 
+    nb_u64 = np.uint64(nb_run)
+
     def explode_xbit(batch: pa.Table) -> pa.Table:
-        """One row per (alert row, xbit option) — vectorized per sid."""
-        sub = batch.filter(pc.is_in(batch["sid"], value_set=xb_sids))
-        pdf = sub.to_pandas()
-        parts = []
+        """One row per (alert row, xbit option) — Arrow-native per sid:
+        wide columns never round-trip through pandas (the fused path's
+        explode_safe xbit loop; only the key-sized xkey array does, for
+        the gb hash)."""
+        parts: list[pa.Table] = []
         for s, xbs in specs.items():
-            rows = pdf[pdf["sid"] == s]
-            if rows.empty:
+            rsub = batch.filter(pc.equal(batch["sid"], s))
+            m = rsub.num_rows
+            if m == 0:
                 continue
             for xb in xbs:
-                r2 = rows.copy()
-                r2["xname"] = xb.name
-                r2["xaction"] = xb.action
                 xc = _track_col(xb.track)
                 if xc == "ip_pair":
-                    r2["xkey"] = _pair_key_pd(rows)
-                elif xc in rows.columns:
-                    r2["xkey"] = rows[xc].fillna("")
+                    xkey_col = _pair_key_pa(rsub)
+                elif xc in rsub.column_names:
+                    xkey_col = pc.fill_null(rsub[xc], "")
+                    if isinstance(xkey_col, pa.ChunkedArray):
+                        xkey_col = xkey_col.combine_chunks()
                 else:
                     # missing track column keys to '' (one group) — the
                     # _track_col contract; the old host fallback made
                     # this path disagree with the correlation family
-                    r2["xkey"] = ""
-                r2["xexpire"] = np.int64(xb.expire if xb.expire is not None else -1)
-                parts.append(r2)
+                    xkey_col = pa.array([""] * m, type=pa.string())
+                xk = np.asarray(xkey_col.to_pandas(), dtype=object)
+                names = np.full(m, xb.name, dtype=object)
+                t2 = (
+                    rsub.append_column(
+                        "xname", pa.array([xb.name] * m, type=pa.string()))
+                    .append_column(
+                        "xaction",
+                        pa.array([xb.action] * m, type=pa.string()))
+                    .append_column("xkey", xkey_col)
+                    .append_column("xexpire", pa.array(np.full(
+                        m, xb.expire if xb.expire is not None else -1,
+                        dtype=np.int64)))
+                    .append_column("gb", _gb_hash(
+                        nb_u64, names, pd.util.hash_array(xk)))
+                )
+                parts.append(t2)
         if not parts:
-            out = pdf.iloc[0:0].copy()
-            out["xname"] = pd.Series(dtype=str)
-            out["xaction"] = pd.Series(dtype=str)
-            out["xkey"] = pd.Series(dtype=str)
-            out["xexpire"] = pd.Series(dtype=np.int64)
-            parts = [out]
-        out = pd.concat(parts, ignore_index=True)
-        out = _attach_gb(out, ["xname", "xkey"], nb=nb_run)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+            empty = batch.slice(0, 0)
+            for cname in ("xname", "xaction", "xkey"):
+                empty = empty.append_column(
+                    cname, pa.array([], type=pa.string()))
+            for cname in ("xexpire", "gb"):
+                empty = empty.append_column(
+                    cname, pa.array([], type=pa.int64()))
+            return empty
+        return pa.concat_tables(parts)
 
     plain = alerts_ds.map_batches(split_plain, batch_format="pyarrow")
     xb = alerts_ds.map_batches(explode_xbit, batch_format="pyarrow")
-    resolved = shuffle_groups(xb, "gb", _resolve_partition).drop_columns(
-        ["xname", "xaction", "xkey", "xexpire", "gb"]
-    )
+    resolved = shuffle_groups(
+        xb, "gb", _resolve_partition_pa, batch_format="pyarrow",
+    ).drop_columns(["xname", "xaction", "xkey", "xexpire", "gb"])
     if noalert_sids:
         # noalert TEST rules evaluate (their state was consumed in the
         # resolver) but never route

@@ -105,16 +105,24 @@ def grouped_min_count(ds, key_col: str, id_col: str, min_name: str,
         })
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        # integer-only reduce: dictionary codes carry group identity, so
+        # per-row Python strings never materialize (the _str_codes
+        # pattern — at 10^12 digests an object-dtype lexsort dominates)
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pa.compute.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys))
-        ks, is_ = keys[order], ids[order]
-        first = np.ones(len(ks), dtype=bool)
-        first[1:] = ks[1:] != ks[:-1]
+        order = np.lexsort((ids, codes))
+        cs, is_ = codes[order], ids[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
         starts = np.flatnonzero(first)
-        n = np.diff(np.append(starts, len(ks)))
+        n = np.diff(np.append(starts, len(cs)))
+        keys_out = enc.dictionary.take(pa.array(cs[starts]))
         return pa.table({
-            key_col: pa.array(ks[starts], type=pa.string()),
+            key_col: keys_out.cast(pa.string()),
             min_name: pa.array(is_[starts]),  # ids ascend within key
             n_name: pa.array(n.astype(np.int64)),
         })

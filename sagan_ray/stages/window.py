@@ -91,6 +91,115 @@ def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame
     return out
 
 
+def approx_hot_keys(ds, keys: list[str], min_count: int,
+                    top_m: int = 64) -> list[tuple]:
+    """Find logical keys hot enough to break a co-location partition.
+
+    Scale shape: each block emits its local top-``top_m`` key counts
+    (a tiny partial — ``top_m`` rows per block, never the key
+    universe), a small groupby sums them, and only keys at or above
+    ``min_count`` reach the driver. Set ``min_count`` to the rows a
+    single partition can comfortably hold — by construction only
+    partition-scale keys come back, so the driver list is bounded.
+
+    Approximation contract: a key must be block-locally top-``top_m``
+    somewhere to be seen at all, and its returned count is a LOWER
+    bound (only blocks where it ranked count toward the sum). A key
+    large enough to matter (≥ one partition's rows) is necessarily
+    heavy in many blocks, so partition-breaking keys are not missed.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: t[k] for k in keys},
+                             "partial_n": pa.array([], type=pa.int64())})
+        kdf = t.select(keys).to_pandas()
+        vc = (kdf.groupby(keys, sort=False, dropna=False).size()
+              .nlargest(top_m).rename("partial_n").reset_index())
+        return pa.Table.from_pandas(
+            vc, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(keys).sum("partial_n"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        cnt = [c for c in t.column_names if c not in keys][0]
+        return t.select(keys).filter(
+            pc.greater_equal(t[cnt], pa.scalar(min_count)))
+
+    hot = agg.map_batches(thresh, batch_format="pyarrow").take_all()
+    return [tuple(r[k] for k in keys) for r in hot]
+
+
+def _salt_fn(keys: list[str], ts_col: str, hot_keys, n_salts: int):
+    """Append ``_salt`` to a side-tagged (asof/range join) block: left
+    rows of a hot key spread over ``n_salts`` shards by a deterministic
+    ts hash, right rows of a hot key REPLICATE to every shard (each
+    shard then holds a slice of the probe side plus the key's full
+    history — per-shard output is exact and shards are disjoint in
+    left rows, so the union equals the unsalted join), everything else
+    shard 0. Replication multiplies only the hot keys' right rows —
+    the assumption is probe-side skew; a key whose HISTORY outgrows a
+    worker needs pre-aggregation instead."""
+    hot_df = pd.DataFrame(list(hot_keys), columns=keys).drop_duplicates()
+    nsu = np.uint64(n_salts)
+
+    def salt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        kdf = t.select(keys + ["side"]).to_pandas()
+        hot = (kdf.merge(hot_df.assign(_hot=True), on=keys, how="left")
+               ["_hot"].notna().to_numpy())
+        side = kdf["side"].to_numpy()
+        salt_arr = np.zeros(n, dtype=np.int64)
+        left_hot = hot & (side == 0)
+        if left_hot.any():
+            ts = t.select([ts_col]).to_pandas()[ts_col]
+            h = pd.util.hash_pandas_object(ts[left_hot], index=False)
+            salt_arr[left_hot] = (h.to_numpy() % nsu).astype(np.int64)
+        right_hot = hot & (side == 1)
+        base = t.append_column("_salt", pa.array(salt_arr))
+        if not right_hot.any():
+            return base
+        rh_mask = pa.array(right_hot)
+        parts = [base.filter(pc.invert(rh_mask))]
+        rh = t.filter(rh_mask)
+        for s in range(n_salts):
+            parts.append(rh.append_column("_salt", pa.array(
+                np.full(rh.num_rows, s, dtype=np.int64))))
+        return pa.concat_tables(parts)
+
+    return salt
+
+
+def _maybe_salted_apply(tagged, keys, ts_col, make_fn, out_schema,
+                        hot_keys, n_salts, left_for_auto,
+                        hot_key_min_count):
+    """Shared asof/range tail: plain grouped_apply, or the salted twin.
+
+    ``make_fn(group_keys)`` builds the per-partition kernel over the
+    given logical-key list. In the salted plan the kernel groups by
+    ``keys + ['_salt']`` — NOT bare keys — because two salt shards of
+    one hot key can hash-collide into the same gb partition, where the
+    replicated history would otherwise count twice (duplicate pairs in
+    range_join); with ``_salt`` a key column, shards stay logically
+    separate wherever they land, and the wrapper strips the column
+    from the kernel's output."""
+    if hot_keys == "auto":
+        if hot_key_min_count is None:
+            raise ValueError(
+                "hot_keys='auto' needs hot_key_min_count (the rows one "
+                "partition can hold)")
+        hot_keys = approx_hot_keys(left_for_auto, keys, hot_key_min_count)
+    if not hot_keys:
+        return grouped_apply(tagged, keys, make_fn(keys),
+                             out_schema=out_schema)
+    salted = tagged.map_batches(
+        _salt_fn(keys, ts_col, hot_keys, n_salts), batch_format="pyarrow")
+    inner = make_fn(keys + ["_salt"])
+    return grouped_apply(salted, keys + ["_salt"],
+                         lambda g: inner(g).drop(columns=["_salt"]),
+                         out_schema=out_schema)
+
+
 class _TypesView:
     """Duck-typed ``Dataset.schema()`` stand-in over a col->type dict.
 
@@ -109,7 +218,9 @@ class _TypesView:
 def asof_join(left, right, keys: list[str], ts_col: str,
               direction: str = "backward",
               left_types: dict | None = None,
-              right_types: dict | None = None):
+              right_types: dict | None = None,
+              hot_keys=None, n_salts: int = 8,
+              hot_key_min_count: int | None = None):
     """Per-key as-of join — a custom operator Ray Data lacks natively.
 
     For each left row, attach the latest right row with
@@ -126,6 +237,13 @@ def asof_join(left, right, keys: list[str], ts_col: str,
     if a single key's history outgrows a worker. Ties on (key, ts) in
     the right side resolve to the row last in payload sort order —
     keep the right side unique per (key, ts) for deterministic output.
+
+    Skew: ``hot_keys`` (a list of key tuples, or ``"auto"`` with
+    ``hot_key_min_count`` = the rows one partition holds, detected via
+    :func:`approx_hot_keys` on the left side) salts each hot key's
+    PROBE rows over ``n_salts`` shards and replicates its history to
+    every shard — one Zipf-hot probe key no longer lands on a single
+    worker, output identical to unsalted (see :func:`_salt_fn`).
 
     Payload column names must be disjoint across sides (rename before
     calling); integer right payloads come back as nullable int64.
@@ -175,39 +293,48 @@ def asof_join(left, right, keys: list[str], ts_col: str,
         for c, t in rtypes + ltypes if isinstance(t, pa.DataType)
     }
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        out_cols = keys + [ts_col] + lpay + rpay
-        g = g.copy()
-        # block->pandas conversion yields ns or us depending on the
-        # block's provenance; merge_asof requires one unit
-        g[ts_col] = g[ts_col].astype("datetime64[ns]")
-        lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
-        rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
-        if lg.empty:
-            out = g.iloc[0:0][out_cols].copy()
-        elif rg.empty:
-            out = lg.sort_values([ts_col] + keys, kind="mergesort").copy()
-            for c, t in rtypes:
-                out[c] = pd.array([pd.NA] * len(out),
-                                  dtype=pd_dtypes.get(c) or "object")
-            out = out[out_cols]
-        else:
-            lg = lg.sort_values([ts_col] + keys, kind="mergesort")
-            rg = rg.sort_values([ts_col] + keys + rpay, kind="mergesort")
-            out = pd.merge_asof(lg, rg, on=ts_col, by=keys,
-                                direction=direction)[out_cols]
-        for c, d in pd_dtypes.items():
-            if d:
-                out[c] = out[c].astype(d)
-        return out
+    def make_fn(gkeys: list[str]):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            out_cols = gkeys + [ts_col] + lpay + rpay
+            g = g.copy()
+            # block->pandas conversion yields ns or us depending on the
+            # block's provenance; merge_asof requires one unit
+            g[ts_col] = g[ts_col].astype("datetime64[ns]")
+            lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
+            rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
+            if lg.empty:
+                out = g.iloc[0:0][out_cols].copy()
+            elif rg.empty:
+                out = lg.sort_values([ts_col] + gkeys,
+                                     kind="mergesort").copy()
+                for c, t in rtypes:
+                    out[c] = pd.array([pd.NA] * len(out),
+                                      dtype=pd_dtypes.get(c) or "object")
+                out = out[out_cols]
+            else:
+                lg = lg.sort_values([ts_col] + gkeys, kind="mergesort")
+                rg = rg.sort_values([ts_col] + gkeys + rpay,
+                                    kind="mergesort")
+                out = pd.merge_asof(lg, rg, on=ts_col, by=gkeys,
+                                    direction=direction)[out_cols]
+            for c, d in pd_dtypes.items():
+                if d:
+                    out[c] = out[c].astype(d)
+            return out
 
-    return grouped_apply(tagged, keys, fn, out_schema=out_schema)
+        return fn
+
+    return _maybe_salted_apply(tagged, keys, ts_col, make_fn, out_schema,
+                               hot_keys, n_salts, left,
+                               hot_key_min_count)
 
 
 def range_join(left, right, keys: list[str], ts_col: str,
                lo: pd.Timedelta, hi: pd.Timedelta,
                left_types: dict | None = None,
-               right_types: dict | None = None):
+               right_types: dict | None = None,
+               hot_keys=None, n_salts: int = 8,
+               hot_key_min_count: int | None = None):
     """Per-key banded range join — the second custom join Ray Data
     lacks: emit every (l, r) pair sharing ``keys`` with
     ``l.ts + lo < r.ts <= l.ts + hi`` (inner semantics).
@@ -220,6 +347,10 @@ def range_join(left, right, keys: list[str], ts_col: str,
     binary search), then pairs materialize via a numpy range-expansion
     — no per-key or per-row Python. Partitioning assumption: one key's
     rows fit a partition; band width controls output blow-up.
+    ``hot_keys`` / ``n_salts`` / ``hot_key_min_count`` relax the
+    probe-side half of that assumption exactly as in :func:`asof_join`
+    (salted left shards each see the key's full right side; emitted
+    pairs stay disjoint across shards).
 
     Output: keys + ts_col (left) + left payload + ts_col+"_r" + right
     payload. Payload names must be disjoint across sides.
@@ -272,86 +403,91 @@ def range_join(left, right, keys: list[str], ts_col: str,
                 out[c] = out[c].astype(d)
         return out
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def make_fn(gkeys: list[str]):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
 
-        empty = pd.DataFrame({
-            **{k: g[k].iloc[0:0] for k in keys},
-            ts_col: g[ts_col].iloc[0:0],
-            **{c: g[c].iloc[0:0] for c in lpay},
-            ts_r: g[ts_col].iloc[0:0],
-            **{c: g[c].iloc[0:0] for c in rpay},
-        })
-        # exact per-partition key codes (no hash collisions)
-        g = g.copy()
-        # one timestamp unit regardless of block provenance (ns vs us)
-        g[ts_col] = g[ts_col].astype("datetime64[ns]")
-        g["_kc"] = g.groupby(keys, sort=True).ngroup()
-        lg = g[g["side"] == 0]
-        rg = g[g["side"] == 1]
-        if lg.empty or rg.empty:
-            return _fix_dtypes(empty)
-        # key-major ordering: contiguous per-key segments to gather from
-        rg_km = rg.sort_values(["_kc", ts_col] + rpay,
-                               kind="mergesort").reset_index(drop=True)
-        base = rg_km.groupby("_kc", sort=False).cumcount()
-        seg_base = pd.Series(
-            np.arange(len(rg_km))[base.to_numpy() == 0],
-            index=rg_km.loc[base.to_numpy() == 0, "_kc"].to_numpy(),
-        )
-        # ts-global ordering for the merge_asof probes, carrying the
-        # key-major position (same tie-break: rpay)
-        lookup = rg_km[["_kc", ts_col]].assign(_kmpos=np.arange(len(rg_km)))
-        lookup = lookup.sort_values([ts_col, "_kc"],
-                                    kind="mergesort").reset_index(drop=True)
-
-        def last_pos_at_or_before(bounds: pd.Series) -> np.ndarray:
-            probe = pd.DataFrame({
-                "_kc": lg["_kc"].to_numpy(),
-                "_b": bounds.to_numpy(),
-                "_li": np.arange(len(lg)),
-            }).sort_values(["_b", "_kc"], kind="mergesort")
-            m = pd.merge_asof(
-                probe,
-                lookup.rename(columns={ts_col: "_b"}),
-                on="_b", by="_kc", direction="backward",
-                allow_exact_matches=True,
+            empty = pd.DataFrame({
+                **{k: g[k].iloc[0:0] for k in gkeys},
+                ts_col: g[ts_col].iloc[0:0],
+                **{c: g[c].iloc[0:0] for c in lpay},
+                ts_r: g[ts_col].iloc[0:0],
+                **{c: g[c].iloc[0:0] for c in rpay},
+            })
+            # exact per-partition key codes (no hash collisions)
+            g = g.copy()
+            # one timestamp unit regardless of block provenance (ns vs us)
+            g[ts_col] = g[ts_col].astype("datetime64[ns]")
+            g["_kc"] = g.groupby(gkeys, sort=True).ngroup()
+            lg = g[g["side"] == 0]
+            rg = g[g["side"] == 1]
+            if lg.empty or rg.empty:
+                return _fix_dtypes(empty)
+            # key-major ordering: contiguous per-key segments to gather from
+            rg_km = rg.sort_values(["_kc", ts_col] + rpay,
+                                   kind="mergesort").reset_index(drop=True)
+            base = rg_km.groupby("_kc", sort=False).cumcount()
+            seg_base = pd.Series(
+                np.arange(len(rg_km))[base.to_numpy() == 0],
+                index=rg_km.loc[base.to_numpy() == 0, "_kc"].to_numpy(),
             )
-            out = np.full(len(lg), -1, dtype=np.int64)
-            pos = m["_kmpos"].to_numpy()
-            li = m["_li"].to_numpy()
-            ok = ~np.isnan(pos)
-            out[li[ok]] = pos[ok].astype(np.int64)
-            return out
+            # ts-global ordering for the merge_asof probes, carrying the
+            # key-major position (same tie-break: rpay)
+            lookup = rg_km[["_kc", ts_col]].assign(_kmpos=np.arange(len(rg_km)))
+            lookup = lookup.sort_values([ts_col, "_kc"],
+                                        kind="mergesort").reset_index(drop=True)
 
-        h = last_pos_at_or_before(lg[ts_col] + hi)      # ts <= l.ts+hi
-        l_pos = last_pos_at_or_before(lg[ts_col] + lo)  # ts <= l.ts+lo
-        kb = seg_base.reindex(lg["_kc"].to_numpy()).to_numpy()
-        kb = np.where(np.isnan(kb), len(rg_km), kb).astype(np.int64)
-        starts = np.maximum(l_pos + 1, kb)
-        counts = np.maximum(h - starts + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
-            return _fix_dtypes(empty)
-        take = counts > 0
-        st, ct = starts[take], counts[take]
-        cc = np.cumsum(ct)
-        ridx = (np.arange(total)
-                - np.repeat(np.r_[0, cc[:-1]], ct)
-                + np.repeat(st, ct))
-        lrep = np.repeat(np.flatnonzero(take), ct)
-        lsel = lg.iloc[lrep].reset_index(drop=True)
-        rsel = rg_km.iloc[ridx].reset_index(drop=True)
-        out = pd.DataFrame({
-            **{k: lsel[k] for k in keys},
-            ts_col: lsel[ts_col],
-            **{c: lsel[c] for c in lpay},
-            ts_r: rsel[ts_col],
-            **{c: rsel[c] for c in rpay},
-        })
-        return _fix_dtypes(out)
+            def last_pos_at_or_before(bounds: pd.Series) -> np.ndarray:
+                probe = pd.DataFrame({
+                    "_kc": lg["_kc"].to_numpy(),
+                    "_b": bounds.to_numpy(),
+                    "_li": np.arange(len(lg)),
+                }).sort_values(["_b", "_kc"], kind="mergesort")
+                m = pd.merge_asof(
+                    probe,
+                    lookup.rename(columns={ts_col: "_b"}),
+                    on="_b", by="_kc", direction="backward",
+                    allow_exact_matches=True,
+                )
+                out = np.full(len(lg), -1, dtype=np.int64)
+                pos = m["_kmpos"].to_numpy()
+                li = m["_li"].to_numpy()
+                ok = ~np.isnan(pos)
+                out[li[ok]] = pos[ok].astype(np.int64)
+                return out
 
-    return grouped_apply(tagged, keys, fn, out_schema=out_schema)
+            h = last_pos_at_or_before(lg[ts_col] + hi)      # ts <= l.ts+hi
+            l_pos = last_pos_at_or_before(lg[ts_col] + lo)  # ts <= l.ts+lo
+            kb = seg_base.reindex(lg["_kc"].to_numpy()).to_numpy()
+            kb = np.where(np.isnan(kb), len(rg_km), kb).astype(np.int64)
+            starts = np.maximum(l_pos + 1, kb)
+            counts = np.maximum(h - starts + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                return _fix_dtypes(empty)
+            take = counts > 0
+            st, ct = starts[take], counts[take]
+            cc = np.cumsum(ct)
+            ridx = (np.arange(total)
+                    - np.repeat(np.r_[0, cc[:-1]], ct)
+                    + np.repeat(st, ct))
+            lrep = np.repeat(np.flatnonzero(take), ct)
+            lsel = lg.iloc[lrep].reset_index(drop=True)
+            rsel = rg_km.iloc[ridx].reset_index(drop=True)
+            out = pd.DataFrame({
+                **{k: lsel[k] for k in gkeys},
+                ts_col: lsel[ts_col],
+                **{c: lsel[c] for c in lpay},
+                ts_r: rsel[ts_col],
+                **{c: rsel[c] for c in rpay},
+            })
+            return _fix_dtypes(out)
+
+        return fn
+
+    return _maybe_salted_apply(tagged, keys, ts_col, make_fn, out_schema,
+                               hot_keys, n_salts, left,
+                               hot_key_min_count)
 
 
 # ---- vectorized per-partition kernels (each groups by its keys) ----

@@ -263,3 +263,74 @@ def test_clean_corpus_normalize_and_span_stages(ray_session):
     assert set(out["doc_id"]) == {0, 2, 3, 4}
     for txt in out[out["doc_id"].isin([2, 3])]["text"]:
         assert boiler not in txt
+
+
+def _write_corpus_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    files = []
+    t = _corpus()
+    for i in range(2):
+        f = str(tmp_path / f"docs_{i}.parquet")
+        pq.write_table(t.slice(i * 4, 4), f)
+        files.append(f)
+    return files
+
+
+_RUN_KW = dict(
+    eval_texts=[
+        "benchmark question alpha beta gamma delta epsilon zeta eta theta"
+    ],
+    min_tokens=5,
+    max_top_2gram_frac=0.4,
+    boilerplate_min_count=None,
+    near_dup_threshold=0.5,
+)
+
+
+def test_clean_corpus_run_resume_midway(ray_session, tmp_path):
+    """Kill-at-50% resume for the checkpointed cleaning chain: a run
+    that dies after the first unit resumes from that unit's parquet
+    checkpoint (NOT the raw input) and produces the identical keeper
+    set; completed-stage checkpoints are not rewritten on resume."""
+    import os
+
+    import pytest
+
+    from sagan_ray.pipelines.cleaning import clean_corpus_run
+
+    files = _write_corpus_parquet(tmp_path)
+    run_a = str(tmp_path / "a")
+    run_b = str(tmp_path / "b")
+    out_a = clean_corpus_run(files, run_a, **_RUN_KW).to_pandas()
+    assert sorted(out_a["doc_id"].tolist()) == [0, 6]
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        clean_corpus_run(files, run_b, fail_after_stages=1, **_RUN_KW)
+    recs = [f for f in os.listdir(os.path.join(run_b, "_lineage"))
+            if f.startswith("part-")]
+    assert len(recs) == 1  # only the gates unit checkpointed
+    gates_dir = os.path.join(run_b, "stages", "stage=gates")
+    mtimes = {f: os.path.getmtime(os.path.join(gates_dir, f))
+              for f in os.listdir(gates_dir)}
+    out_b = clean_corpus_run(files, run_b, **_RUN_KW).to_pandas()
+    assert sorted(out_b["doc_id"].tolist()) == [0, 6]
+    # the completed gates checkpoint was reused, not rewritten
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(gates_dir, f)) == mt
+
+
+def test_clean_corpus_run_rejects_changed_plan(ray_session, tmp_path):
+    """Resuming a run_dir with different chain parameters raises — a
+    silently mixed-generation corpus is the alternative."""
+    import pytest
+
+    from sagan_ray.pipelines.cleaning import clean_corpus_run
+
+    files = _write_corpus_parquet(tmp_path)
+    run_dir = str(tmp_path / "r")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        clean_corpus_run(files, run_dir, fail_after_stages=1, **_RUN_KW)
+    kw2 = dict(_RUN_KW, min_tokens=6)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        clean_corpus_run(files, run_dir, **kw2)

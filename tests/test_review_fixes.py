@@ -145,6 +145,19 @@ def test_eve_tee_filenames_are_content_addressed(ray_session, tmp_path):
     d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
     route_alerts(rd.from_arrow(t), d1, write_eve=True)
     route_alerts(rd.from_arrow(t), d2, write_eve=True)
-    n1 = sorted(os.listdir(os.path.join(d1, "eve")))
-    n2 = sorted(os.listdir(os.path.join(d2, "eve")))
-    assert n1 == n2 and len(n1) >= 1  # same content -> same names
+
+    def lines(d):
+        out = []
+        for f in os.listdir(os.path.join(d, "eve")):
+            with open(os.path.join(d, "eve", f)) as fh:
+                out.extend(fh.read().splitlines())
+        return sorted(out)
+
+    # round-4 contract: filenames mix in a task-lineage discriminator
+    # (identical-content blocks must not collide), so names are NOT
+    # stable across runs — CONTENT is, and a re-route to the same dir
+    # clears stale files first (no double count).
+    l1, l2 = lines(d1), lines(d2)
+    assert l1 == l2 and len(l1) == 2
+    route_alerts(rd.from_arrow(t), d1, write_eve=True)  # re-route
+    assert lines(d1) == l1
