@@ -256,7 +256,22 @@ def q_wp_after(sf_dir):
 
 
 def q_wp_alert_time(sf_dir):
-    return _wp_urls(sf_dir, {1000009})
+    """sid 1000009 (straight 00-06 window) UNIONed with an inline
+    MIDNIGHT-WRAP window (2200-0400): the round-3 review found the
+    wrap case broken while the straight-window oracle stayed green, so
+    the wrap semantics (hour >= start OR hour < end) are now
+    driver-visible in their own right."""
+    from ..rules import parse_rules
+
+    base = _wp_urls(sf_dir, {1000009})
+    wrap_rules, _ = parse_rules(
+        'alert any any any -> any any (msg:"overnight filter"; '
+        'content:"filter"; classtype:policy-violation; sid:3000009; '
+        "rev:1; alert_time: days 0123456, hours 2200-0400;)"
+    )
+    ds = webpages_from_documents(sf_dir, include_html=False)
+    wrap = match_alerts(ds, wrap_rules).select_columns(["url"])
+    return base.union(wrap)
 
 
 def q_wp_xbits(sf_dir):
@@ -302,7 +317,14 @@ def q_wp_xbits(sf_dir):
         'alert any any any -> any any (msg:"pair success"; '
         'facility:"purchase"; content:"conn"; parse_src_ip: 1; '
         "parse_dst_ip: 2; xbits:isset,pairchain,track ip_pair; "
-        "classtype:correlated-attack; sid:3000021; rev:1;)"
+        "classtype:correlated-attack; sid:3000021; rev:1;)\n"
+        # noalert TEST rule (round-3 review bug class): evaluates the
+        # same isset state but must NEVER route — if noalert-isset
+        # routing regresses, its extra urls break this query's hash
+        'alert any any any -> any any (msg:"pair probe silent"; '
+        'facility:"purchase"; content:"conn"; parse_src_ip: 1; '
+        "parse_dst_ip: 2; xbits:isset,pairchain,track ip_pair; "
+        "noalert; classtype:not-suspicious; sid:3000022; rev:1;)"
     )
     log_ds = ds.map_batches(to_log, batch_format="pyarrow")
     pair = gate_alerts(match_alerts(log_ds, rules), rules).select_columns(["url"])
@@ -1185,7 +1207,11 @@ ORACLES = {
             PARTITION BY host, CAST(floor(epoch(warc_ts)/7200) AS BIGINT)
             ORDER BY warc_ts, url) AS rn
           FROM w WHERE contains(text,'join')) WHERE rn > 1""",
-    "wp_alert_time": f"{_W} SELECT url FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6",
+    "wp_alert_time": f"""{_W}
+        SELECT url FROM w WHERE contains(text,'sort') AND hour(warc_ts) < 6
+        UNION ALL
+        SELECT url FROM w WHERE contains(text,'filter')
+          AND (hour(warc_ts) >= 22 OR hour(warc_ts) < 4)""",
     "wp_xbits": f"""{_W},
         ev AS (
           SELECT 'evt://' || CAST(event_id AS VARCHAR) AS url, ts, event_type,

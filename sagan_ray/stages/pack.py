@@ -51,14 +51,23 @@ def pack_counts(counts: np.ndarray, cap: int) -> np.ndarray:
 
 
 def pack_batch(t: pa.Table, cap: int, count_col: str | None = None,
-               id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+               id_col: str = "doc_id", text_col: str = "text",
+               tokenize=None) -> pa.Table:
     """One packed-sequence row per greedy group within this block.
 
     Output: seq_id (block-local), n_docs, n_tokens, doc_ids (list),
     truncated (any doc alone over budget).
+
+    Token denomination: ``count_col`` if given, else ``tokenize`` (the
+    :mod:`..functions.tokenize` seam — counts are ``len(tokens)`` per
+    doc), else the default BPE-ish regex count.
     """
     if count_col is not None:
         counts = np.asarray(t[count_col].to_pylist(), dtype=np.int64)
+    elif tokenize is not None:
+        counts = np.fromiter(
+            (len(ws) for ws in tokenize(t[text_col].to_pylist())),
+            dtype=np.int64, count=t.num_rows)
     else:
         counts = (
             pc.count_substring_regex(pc.fill_null(t[text_col], ""),
@@ -94,7 +103,8 @@ def pack_batch(t: pa.Table, cap: int, count_col: str | None = None,
 
 
 def chunk_batch(t: pa.Table, chunk_tokens: int, overlap: int,
-                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+                text_col: str = "text", id_col: str = "doc_id",
+                tokenize=None, detokenize=None) -> pa.Table:
     """Split each document into token-bounded chunks with overlap.
 
     Tokens are whitespace words (the same normalization contract as the
@@ -110,11 +120,16 @@ def chunk_batch(t: pa.Table, chunk_tokens: int, overlap: int,
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
+    from ..functions.tokenize import (whitespace_detokenize,
+                                      whitespace_tokenize)
+    tokenize = tokenize or whitespace_tokenize
+    detok = detokenize or whitespace_detokenize
     stride = chunk_tokens - overlap
     ids = t[id_col].to_numpy(zero_copy_only=False)
+    texts = t[text_col].to_pylist()
+    words_per_doc = tokenize(texts)
     out_ids, out_chunk, out_text, out_n = [], [], [], []
-    for did, txt in zip(ids, t[text_col].to_pylist()):
-        ws = (txt or "").split()
+    for did, ws in zip(ids, words_per_doc):
         m = len(ws)
         # number of chunks: ceil(max(m - overlap, 1) / stride)
         n_chunks = max(1, -(-(m - overlap) // stride)) if m > 0 else 1
@@ -122,7 +137,7 @@ def chunk_batch(t: pa.Table, chunk_tokens: int, overlap: int,
             seg = ws[c * stride: c * stride + chunk_tokens]
             out_ids.append(did)
             out_chunk.append(c)
-            out_text.append(" ".join(seg))
+            out_text.append(detok(seg))
             out_n.append(len(seg))
     return pa.table({
         id_col: pa.array(out_ids, type=t[id_col].type),
@@ -133,12 +148,15 @@ def chunk_batch(t: pa.Table, chunk_tokens: int, overlap: int,
 
 
 def chunk_documents(ds, chunk_tokens: int = 512, overlap: int = 64,
-                    text_col: str = "text", id_col: str = "doc_id"):
+                    text_col: str = "text", id_col: str = "doc_id",
+                    tokenize=None, detokenize=None):
     """Dataset of documents -> Dataset of overlapping token chunks
     (map-only 1->N explode, streams; the pre-tokenization step between
-    cleaning and :func:`pack_stage`)."""
+    cleaning and :func:`pack_stage`). ``tokenize``/``detokenize`` are
+    the :mod:`..functions.tokenize` seam (default whitespace)."""
     return ds.map_batches(
-        lambda t: chunk_batch(t, chunk_tokens, overlap, text_col, id_col),
+        lambda t: chunk_batch(t, chunk_tokens, overlap, text_col, id_col,
+                              tokenize, detokenize),
         batch_format="pyarrow",
     )
 
@@ -766,7 +784,8 @@ def _desc_score_key(scores: np.ndarray) -> np.ndarray:
 def select_top_tokens(ds, budget: int, score_col: str,
                       token_col: str = "n_tokens", id_col: str = "doc_id",
                       seed: int = 42, exact_cap: int = 250_000,
-                      n_buckets: int = 1024):
+                      n_buckets: int = 1024, tokenize=None,
+                      text_col: str = "text"):
     """Keep the highest-``score_col`` documents whose cumulative
     ``token_col`` fills ``budget`` — the "train on the best N tokens"
     data-selection step. Exact semantics (differential-tested): order
@@ -792,8 +811,26 @@ def select_top_tokens(ds, budget: int, score_col: str,
     Each refinement round re-executes the input lineage — project /
     checkpoint ``(id, score, tokens)`` upstream when the scan is
     expensive (2–3 rounds typical).
+
+    ``tokenize`` (the :mod:`..functions.tokenize` seam): when given,
+    ``token_col`` is (re)computed as ``len(tokenize(text_col))`` per
+    doc in a prepended map stage — note each refinement round then
+    re-tokenizes unless the caller checkpoints; precomputing counts
+    into ``token_col`` stays the scale path.
     """
     from ray.data.aggregate import Sum
+
+    if tokenize is not None:
+        def _count(t: pa.Table) -> pa.Table:
+            counts = pa.array(np.fromiter(
+                (len(ws) for ws in tokenize(t[text_col].to_pylist())),
+                dtype=np.int64, count=t.num_rows))
+            if token_col in t.column_names:
+                return t.set_column(
+                    t.column_names.index(token_col), token_col, counts)
+            return t.append_column(token_col, counts)
+
+        ds = ds.map_batches(_count, batch_format="pyarrow")
 
     def _keys_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

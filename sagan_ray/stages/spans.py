@@ -49,7 +49,8 @@ _C = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
       np.uint64(0x165667B19E3779F9))
 
 
-def _gram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+def _gram_hashes(texts: list[str], k: int,
+                 tokenize=None) -> tuple[np.ndarray, np.ndarray]:
     """Word-k-gram hashes for a whole batch, flat + per-doc offsets.
 
     Returns ``(gh, starts)``: uint64 hashes and int64 offsets such that
@@ -63,7 +64,9 @@ def _gram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     doc-boundary-crossing grams masked out — no per-doc Python loop.
     """
     n = len(texts)
-    words_per_doc = [t.split() if t else [] for t in texts]
+    if tokenize is None:
+        from ..functions.tokenize import whitespace_tokenize as tokenize
+    words_per_doc = tokenize(texts)
     wc = np.fromiter((len(ws) for ws in words_per_doc), dtype=np.int64,
                      count=n)
     gc = np.maximum(wc - k + 1, 0)
@@ -110,7 +113,7 @@ def _dedup_within_doc(gh: np.ndarray, starts: np.ndarray) -> np.ndarray:
 
 
 def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
-                          min_docs: int = 2):
+                          min_docs: int = 2, tokenize=None):
     """Dataset of ``(gram_hash, n_docs)`` for word-k-grams occurring in
     >= ``min_docs`` documents. Hashes are int64 VIEWS of the uint64
     siphash (bijective — same convention as frequent_line_hashes).
@@ -127,7 +130,7 @@ def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
     nb = np.uint64(_n_buckets())
 
     def explode(t: pa.Table) -> pa.Table:
-        gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
+        gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
         uniq = _dedup_within_doc(gh, starts)
         u, c = np.unique(uniq, return_counts=True)
         return pa.table({
@@ -152,37 +155,45 @@ def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
 
 
 def _mask_doc(words: list[str], pos: np.ndarray, k: int,
-              min_run: int) -> tuple[str, int]:
+              min_run: int, detok) -> tuple[str, int]:
     """Rewrite ONE doc given sorted duplicated-gram positions ``pos``.
 
     Maximal runs of consecutive positions (diff == 1) with run length
     >= ``min_run`` mask tokens [run_start, run_end + k - 1]."""
     if not len(pos):
-        return " ".join(words), 0
+        return detok(words), 0
     breaks = np.flatnonzero(np.diff(pos) != 1)
     run_starts = pos[np.r_[0, breaks + 1]]
     run_ends = pos[np.r_[breaks, len(pos) - 1]]
     ok = (run_ends - run_starts + 1) >= min_run
     if not ok.any():
-        return " ".join(words), 0
+        return detok(words), 0
     covered = np.zeros(len(words) + 1, dtype=np.int64)
     np.add.at(covered, run_starts[ok], 1)
     np.add.at(covered, np.minimum(run_ends[ok] + k, len(words)), -1)
     keep = np.cumsum(covered[:-1]) == 0
     n_masked = int(len(words) - keep.sum())
-    return " ".join(w for w, m in zip(words, keep) if m), n_masked
+    return detok([w for w, m in zip(words, keep) if m]), n_masked
 
 
 def _rewrite_batch(texts: list[str], hit_pos: list[np.ndarray], k: int,
-                   min_run: int) -> tuple[list[str], np.ndarray]:
+                   min_run: int, tokenize=None,
+                   detokenize=None) -> tuple[list[str], np.ndarray]:
     """Apply :func:`_mask_doc` across a batch; untouched docs keep their
     ORIGINAL text byte-identically (no whitespace normalization)."""
+    from ..functions.tokenize import (whitespace_detokenize,
+                                      whitespace_tokenize)
+    tokenize = tokenize or whitespace_tokenize
+    detok = detokenize or whitespace_detokenize
     out, n_masked = [], np.zeros(len(texts), dtype=np.int64)
+    touched = [i for i, pos in enumerate(hit_pos) if len(pos)]
+    words_touched = dict(zip(touched, tokenize(
+        [texts[i] for i in touched])))
     for i, (t, pos) in enumerate(zip(texts, hit_pos)):
         if not len(pos):
             out.append(t)
             continue
-        new, nm = _mask_doc((t or "").split(), pos, k, min_run)
+        new, nm = _mask_doc(words_touched[i], pos, k, min_run, detok)
         out.append(new if nm else t)
         n_masked[i] = nm
     return out, n_masked
@@ -193,7 +204,8 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                          min_span_tokens: int | None = None,
                          mode: str = "auto", out_col: str | None = None,
                          doc_types: dict | None = None,
-                         broadcast_limit: int = 8_000_000):
+                         broadcast_limit: int = 8_000_000,
+                         tokenize=None, detokenize=None):
     """Mask corpus-duplicated token spans in every document (see module
     docstring for semantics and the broadcast-vs-join scale trade).
 
@@ -220,8 +232,9 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     min_span = max(min_span_tokens or k, k)
     min_run = min_span - k + 1
     dst = out_col or text_col
-    dup = duplicate_gram_hashes(ds, text_col, k, min_docs).select_columns(
-        ["gram_hash"])
+    dup = duplicate_gram_hashes(
+        ds, text_col, k, min_docs,
+        tokenize=tokenize).select_columns(["gram_hash"])
     if mode == "auto":
         # the dup Dataset is consumed twice in broadcast mode (count +
         # collect) and once as a join side — pin it so the gram-count
@@ -249,11 +262,12 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
             texts = t[text_col].to_pylist()
             from ..functions.collect import sorted_isin
 
-            gh, starts = _gram_hashes(texts, k)
+            gh, starts = _gram_hashes(texts, k, tokenize)
             hit = sorted_isin(arr, gh.view(np.int64))
             hit_pos = [np.flatnonzero(hit[starts[d]:starts[d + 1]])
                        for d in range(len(texts))]
-            return _emit(t, *_rewrite_batch(texts, hit_pos, k, min_run))
+            return _emit(t, *_rewrite_batch(texts, hit_pos, k, min_run,
+                                            tokenize, detokenize))
 
         return ds.map_batches(rewrite, batch_format="pyarrow")
 
@@ -263,7 +277,7 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     from .join import equi_join
 
     def explode_pos(t: pa.Table) -> pa.Table:
-        gh, starts = _gram_hashes(t[text_col].to_pylist(), k)
+        gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
         doc_ids = t[id_col].to_numpy(zero_copy_only=False)
         return pa.table({
             "gram_hash": pa.array(gh.view(np.int64)),
@@ -292,7 +306,8 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def build(docs: pd.DataFrame, hit_pos: list[np.ndarray]) -> pd.DataFrame:
         texts_out, n_masked = _rewrite_batch(docs[text_col].tolist(),
-                                             hit_pos, k, min_run)
+                                             hit_pos, k, min_run,
+                                             tokenize, detokenize)
         out = docs.copy()
         out[dst] = texts_out
         out["n_masked_tokens"] = n_masked
