@@ -67,6 +67,82 @@ def _n_blocks() -> int:
     return max(2 * NUM_CPUS, bench_rows() // 1_000_000)
 
 
+def llm_ops_timings(inp: str, n_rows: int) -> dict:
+    """The LLM-data-op block (cap / cross-corpus dedup / LM score /
+    span mask / budget selection) over the synthetic corpus at ``inp``
+    — shared by the full bench and the --llm-scale two-point mode."""
+    import time
+
+    from sagan_ray.sources import read_parquet_clean
+    from sagan_ray.stages.dedup import dedup_against
+    from sagan_ray.stages.lm import lm_score, train_unigram_lm
+    from sagan_ray.stages.pack import cap_per_key
+
+    timings: dict[str, float] = {}
+
+    def _corpus(cols):
+        return read_parquet_clean(inp, columns=cols,
+                                  override_num_blocks=_n_blocks())
+
+    def _is_ref(t):  # deterministic 1/16 slice: doc_id % 16 == 0
+        import pyarrow.compute as _pc
+        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 15), 0))
+
+    t0 = time.perf_counter()
+    cap_per_key(_corpus(["doc_id", "host"]), "host",
+                max(1_000, n_rows // 64)).count()
+    timings["cap_per_host"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ref = _corpus(["doc_id", "text"]).map_batches(
+        _is_ref, batch_format="pyarrow")
+    dedup_against(_corpus(["doc_id", "text"]), ref, mode="broadcast").count()
+    timings["dedup_against"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lm_train = _corpus(["doc_id", "text"]).map_batches(
+        _is_ref, batch_format="pyarrow")
+    model = train_unigram_lm(lm_train)
+    lm_score(_corpus(["doc_id", "text"]), model).count()
+    timings["lm_train_score"] = round(time.perf_counter() - t0, 3)
+
+    from sagan_ray.stages.spans import mask_duplicate_spans
+    from sagan_ray.stages.text import token_count_batch
+    from sagan_ray.stages.pack import select_top_tokens, _shuffle_key
+
+    def _is_quarter(t):  # deterministic 1/4 slice: doc_id % 4 == 0
+        import pyarrow.compute as _pc
+        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 3), 0))
+
+    t0 = time.perf_counter()
+    # 8M-doc slice: exact gram counting moves every distinct gram once
+    # (~40M rows here) — the honest cost of substring-level dedup
+    mask_duplicate_spans(
+        _corpus(["doc_id", "text"]).map_batches(_is_quarter,
+                                                batch_format="pyarrow"),
+        k=8, min_docs=64).count()
+    timings["mask_dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # the documented pattern: checkpoint the skinny (id, score, tokens)
+    # projection ONCE so refinement rounds never rescan text
+    def _score(t):
+        import numpy as np
+        import pyarrow as _pa
+        q = token_count_batch(t)
+        s = (_shuffle_key(q["doc_id"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64), 7).astype(np.float64)
+             / float(2 << 63))
+        return q.append_column("score", _pa.array(s))
+    proj = _corpus(["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow").materialize()
+    total_tok = int(proj.sum("n_tokens"))
+    select_top_tokens(proj, total_tok // 2, "score").count()
+    timings["select_budget"] = round(time.perf_counter() - t0, 3)
+
+    return timings
+
+
 def run_bench() -> dict:
     import ray
 
@@ -205,70 +281,7 @@ def run_bench() -> dict:
     # ---- round-3c webtext ops over the synthetic corpus (32M rows) ----
     # one rep each (min kept if ever looped): these are throughput
     # evidence for the new training-data operators, not judged deltas
-    from sagan_ray.stages.dedup import dedup_against
-    from sagan_ray.stages.lm import lm_score, train_unigram_lm
-    from sagan_ray.stages.pack import cap_per_key
-
-    def _corpus(cols):
-        return read_parquet_clean(inp, columns=cols,
-                                  override_num_blocks=_n_blocks())
-
-    def _is_ref(t):  # deterministic 1/16 slice: doc_id % 16 == 0
-        import pyarrow.compute as _pc
-        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 15), 0))
-
-    t0 = time.perf_counter()
-    cap_per_key(_corpus(["doc_id", "host"]), "host",
-                max(1_000, n_rows // 64)).count()
-    timings["cap_per_host"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    ref = _corpus(["doc_id", "text"]).map_batches(
-        _is_ref, batch_format="pyarrow")
-    dedup_against(_corpus(["doc_id", "text"]), ref, mode="broadcast").count()
-    timings["dedup_against"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    lm_train = _corpus(["doc_id", "text"]).map_batches(
-        _is_ref, batch_format="pyarrow")
-    model = train_unigram_lm(lm_train)
-    lm_score(_corpus(["doc_id", "text"]), model).count()
-    timings["lm_train_score"] = round(time.perf_counter() - t0, 3)
-
-    from sagan_ray.stages.spans import mask_duplicate_spans
-    from sagan_ray.stages.text import token_count_batch
-    from sagan_ray.stages.pack import select_top_tokens, _shuffle_key
-
-    def _is_quarter(t):  # deterministic 1/4 slice: doc_id % 4 == 0
-        import pyarrow.compute as _pc
-        return t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 3), 0))
-
-    t0 = time.perf_counter()
-    # 8M-doc slice: exact gram counting moves every distinct gram once
-    # (~40M rows here) — the honest cost of substring-level dedup
-    mask_duplicate_spans(
-        _corpus(["doc_id", "text"]).map_batches(_is_quarter,
-                                                batch_format="pyarrow"),
-        k=8, min_docs=64).count()
-    timings["mask_dup_spans"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    # the documented pattern: checkpoint the skinny (id, score, tokens)
-    # projection ONCE so refinement rounds never rescan text
-    def _score(t):
-        import numpy as np
-        import pyarrow as _pa
-        q = token_count_batch(t)
-        s = (_shuffle_key(q["doc_id"].to_numpy(zero_copy_only=False)
-                          .astype(np.int64), 7).astype(np.float64)
-             / float(2 << 63))
-        return q.append_column("score", _pa.array(s))
-    proj = _corpus(["doc_id", "text"]).map_batches(
-        _score, batch_format="pyarrow").materialize()
-    total_tok = int(proj.sum("n_tokens"))
-    select_top_tokens(proj, total_tok // 2, "score").count()
-    timings["select_budget"] = round(time.perf_counter() - t0, 3)
-
+    timings.update(llm_ops_timings(inp, n_rows))
     # late reps: ~2 minutes after the early ones, so at least one rep
     # pair straddles any single steal window
     variant_rep("flagship_100_rules", rules100, False)
@@ -343,8 +356,74 @@ def run_scaling() -> dict:
     }
 
 
+def run_llm_only() -> dict:
+    """Subprocess leg of --llm-scale: ONLY the LLM-op block, fresh Ray
+    session, GRAFT_BENCH_ROWS-sized corpus."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    n_rows = bench_rows()
+    inp = ensure_input(n_rows)
+    # warm page cache AND the worker pool (imports) untimed — in the
+    # full bench the flagship absorbs warmup; here the first op would
+    from sagan_ray.sources import read_parquet_clean
+
+    read_parquet_clean(inp, columns=["doc_id"]).map_batches(
+        lambda t: t, batch_format="pyarrow").count()
+    timings = llm_ops_timings(inp, n_rows)
+    ray.shutdown()
+    return {"rows": n_rows, "num_cpus": NUM_CPUS, "queries": timings}
+
+
+def run_llm_scale() -> dict:
+    """Two-point data scaling of the LLM-op block: the same ops at
+    n_rows/5 (~sf0.02) and n_rows (sf0.1) in fresh processes, both at
+    NUM_CPUS. time_ratio ~= 5 means the op is linear in data;
+    substantially below 5 means fixed (session/exchange setup) costs
+    still dominate the small leg — recorded in BENCH/BASELINE.md."""
+    rows_hi = bench_rows()
+    rows_lo = max(rows_hi // 5, 10_000)
+
+    def sub(nr: int) -> dict:
+        env = dict(os.environ, GRAFT_BENCH_ROWS=str(nr),
+                   GRAFT_LLM_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # interleave legs (steal-window protocol): lo, hi, lo, hi; min per op
+    legs_lo = [sub(rows_lo)]
+    legs_hi = [sub(rows_hi)]
+    legs_lo.append(sub(rows_lo))
+    legs_hi.append(sub(rows_hi))
+    ops = sorted(legs_lo[0]["queries"])
+    t_lo = {k: min(r["queries"][k] for r in legs_lo) for k in ops}
+    t_hi = {k: min(r["queries"][k] for r in legs_hi) for k in ops}
+    return {
+        "metric": "LLM-op block two-point data scaling (same cpus, fresh processes)",
+        "rows_lo": rows_lo,
+        "rows_hi": rows_hi,
+        "data_ratio": round(rows_hi / rows_lo, 2),
+        "num_cpus": NUM_CPUS,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "time_ratio": {k: round(t_hi[k] / t_lo[k], 2) for k in ops},
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("GRAFT_LLM_ONLY"):
+        print(json.dumps(run_llm_only()))
+    elif "--llm-scale" in sys.argv:
+        print(json.dumps(run_llm_scale()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -197,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
                 _os.path.dirname(files[0]), args.out, cfg.load_rules(),
                 poll_s=args.poll_seconds,
                 derive_from_documents=args.raw_documents,
+                # dynamic reload (SIGHUP analogue): edit a .rules file
+                # while the daemon runs and the next wave uses it
+                rules_paths=list(cfg.rules_files) or None,
+                reload_rules=cfg.load_rules,
             )
         else:
             from .pipelines.flagship import run_flagship

@@ -336,6 +336,9 @@ def follow_directory(
     derive_from_documents: bool = True,
     pattern: str = "*.parquet",
     pre_stage=None,
+    rules_paths: list[str] | None = None,
+    reload_rules=None,
+    on_wave=None,
 ) -> dict:
     """Daemon-mode analogue of the reference's FIFO tail: poll
     ``input_dir`` for parquet files and run the checkpointed pipeline
@@ -347,14 +350,65 @@ def follow_directory(
     reference's mutable mmap state).
 
     Stops after ``max_iterations`` (None = until a ``STOP`` file appears
-    in ``run_dir``). Returns the last manifest."""
+    in ``run_dir``). Returns the last manifest.
+
+    Dynamic rule reload (the upstream SIGHUP-reload analogue —
+    src/sagan.c's re-read of the rule set on signal, minus the signal):
+    when ``rules_paths`` is given, every poll stats those files and, on
+    any mtime/size change, reloads the rule set before the next wave —
+    via ``reload_rules()`` if given (e.g. ``EngineConfig.load_rules``,
+    which carries var tables / classification maps), else by re-parsing
+    ``rules_paths`` directly. Reload semantics match upstream: the NEW
+    set applies to waves from then on; already-checkpointed partitions
+    keep the alerts their rule set produced (completed partitions are
+    skipped by lineage), while the stage-B correlation gate always
+    re-runs over ALL checkpointed alerts with the CURRENT thresholds.
+    A reload that fails to parse logs and keeps the old set — a typo'd
+    edit must not kill a running daemon.
+
+    ``on_wave(iteration, manifest)`` (optional) fires after every wave
+    — metrics hooks, or test choreography."""
     import glob as _glob
     import time as _time
 
+    def _load_from_paths():
+        from ..rules import load_rules_file
+
+        out: list[Rule] = []
+        for p in rules_paths:
+            out.extend(load_rules_file(p))
+        return out
+
+    def _fingerprint():
+        fps = []
+        for p in rules_paths or ():
+            try:
+                st = os.stat(p)
+                fps.append((p, st.st_mtime_ns, st.st_size))
+            except FileNotFoundError:
+                fps.append((p, None, None))
+        return tuple(fps)
+
+    if rules is None and rules_paths:
+        rules = (reload_rules or _load_from_paths)()
     rules = rules or load_default_rules()
+    rules_fp = _fingerprint()
     manifest: dict = {}
     it = 0
     while True:
+        if rules_paths:
+            nfp = _fingerprint()
+            if nfp != rules_fp:
+                try:
+                    rules = (reload_rules or _load_from_paths)()
+                    rules_fp = nfp
+                except Exception as e:  # keep serving with the old set
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "rule reload failed, keeping %d old rules: %s",
+                        len(rules), e)
+                    rules_fp = nfp  # don't re-raise every poll
         files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
         if files:
             manifest = run_flagship(
@@ -363,6 +417,8 @@ def follow_directory(
                 pre_stage=pre_stage,
             )
         it += 1
+        if on_wave is not None:
+            on_wave(it, manifest)
         if max_iterations is not None and it >= max_iterations:
             return manifest
         if os.path.exists(os.path.join(run_dir, "STOP")):
