@@ -50,6 +50,12 @@ class EngineConfig:
     pre_stages: list[Stage] = field(default_factory=list)   # before match
     post_stages: list[Stage] = field(default_factory=list)  # after gating
     write_eve: bool = False
+    # network re-emit sinks (stages/emit.py): fire-and-forget fan-outs
+    # AFTER the authoritative parquet sinks; yaml keys `syslog:
+    # {host, port, facility}` and `smtp: {host, port, mail_from,
+    # mail_to, min_priority}` (smtp transport injectable in code)
+    syslog: dict | None = None
+    smtp: dict | None = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "EngineConfig":
@@ -72,6 +78,10 @@ class EngineConfig:
             enrich_concurrency=int(raw.get("enrich_concurrency", 4)),
             write_eve=bool(raw.get("write_eve", False)),
         )
+        if raw.get("syslog"):
+            cfg.syslog = dict(raw["syslog"])
+        if raw.get("smtp"):
+            cfg.smtp = dict(raw["smtp"])
         base = __import__("os").path.dirname(__import__("os").path.abspath(path))
 
         def _resolve(p: str) -> str:
@@ -144,5 +154,23 @@ class EngineConfig:
     def run(self, ds, out_dir: str) -> dict:
         from .stages.route import route_alerts
 
-        return route_alerts(self.build_alerts(ds), out_dir,
-                            write_eve=self.write_eve)
+        manifest = route_alerts(self.build_alerts(ds), out_dir,
+                                write_eve=self.write_eve)
+        if self.syslog or self.smtp:
+            # re-emit from the authoritative parquet sinks (one extra
+            # read of the SMALL routed set — never a pipeline re-run)
+            import ray.data as rd
+
+            from .stages.route import read_sink
+
+            routed = rd.from_arrow(
+                read_sink(__import__("os").path.join(out_dir, "sinks")))
+            if self.syslog:
+                from .stages.emit import syslog_sink
+
+                manifest["syslog"] = syslog_sink(routed, **self.syslog)
+            if self.smtp:
+                from .stages.emit import smtp_sink
+
+                manifest["smtp"] = smtp_sink(routed, **self.smtp)
+        return manifest
