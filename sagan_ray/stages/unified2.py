@@ -18,8 +18,8 @@ are content+lineage addressed exactly like the fast/EVE sinks
 never collide, and a spool consumer globs ``unified2-*.log``.
 
 Deterministic field mapping (documented deltas vs upstream's runtime
-counters): ``event_id`` = blake2b32(url) (retry-stable; upstream uses a
-process-local increment, which is NOT replay-stable), ``sensor_id`` =
+counters): ``event_id`` = siphash32(url) (vectorized, retry-stable; upstream uses
+a process-local increment, which is NOT replay-stable), ``sensor_id`` =
 0, ``classification_id`` = fnv1a32(classification) & 0x7fffffff with a
 ``classification.map`` sidecar per sink dir (upstream relies on
 classification.config order; a content hash needs no cross-block
@@ -83,15 +83,19 @@ def _ipv4_u32(col, n: int) -> np.ndarray:
     return out
 
 
-def _hash32(col, n: int, seed: bytes = b"") -> np.ndarray:
-    """Per-row blake2b-32 of a string column (replay-stable event ids)."""
-    import hashlib
+def _hash32(col, n: int) -> np.ndarray:
+    """Vectorized 32-bit id from a string column (replay-stable event
+    ids): one pandas siphash pass (fixed default key — deterministic
+    across processes, so a task retry rewrites identical bytes),
+    folded to 32 bits."""
+    import pandas as pd
 
-    vals = pc.fill_null(col, "").to_pylist() if col is not None else [""] * n
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(seed + v.encode(), digest_size=4)
-                        .digest(), "big") for v in vals),
-        dtype=np.uint32, count=n)
+    if col is None:
+        return np.zeros(n, dtype=np.uint32)
+    vals = pc.fill_null(col, "").to_pandas()
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    return ((h >> np.uint64(32)) ^ (h & np.uint64(0xFFFFFFFF))).astype(
+        np.uint32)
 
 
 def _fnv1a32(s: str) -> int:
