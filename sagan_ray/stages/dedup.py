@@ -1341,3 +1341,167 @@ def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
              else max(2, min(_join_width(), n_losers // 250_000 + 2)))
     return ds.join(losers, join_type="left_anti", num_partitions=npart,
                    on=(id_col,))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
+                    eps: float = 0.03, n_clusters: int = 64,
+                    sample_size: int = 4096, seed: int = 42,
+                    row_chunk: int = 2048):
+    """Loser ids under SemDeDup (Abbas et al. 2023, arXiv:2303.09540 —
+    public method): k-means-cluster the embeddings, and within each
+    cluster drop every point whose cosine similarity to any point
+    EARLIER in the cluster's keep order is >= 1 - eps. Keep order is
+    (cosine-to-centroid ASC, id ASC): farthest-from-centroid first —
+    the paper's "keep hard examples" choice — with a deterministic id
+    tiebreak so the keeper set is replay-stable.
+
+    Scale shape: centroids fit from a bounded deterministic hash-filter
+    sample (the IVF sampler — one filter pass, no shuffle, sample_size
+    rows to the driver by design); assignment is one map-only batch
+    matmul against the broadcast centroid matrix; then ONE co-location
+    exchange ships (cluster, id, csim, vec) and each partition runs the
+    pairwise rule per cluster, row-chunked so memory is
+    O(row_chunk * cluster_size), not O(cluster_size^2) floats at once.
+    Partitioning assumption (documented, same as the window family):
+    one cluster's rows fit a partition — size n_clusters to data
+    (clusters ~ n/n_clusters rows); the pairwise work is the method's
+    own O(cluster_size^2 * dim) cost, not an artifact.
+    """
+    import ray
+
+    from .correlate import _n_buckets, shuffle_groups
+    from .similarity import _unit, kmeans_fit
+
+    knuth = np.uint64(2654435761)
+    n_total = ds.count()
+    modulus = max(1, n_total // max(1, sample_size))
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(),
+                         dtype=np.int64).view(np.uint64)
+        keep = ((ids * knuth) % np.uint64(modulus) == 0 if modulus > 1
+                else np.ones(len(ids), bool))
+        return t.select([id_col, vec_col]).filter(pa.array(keep))
+
+    sample = (ds.map_batches(hash_sample, batch_format="pyarrow")
+              .to_pandas().sort_values(id_col).head(sample_size))
+    if len(sample) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([],
+                                                        type=pa.int64())}))
+    cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()),
+                      n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+    nb = np.uint64(_n_buckets())
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        sims = v @ c.T
+        cl = np.argmax(sims, axis=1).astype(np.int64)
+        csim = sims[np.arange(len(v)), cl]
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(cl),
+            "csim": pa.array(csim),
+            vec_col: pa.array(list(map(list, v)),
+                              type=pa.list_(pa.float64())),
+            "gb": pa.array(((cl.view(np.uint64) * knuth) % nb)
+                           .astype(np.int64)),
+        })
+
+    thresh = 1.0 - eps
+
+    def losers_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for _, grp in g.groupby("cluster", sort=True):
+            grp = grp.sort_values(["csim", id_col], kind="mergesort")
+            m = len(grp)
+            if m < 2:
+                continue
+            v = np.stack(grp[vec_col].to_numpy())
+            drop = np.zeros(m, dtype=bool)
+            for a in range(1, m, row_chunk):
+                b = min(a + row_chunk, m)
+                sims = v[a:b] @ v.T  # rows a..b vs ALL
+                # only columns j < i count as "earlier"
+                cols = np.arange(m)[None, :]
+                rows = np.arange(a, b)[:, None]
+                sims[cols >= rows] = -2.0
+                drop[a:b] = sims.max(axis=1) >= thresh
+            if drop.any():
+                out.append(grp.loc[drop, [id_col]])
+        if not out:
+            return g.iloc[0:0][[id_col]]
+        return pd.concat(out, ignore_index=True)
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    return shuffle_groups(tagged, "gb", losers_part)
+
+
+def semdedup(ds, vec_col: str = "vec", id_col: str = "id",
+             eps: float = 0.03, n_clusters: int = 64,
+             sample_size: int = 4096, seed: int = 42,
+             broadcast_limit: int = 8_000_000):
+    """Filter ``ds`` to SemDeDup keepers (see :func:`semdedup_losers`).
+
+    Anti tail: acero joins reject the ``list<float>`` vec payload, so
+    losers gate via a broadcast sorted-id array while they fit
+    ``broadcast_limit`` ids (8 B each — the dedup_against bound); above
+    it the corpus anti-joins on id with vectors binary-packed through
+    the join and unpacked after (the embedding-verify pack pattern)."""
+    losers = semdedup_losers(ds, vec_col, id_col, eps=eps,
+                             n_clusters=n_clusters,
+                             sample_size=sample_size,
+                             seed=seed).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= broadcast_limit:
+        import ray
+
+        from ..functions.collect import collect_column_numpy
+
+        ref = ray.put(np.sort(collect_column_numpy(losers, id_col,
+                                                   dtype=np.int64)))
+
+        def gate(t: pa.Table) -> pa.Table:
+            from ..functions.collect import sorted_isin
+
+            blk = ray.get(ref)
+            vals = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~sorted_isin(blk, vals)))
+
+        return ds.map_batches(gate, batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        n = len(t)
+        width = vecs.shape[1] * 8 if n else 8
+        offs = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * width).tobytes())
+        blob = pa.Array.from_buffers(
+            pa.binary(), n, [None, offs, pa.py_buffer(vecs.tobytes())])
+        others = [c for c in t.column_names if c != vec_col]
+        out = t.select(others)
+        return out.append_column("vec_bin", blob)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        blobs = t["vec_bin"].to_pylist()
+        lists = [np.frombuffer(b, dtype=np.float64).tolist()
+                 for b in blobs]
+        out = t.drop_columns(["vec_bin"])
+        return out.append_column(
+            vec_col, pa.array(lists, type=pa.list_(pa.float64())))
+
+    npart = max(2, min(_join_width(), n_losers // 250_000 + 2))
+    joined = ds.map_batches(pack, batch_format="pyarrow").join(
+        _arrow_clean(losers), join_type="left_anti",
+        num_partitions=npart, on=(id_col,))
+    return joined.map_batches(unpack, batch_format="pyarrow")
