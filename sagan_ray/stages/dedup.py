@@ -1024,7 +1024,9 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     # to a float64 byte blob (zero-copy offsets buffer) for the join,
     # decode with np.frombuffer inside verify
     def pack(t: pa.Table) -> pa.Table:
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        from ..functions.vectors import vec_matrix
+
+        vecs = vec_matrix(t[vec_col])
         n = len(t)
         width = vecs.shape[1] * 8 if n else dim * 8
         offs = pa.py_buffer(
@@ -1401,8 +1403,10 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
     nb = np.uint64(_n_buckets())
 
     def assign(t: pa.Table) -> pa.Table:
+        from ..functions.vectors import matrix_to_list_array, vec_matrix
+
         c = ray.get(cent_ref)
-        v = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        v = _unit(vec_matrix(t[vec_col]))
         sims = v @ c.T
         cl = np.argmax(sims, axis=1).astype(np.int64)
         csim = sims[np.arange(len(v)), cl]
@@ -1410,8 +1414,7 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
             id_col: t[id_col],
             "cluster": pa.array(cl),
             "csim": pa.array(csim),
-            vec_col: pa.array(list(map(list, v)),
-                              type=pa.list_(pa.float64())),
+            vec_col: matrix_to_list_array(v),
             "gb": pa.array(((cl.view(np.uint64) * knuth) % nb)
                            .astype(np.int64)),
         })

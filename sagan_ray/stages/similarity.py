@@ -15,6 +15,8 @@
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.vectors import vec_matrix
 import pandas as pd
 import pyarrow as pa
 
@@ -36,7 +38,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 
 
     def local_topk(t: pa.Table) -> pa.Table:
         qm, qids = ray.get(qref)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(t[vec_col])
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
@@ -99,7 +101,7 @@ def ivf_bits_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
 
     def local_topk(t: pa.Table) -> pa.Table:
         qm, qids, qb = ray.get(qref)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(t[vec_col])
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
@@ -188,7 +190,7 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
 
     def local(t: pa.Table) -> pa.Table:
         c, qm, qids, pr = ray.get(ref)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(t[vec_col])
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),

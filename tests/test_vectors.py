@@ -1,0 +1,37 @@
+"""functions/vectors.py — zero-copy list<float> <-> matrix bridges."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sagan_ray.functions.vectors import matrix_to_list_array, vec_matrix
+
+
+def test_vec_matrix_fast_path_matches_pylist():
+    m = np.arange(24, dtype=np.float64).reshape(6, 4) / 7.0
+    col = pa.array([r.tolist() for r in m], type=pa.list_(pa.float64()))
+    out = vec_matrix(col)
+    np.testing.assert_array_equal(out, m)
+    # chunked input too
+    ch = pa.chunked_array([col.slice(0, 2), col.slice(2)])
+    np.testing.assert_array_equal(vec_matrix(ch), m)
+
+
+def test_vec_matrix_sliced_offsets():
+    """A sliced ListArray has a nonzero offset into shared buffers —
+    the flatten path must honor it."""
+    m = np.arange(20, dtype=np.float64).reshape(5, 4)
+    col = pa.array([r.tolist() for r in m], type=pa.list_(pa.float64()))
+    out = vec_matrix(col.slice(2, 2))
+    np.testing.assert_array_equal(out, m[2:4])
+
+
+def test_vec_matrix_ragged_raises():
+    col = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="ragged"):
+        vec_matrix(col)
+
+
+def test_matrix_round_trip():
+    m = np.random.RandomState(3).randn(7, 5)
+    arr = matrix_to_list_array(m)
+    np.testing.assert_array_equal(vec_matrix(arr), m)
