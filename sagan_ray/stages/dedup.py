@@ -1421,31 +1421,48 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
 
     thresh = 1.0 - eps
 
-    def losers_part(g: "pd.DataFrame") -> "pd.DataFrame":
+    def losers_part(t: pa.Table) -> pa.Table:
+        # Arrow-native: one lexsort puts clusters contiguous in keep
+        # order; vectors come out of the list column as ONE matrix view
+        # (vec_matrix) — no per-row objects in the reduce
+        from ..functions.vectors import vec_matrix
+
+        n = t.num_rows
+        empty = pa.table({id_col: pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        csim = t["csim"].to_numpy(zero_copy_only=False)
+        v = vec_matrix(t[vec_col])
+        order = np.lexsort((ids, csim, cl))
+        ids, cl, v = ids[order], cl[order], v[order]
+        seg_starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        seg_ends = np.r_[seg_starts[1:], n]
         out = []
-        for _, grp in g.groupby("cluster", sort=True):
-            grp = grp.sort_values(["csim", id_col], kind="mergesort")
-            m = len(grp)
+        for s, e in zip(seg_starts, seg_ends):
+            m = e - s
             if m < 2:
                 continue
-            v = np.stack(grp[vec_col].to_numpy())
+            vv = v[s:e]
             drop = np.zeros(m, dtype=bool)
             for a in range(1, m, row_chunk):
                 b = min(a + row_chunk, m)
-                sims = v[a:b] @ v.T  # rows a..b vs ALL
+                sims = vv[a:b] @ vv.T  # rows a..b vs ALL in cluster
                 # only columns j < i count as "earlier"
                 cols = np.arange(m)[None, :]
                 rows = np.arange(a, b)[:, None]
                 sims[cols >= rows] = -2.0
                 drop[a:b] = sims.max(axis=1) >= thresh
             if drop.any():
-                out.append(grp.loc[drop, [id_col]])
+                out.append(ids[s:e][drop])
         if not out:
-            return g.iloc[0:0][[id_col]]
-        return pd.concat(out, ignore_index=True)
+            return empty
+        return pa.table({id_col: pa.array(np.concatenate(out))})
 
     tagged = ds.map_batches(assign, batch_format="pyarrow")
-    return shuffle_groups(tagged, "gb", losers_part)
+    return shuffle_groups(tagged, "gb", losers_part,
+                          batch_format="pyarrow")
 
 
 def semdedup(ds, vec_col: str = "vec", id_col: str = "id",
