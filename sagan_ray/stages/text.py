@@ -458,7 +458,7 @@ def repetition_filter_stage(ds, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
-                         min_chars: int = 10):
+                         min_chars: int = 10, sep: str = "\n"):
     """Dataset of ``(line_hash, n)`` for lines appearing in >= min_count
     DOCUMENTS across the corpus (cookie banners, nav bars, footers).
 
@@ -482,7 +482,7 @@ def frequent_line_hashes(ds, text_col: str = "text", min_count: int = 2,
         empty = pa.table({"line_hash": pa.array([], type=pa.int64()),
                           "c": pa.array([], type=pa.int64()),
                           "gb": pa.array([], type=pa.int64())})
-        lines = pc.split_pattern(t[text_col], "\n")
+        lines = pc.split_pattern(t[text_col], sep)
         flat = pc.list_flatten(lines)
         flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
         keep = pc.greater_equal(pc.utf8_length(flat), min_chars)
@@ -526,7 +526,8 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
                          min_chars: int = 10, out_col: str | None = None,
                          mode: str = "auto", id_col: str = "doc_id",
                          doc_types: dict | None = None,
-                         broadcast_limit: int = 8_000_000):
+                         broadcast_limit: int = 8_000_000,
+                         sep: str = "\n"):
     """Rewrite each document with its corpus-frequent lines removed.
 
     Two passes over the corpus (count, then rewrite) — the counting
@@ -552,14 +553,16 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
 
     from ..functions.collect import collect_column_numpy
 
-    freq = frequent_line_hashes(ds, text_col, min_count, min_chars)
+    freq = frequent_line_hashes(ds, text_col, min_count, min_chars,
+                                sep=sep)
     dst = out_col or text_col
     if mode == "auto":
         freq = freq.materialize()  # consumed by count + (collect | join)
         mode = ("broadcast" if freq.count() <= broadcast_limit else "join")
     if mode == "join":
         return _strip_frequent_lines_join(
-            ds, freq, text_col, min_chars, dst, id_col, doc_types)
+            ds, freq, text_col, min_chars, dst, id_col, doc_types,
+            sep=sep)
     if mode != "broadcast":
         raise ValueError(f"unknown mode {mode!r}")
     ref = ray.put(np.sort(collect_column_numpy(freq, "line_hash",
@@ -567,7 +570,7 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
 
     def rewrite(t: pa.Table) -> pa.Table:
         blk = ray.get(ref)
-        lines = pc.split_pattern(t[text_col], "\n")
+        lines = pc.split_pattern(t[text_col], sep)
         flat = pc.list_flatten(lines)
         n_per = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
         texts = []
@@ -584,7 +587,7 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
             keep = np.array([], dtype=bool)
         pos = 0
         for n in n_per:
-            texts.append("\n".join(
+            texts.append(sep.join(
                 v for v, k in zip(vals[pos:pos + n], keep[pos:pos + n]) if k
             ))
             pos += n
@@ -598,7 +601,8 @@ def strip_frequent_lines(ds, text_col: str = "text", min_count: int = 2,
 
 def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
                                dst: str, id_col: str,
-                               doc_types: dict | None):
+                               doc_types: dict | None,
+                               sep: str = "\n"):
     """Distributed mask pass of :func:`strip_frequent_lines`: nothing
     broadcasts. Line occurrences semi-join the frequent-hash set, hit
     POSITIONS co-partition with the docs on id, each partition rewrites
@@ -616,7 +620,7 @@ def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
     id_type = doc_types[id_col]
 
     def explode_pos(t: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(t[text_col], "\n")
+        lines = pc.split_pattern(t[text_col], sep)
         flat = pc.list_flatten(lines)
         flat = (flat.combine_chunks()
                 if isinstance(flat, pa.ChunkedArray) else flat)
@@ -654,9 +658,9 @@ def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
             if not len(hp):
                 out_texts.append(txt)  # untouched docs: byte-identical
                 continue
-            ls = (txt or "").split("\n")
+            ls = (txt or "").split(sep)
             drop = set(hp.tolist())
-            out_texts.append("\n".join(
+            out_texts.append(sep.join(
                 v for i, v in enumerate(ls) if i not in drop))
         out = docs.copy()
         out[dst] = out_texts

@@ -249,3 +249,35 @@ def test_exchange_anti_join_path_with_types(ray_session):
                "warc_ts": pa.int64()})
         .to_pandas()["doc_id"].tolist())
     assert got == base and len(base) <= 80
+
+
+def test_strip_frequent_paragraphs(ray_session):
+    """sep='\\n\\n' runs the same machinery at paragraph granularity —
+    a corpus-repeated PARAGRAPH (itself containing newlines) strips
+    whole, and the two modes stay byte-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sagan_ray.stages.text import strip_frequent_lines
+
+    boiler = "subscribe to our newsletter\nfollow us on social media"
+    docs = [f"unique body {i} with words\n\n{boiler}" for i in range(4)]
+    docs.append("a document without the boilerplate at all")
+    t = pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    kw = dict(min_count=3, min_chars=10, sep="\n\n")
+    a = (strip_frequent_lines(rd.from_arrow(t), mode="broadcast", **kw)
+         .to_pandas().sort_values("doc_id"))
+    types = {"doc_id": pa.int64(), "text": pa.string()}
+    b = (strip_frequent_lines(rd.from_arrow(t), mode="join",
+                              doc_types=types, **kw)
+         .to_pandas().sort_values("doc_id"))
+    assert a["text"].tolist() == b["text"].tolist()
+    for i in range(4):
+        assert boiler not in a["text"].iloc[i]
+        assert f"unique body {i}" in a["text"].iloc[i]
+    # untouched doc stays byte-identical; LINE-mode would not strip the
+    # two-line paragraph as a unit
+    assert a["text"].iloc[4] == docs[4]
