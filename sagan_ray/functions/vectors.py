@@ -39,8 +39,10 @@ def vec_matrix(col, dtype=np.float64) -> np.ndarray:
     dims = {len(r) for r in rows if r is not None}
     if len(dims) > 1:
         raise ValueError(f"ragged embedding column: row dims {sorted(dims)}")
-    return np.array([r if r is not None else [np.nan] * dims.pop()
-                     for r in rows], dtype=dtype)
+    dim = dims.pop() if dims else 0
+    nan_row = [np.nan] * dim
+    return np.array([r if r is not None else nan_row for r in rows],
+                    dtype=dtype)
 
 
 def matrix_to_list_array(m: np.ndarray,

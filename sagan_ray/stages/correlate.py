@@ -245,7 +245,13 @@ def _preprune_mask(kdf: pd.DataFrame, specs: dict[int, dict]) -> np.ndarray:
     if not m.any():
         return keep
     sub = kdf[m]
-    order = np.lexsort((sub["url"].to_numpy(), sub["warc_ts"].to_numpy()))
+    # NULLS LAST on the url tie-break (the gate's contract; a raw
+    # object-dtype lexsort raises TypeError on None) — numpy sorts NaT
+    # last in the ts key already
+    urls = sub["url"].to_numpy()
+    url_null = pd.isna(urls)
+    order = np.lexsort((np.where(url_null, "", urls), url_null,
+                        sub["warc_ts"].to_numpy()))
     sub_sorted = sub.iloc[order]
     rn = sub_sorted.groupby(["sid", "ckey", "bucket"], sort=False).cumcount()
     counts = {s: sp["count"] for s, sp in specs.items() if s in limit_sids}

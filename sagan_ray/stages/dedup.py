@@ -1405,6 +1405,14 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
     def assign(t: pa.Table) -> pa.Table:
         from ..functions.vectors import matrix_to_list_array, vec_matrix
 
+        if t.num_rows == 0:  # Ray delivers empty blocks routinely
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array([], type=pa.int64()),
+                "csim": pa.array([], type=pa.float64()),
+                vec_col: pa.array([], type=pa.list_(pa.float64())),
+                "gb": pa.array([], type=pa.int64()),
+            })
         c = ray.get(cent_ref)
         v = _unit(vec_matrix(t[vec_col]))
         sims = v @ c.T
@@ -1500,25 +1508,40 @@ def semdedup(ds, vec_col: str = "vec", id_col: str = "id",
 
         return ds.map_batches(gate, batch_format="pyarrow")
 
+    # zero-copy both ways (functions/vectors.py): matrix view -> one
+    # binary blob column for the join, flat buffer view -> list column
+    # after — no per-row Python on the corpus-scale path
     def pack(t: pa.Table) -> pa.Table:
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        from ..functions.vectors import vec_matrix
+
+        vecs = np.ascontiguousarray(vec_matrix(t[vec_col]))
         n = len(t)
-        width = vecs.shape[1] * 8 if n else 8
+        width = (vecs.shape[1] if vecs.size else 1) * 8
         offs = pa.py_buffer(
             (np.arange(n + 1, dtype=np.int32) * width).tobytes())
         blob = pa.Array.from_buffers(
             pa.binary(), n, [None, offs, pa.py_buffer(vecs.tobytes())])
         others = [c for c in t.column_names if c != vec_col]
-        out = t.select(others)
-        return out.append_column("vec_bin", blob)
+        return t.select(others).append_column("vec_bin", blob)
 
     def unpack(t: pa.Table) -> pa.Table:
-        blobs = t["vec_bin"].to_pylist()
-        lists = [np.frombuffer(b, dtype=np.float64).tolist()
-                 for b in blobs]
+        from ..functions.vectors import matrix_to_list_array
+
+        arr = t["vec_bin"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        n = len(arr)
         out = t.drop_columns(["vec_bin"])
-        return out.append_column(
-            vec_col, pa.array(lists, type=pa.list_(pa.float64())))
+        if n == 0:
+            return out.append_column(
+                vec_col, pa.array([], type=pa.list_(pa.float64())))
+        bufs = arr.buffers()  # [validity, offsets(int32), data]
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset: arr.offset + n + 1]
+        flat = np.frombuffer(bufs[2], dtype=np.uint8)[
+            offs[0]: offs[-1]].view(np.float64)
+        m = flat.reshape(n, (offs[1] - offs[0]) // 8)
+        return out.append_column(vec_col, matrix_to_list_array(m))
 
     npart = max(2, min(_join_width(), n_losers // 250_000 + 2))
     joined = ds.map_batches(pack, batch_format="pyarrow").join(

@@ -115,8 +115,11 @@ def pack_unified2(batch: pa.Table) -> tuple[bytes, dict[str, int]]:
     cols = batch.column_names
     rec["event_id"] = _hash32(batch["url"] if "url" in cols else None, n)
     if "warc_ts" in cols:
-        ts = pc.cast(batch["warc_ts"], pa.int64()).to_numpy(
-            zero_copy_only=False)  # us since epoch
+        # normalize to us FIRST: ns-provenance blocks (pandas round
+        # trips) cast straight to int64 would yield ns and wrap the
+        # uint32 seconds field (the _ts_us rule every sink follows)
+        ts = pc.cast(pc.cast(batch["warc_ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
         ts = np.where(np.isnan(ts.astype(np.float64)), 0, ts).astype(np.int64)
         rec["event_second"] = (ts // 1_000_000).astype(np.uint32)
         rec["event_microsecond"] = (ts % 1_000_000).astype(np.uint32)
@@ -154,7 +157,18 @@ def pack_unified2(batch: pa.Table) -> tuple[bytes, dict[str, int]]:
 def unified2_sink(alerts_ds, u2_dir: str) -> dict:
     """Write the alert stream as unified2 spool files
     (``u2_dir/unified2-<hash>-<task>.log`` + ``classification.map``
-    sidecar). Returns {'n_events': ..., 'n_files': ...}."""
+    sidecar). Returns {'n_events': ..., 'n_files': ...}.
+
+    Re-running into the same dir clears the previous run's spool and
+    sidecar files FIRST (the route_alerts fresh-fan-out rule): the
+    lineage-addressed names differ per run, so stale files from a prior
+    run would otherwise sit alongside the new ones and a spool consumer
+    would double-count every event."""
+    if os.path.isdir(u2_dir):
+        for f in os.listdir(u2_dir):
+            if (f.startswith("unified2-") or f.startswith(".cls-")
+                    or f == "classification.map"):
+                os.remove(os.path.join(u2_dir, f))
     os.makedirs(u2_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:

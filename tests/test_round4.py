@@ -281,3 +281,26 @@ def test_strip_frequent_paragraphs(ray_session):
     # untouched doc stays byte-identical; LINE-mode would not strip the
     # two-line paragraph as a unit
     assert a["text"].iloc[4] == docs[4]
+
+
+def test_preprune_mask_null_urls_sort_last():
+    """None urls in the key frame used to TypeError the object lexsort;
+    the contract is NULLS LAST (matching the gate and the oracle's
+    ORDER BY warc_ts, url)."""
+    import numpy as np
+    import pandas as pd
+
+    from sagan_ray.stages.correlate import _preprune_mask
+
+    ts = pd.Timestamp("2026-01-01")
+    kdf = pd.DataFrame({
+        "sid": [1] * 4,
+        "ckey": ["h"] * 4,
+        "bucket": [0] * 4,
+        "warc_ts": [ts] * 4,                    # all tied on time
+        "url": [None, "b", "a", None],          # nulls must lose ties
+    })
+    specs = {1: {"kind": "threshold", "ttype": "limit", "count": 2}}
+    keep = _preprune_mask(kdf, specs)
+    # winners of the 2-cap are the two non-null urls (NULLS LAST)
+    assert keep.tolist() == [False, True, True, False]

@@ -135,3 +135,23 @@ def test_semdedup_join_fallback_matches_broadcast(ray_session):
     for k in av:
         np.testing.assert_array_equal(np.asarray(av[k]),
                                       np.asarray(bv[k]))
+
+
+def test_semdedup_survives_empty_blocks(ray_session):
+    """Ray routinely delivers empty blocks (fully-filtered upstream);
+    the assign stage must pass them through, not crash on a (0,0)
+    matmul."""
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import semdedup
+
+    vecs, ids = _corpus(seed=21)
+    t = pa.table({"id": pa.array(ids),
+                  "vec": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float64()))})
+    # filter inside map_batches so some blocks come out empty
+    ds = rd.from_arrow(t).repartition(8).map_batches(
+        lambda b: b.filter(pa.compute.less(b["id"], 26)),
+        batch_format="pyarrow")
+    out = semdedup(ds, vec_col="vec", id_col="id", **_KW).to_pandas()
+    assert 0 < len(out) < 26

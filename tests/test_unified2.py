@@ -23,7 +23,7 @@ def _alerts(n=8):
         "dst_ip": ["203.0.113.7"] * (n - 1) + [None],
         "src_port": pa.array([1000 + i for i in range(n)],
                              type=pa.int32()),
-        "proto": ["tcp", "udp", "icmp", "other"] * (n // 4),
+        "proto": (["tcp", "udp", "icmp", "other"] * (n // 4 + 1))[:n],
     })
 
 
@@ -96,3 +96,38 @@ def test_ipv6_and_garbage_ips_become_zero():
     assert out.tolist() == [0, 0, 0, (1 << 24) | (2 << 16) | (3 << 8) | 4,
                             0]
     assert out.dtype == np.uint32
+
+
+def test_unified2_rerun_clears_stale_spool(ray_session, tmp_path):
+    """Re-running into the same spool dir must not leave the previous
+    run's differently-named files behind (consumers would double-count
+    — the route_alerts fresh-fan-out rule)."""
+    import ray.data as rd
+
+    from sagan_ray.stages.unified2 import read_unified2, unified2_sink
+
+    u2 = str(tmp_path / "u2")
+    unified2_sink(rd.from_arrow(_alerts(8)), u2)
+    unified2_sink(rd.from_arrow(_alerts(8)), u2)
+    files = [f for f in os.listdir(u2) if f.startswith("unified2-")]
+    total = sum(len(read_unified2(os.path.join(u2, f))) for f in files)
+    assert total == 8  # not 16
+
+
+def test_unified2_ns_timestamps_normalize():
+    """ns-provenance timestamp blocks must not wrap the uint32 seconds
+    field — cast to us first."""
+    from sagan_ray.stages.unified2 import pack_unified2, read_unified2
+
+    t = _alerts(2)
+    t = t.set_column(t.column_names.index("warc_ts"), "warc_ts",
+                     t["warc_ts"].cast(pa.timestamp("ns")))
+    payload, _ = pack_unified2(t)
+    import io, tempfile
+    with tempfile.NamedTemporaryFile(suffix=".log", delete=False) as f:
+        f.write(payload)
+        p = f.name
+    evs = read_unified2(p)
+    os.unlink(p)
+    us = evs[0]["event_second"] * 1_000_000 + evs[0]["event_microsecond"]
+    assert us == 1_700_000_000_000_000

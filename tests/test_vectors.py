@@ -35,3 +35,17 @@ def test_matrix_round_trip():
     m = np.random.RandomState(3).randn(7, 5)
     arr = matrix_to_list_array(m)
     np.testing.assert_array_equal(vec_matrix(arr), m)
+
+
+def test_vec_matrix_multiple_nulls_pad_nan():
+    """Two+ null rows used to KeyError (destructive set.pop in the
+    comprehension); they must NaN-pad instead."""
+    col = pa.array([[1.0, 2.0], None, None, [3.0, 4.0]],
+                   type=pa.list_(pa.float64()))
+    out = vec_matrix(col)
+    assert out.shape == (4, 2)
+    assert np.isnan(out[1]).all() and np.isnan(out[2]).all()
+    np.testing.assert_array_equal(out[0], [1.0, 2.0])
+    # all-null column: zero-dim rows, no crash
+    allnull = pa.array([None, None], type=pa.list_(pa.float64()))
+    assert vec_matrix(allnull).shape == (2, 0)
