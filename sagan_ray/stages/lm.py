@@ -50,6 +50,9 @@ class UnigramLM:
     oov_logprob: float
     total_tokens: int
 
+    def score_counts(self, texts):
+        return lm_score_counts(list(texts), self)
+
 
 def _token_hash_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Batch-local combiner: unique token hashes + counts (k=1 shingles)."""
@@ -137,17 +140,19 @@ def lm_score_counts(texts: list[str], model: UnigramLM) -> tuple[np.ndarray, np.
     return n_tok, out
 
 
-def lm_score(ds, model: UnigramLM, text_col: str = "text",
+def lm_score(ds, model, text_col: str = "text",
              keep_text: bool = False):
     """Append ``lm_logprob`` (and ``n_lm_tokens``): map-only, model
-    broadcast once via ``ray.put``."""
+    broadcast once via ``ray.put``. ``model`` is anything with
+    ``score_counts(texts) -> (n_tok, mean_logprob)`` — UnigramLM or
+    BigramLM drop in interchangeably."""
     import ray
 
     ref = ray.put(model)
 
     def score(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        n_tok, lp = lm_score_counts(t[text_col].to_pylist(), m)
+        n_tok, lp = m.score_counts(t[text_col].to_pylist())
         t = t if keep_text else t.drop_columns([text_col])
         return (t.append_column("n_lm_tokens", pa.array(n_tok))
                 .append_column("lm_logprob", pa.array(lp)))
@@ -172,8 +177,8 @@ def lm_importance(ds, target: UnigramLM, background: UnigramLM,
     def score(t: pa.Table) -> pa.Table:
         mt, mb = ray.get(ref_t), ray.get(ref_b)
         texts = t[text_col].to_pylist()
-        n_tok, lp_t = lm_score_counts(texts, mt)
-        _, lp_b = lm_score_counts(texts, mb)
+        n_tok, lp_t = mt.score_counts(texts)
+        _, lp_b = mb.score_counts(texts)
         if not keep_text:
             t = t.drop_columns([text_col])
         return (t.append_column("n_lm_tokens", pa.array(n_tok))
@@ -193,7 +198,194 @@ def lm_filter_stage(ds, model: UnigramLM, min_logprob: float,
 
     def gate(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        _n, lp = lm_score_counts(t[text_col].to_pylist(), m)
+        _n, lp = m.score_counts(t[text_col].to_pylist())
         return t.filter(pa.array(lp >= min_logprob))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM (one step closer to CCNet's KenLM shape)
+# ---------------------------------------------------------------------------
+
+_BI_MIX = np.uint64(0x9E3779B185EBCA87)
+
+
+def _bigram_combine(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of adjacent token hashes
+    (wrapping mul + xor — mirrored by the pure-Python differential)."""
+    with np.errstate(over="ignore"):
+        return (prev * _BI_MIX) ^ cur
+
+
+@dataclass(frozen=True)
+class BigramLM:
+    """Interpolated bigram model over hashed whitespace tokens:
+
+    ``p(w|v) = lam * c(v,w)/c(v) + (1-lam) * p_uni(w)``
+
+    with ``p_uni`` the unigram head (+ alpha OOV floor), so the mixture
+    is strictly positive and the first token of each document scores
+    pure unigram. Same broadcast shape as :class:`UnigramLM`: three
+    sorted hash arrays + aligned counts — plasma-shareable, probed with
+    searchsorted, no Python in the score path."""
+
+    uni_hashes: np.ndarray    # sorted uint64, len <= vocab_size
+    uni_counts: np.ndarray    # float64 raw counts aligned
+    bi_hashes: np.ndarray     # sorted uint64 combined hashes
+    bi_counts: np.ndarray     # float64 aligned
+    total_tokens: int
+    alpha: float
+    lam: float
+
+    def _uni_lookup(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(counts-with-alpha-floor, in-vocab mask) per token hash."""
+        from ..functions.collect import sorted_isin
+
+        if len(self.uni_hashes):
+            hit, idx = sorted_isin(self.uni_hashes, h, return_pos=True)
+            c = np.where(hit, self.uni_counts[idx], self.alpha)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+            c = np.full(len(h), self.alpha)
+        return c, hit
+
+    def _p_uni(self, h: np.ndarray) -> np.ndarray:
+        c, _hit = self._uni_lookup(h)
+        return c / float(max(self.total_tokens, 1))
+
+    def score_counts(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc (n_tokens, mean token logprob) — vectorized: one
+        tokenize pass, one unigram probe, one bigram probe."""
+        from ..functions.collect import sorted_isin
+
+        sh, starts = _batch_shingle_hashes(list(texts), k=1)
+        n_docs = len(texts)
+        n_tok = np.diff(starts).astype(np.int64)
+        oov = float(np.log((1.0 - self.lam) * self.alpha
+                           / max(self.total_tokens, 1)))
+        if len(sh) == 0:
+            return n_tok, np.full(n_docs, oov)
+        p_uni = self._p_uni(sh)
+        # token-level interpolated prob; first-token-of-doc = pure uni
+        p = (1.0 - self.lam) * p_uni
+        if len(sh) > 1:
+            bh = _bigram_combine(sh[:-1], sh[1:])
+            # context count c(v): the bigram term only fires when the
+            # CONTEXT is in the unigram head (an OOV context has no
+            # count — dividing by the alpha floor could yield p > 1)
+            c_prev, prev_hit = self._uni_lookup(sh[:-1])
+            if len(self.bi_hashes):
+                hit, idx = sorted_isin(self.bi_hashes, bh, return_pos=True)
+                c_bi = np.where(hit, self.bi_counts[idx], 0.0)
+            else:
+                c_bi = np.zeros(len(bh))
+            p_bi = np.where(prev_hit, np.minimum(c_bi / c_prev, 1.0), 0.0)
+            # pairs crossing a doc boundary don't exist: token at a doc
+            # start keeps pure-uni p (mask via is_start)
+            is_start = np.zeros(len(sh), dtype=bool)
+            is_start[starts[:-1][np.diff(starts) > 0]] = True
+            contrib = np.zeros(len(sh))
+            contrib[1:] = self.lam * p_bi
+            contrib[is_start] = 0.0
+            p = p + contrib
+            # doc-start tokens score FULL unigram weight, not (1-lam)
+            p[is_start] = p_uni[is_start]
+        else:
+            p = p_uni  # single token overall: pure unigram
+        lp = np.log(p)
+        out = np.full(n_docs, oov)
+        nz = n_tok > 0
+        if nz.any():
+            sums = np.add.reduceat(lp, starts[:-1][nz])
+            out[nz] = sums / n_tok[nz]
+        return n_tok, out
+
+
+def train_bigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
+                    bigram_size: int = 1 << 20, alpha: float = 0.5,
+                    lam: float = 0.7) -> BigramLM:
+    """One corpus scan emits kind-tagged (hash, count) partials for both
+    orders; ONE hashes-only shuffle sums them; top-``vocab_size`` /
+    top-``bigram_size`` heads collect (bounded by construction). Same
+    scale shape as :func:`train_unigram_lm` — the bigram table is just a
+    second bounded head riding the same exchange."""
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, starts = _batch_shingle_hashes(t[text_col].to_pylist(), k=1)
+        hs, cs, kinds = [], [], []
+        if len(sh):
+            u, c = np.unique(sh, return_counts=True)
+            hs.append(u); cs.append(c.astype(np.int64))
+            kinds.append(np.zeros(len(u), dtype=np.int8))
+        if len(sh) > 1:
+            bh = _bigram_combine(sh[:-1], sh[1:])
+            keep = np.ones(len(bh), dtype=bool)
+            doc_starts = starts[1:-1]  # pair i pairs tokens (i, i+1)
+            keep[doc_starts[(doc_starts > 0)
+                            & (doc_starts < len(bh) + 1)] - 1] = False
+            bh = bh[keep]
+            if len(bh):
+                u, c = np.unique(bh, return_counts=True)
+                hs.append(u); cs.append(c.astype(np.int64))
+                kinds.append(np.ones(len(u), dtype=np.int8))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "gb": pa.array([], pa.int64())})
+        h = np.concatenate(hs)
+        h_key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        kind = np.concatenate(kinds)
+        return pa.table({
+            "h": pa.array(h_key),
+            "c": pa.array(np.concatenate(cs)),
+            "kind": pa.array(kind),
+            # kind folds into the bucket so uni/bi keys never collide
+            "gb": pa.array(((h + np.uint64(7919) * kind.astype(np.uint64))
+                            % nb).astype(np.int64)),
+        })
+
+    def sum_fn(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        # reduce on (kind, hash): one lexsort + reduceat
+        order = np.lexsort((h, k))
+        hk, kk, cc = h[order], k[order], c[order]
+        first = np.ones(len(hk), dtype=bool)
+        first[1:] = (hk[1:] != hk[:-1]) | (kk[1:] != kk[:-1])
+        st = np.flatnonzero(first)
+        sums = np.add.reduceat(cc, st) if len(st) else cc[:0]
+        return pa.table({"h": pa.array(hk[st]), "c": pa.array(sums),
+                         "kind": pa.array(kk[st].astype(np.int8))})
+
+    counts = shuffle_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), "gb", sum_fn,
+        batch_format="pyarrow").materialize()
+    from ..functions.collect import collect_table
+
+    def head(kind: int, size: int):
+        sub = counts.filter(expr=f"kind == {kind}")
+        top = sub.sort(["c", "h"], descending=[True, False]).limit(size)
+        tt = collect_table(top)
+        if tt is None or tt.num_rows == 0:
+            return (np.array([], dtype=np.uint64),
+                    np.array([], dtype=np.float64), 0)
+        h = (tt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+             ^ np.uint64(1 << 63))
+        c = tt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = int(c.sum())
+        order = np.argsort(h)
+        return h[order], c[order], total
+
+    uh, uc, _ = head(0, vocab_size)
+    bh, bc, _ = head(1, bigram_size)
+    # total over ALL unigram occurrences (not just the kept head)
+    total = int(counts.filter(expr="kind == 0").sum("c") or 0)
+    return BigramLM(uni_hashes=uh, uni_counts=uc, bi_hashes=bh,
+                    bi_counts=bc, total_tokens=total, alpha=alpha,
+                    lam=lam)
