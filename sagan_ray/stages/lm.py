@@ -22,8 +22,9 @@ Scale shape (100 TB corpus):
 
 Token hashing reuses the vectorized MinHash shingle kernel with k=1
 (`dedup._batch_shingle_hashes`), so tokens are whitespace words hashed
-with the same blake2b-mod-Mersenne function the dedup family uses (and
-that the pure-Python differential in the tests mirrors exactly).
+with the same vectorized siphash + shingle-mix the dedup family uses
+(the pure-Python differentials call the kernel rather than
+reimplementing the hash).
 
 Model: p(tok) = count/total for the top-V vocabulary; out-of-vocabulary
 tokens score ``ln(alpha/total)`` (``alpha`` pseudo-occurrences — a
@@ -160,7 +161,7 @@ def lm_score(ds, model, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def lm_importance(ds, target: UnigramLM, background: UnigramLM,
+def lm_importance(ds, target, background,
                   text_col: str = "text", keep_text: bool = True):
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per-doc mean token
@@ -187,7 +188,7 @@ def lm_importance(ds, target: UnigramLM, background: UnigramLM,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def lm_filter_stage(ds, model: UnigramLM, min_logprob: float,
+def lm_filter_stage(ds, model, min_logprob: float,
                     text_col: str = "text"):
     """CCNet head-keep: drop documents whose mean token logprob under the
     reference model is below ``min_logprob``. Map-only gate; rows pass
@@ -226,9 +227,10 @@ class BigramLM:
 
     with ``p_uni`` the unigram head (+ alpha OOV floor), so the mixture
     is strictly positive and the first token of each document scores
-    pure unigram. Same broadcast shape as :class:`UnigramLM`: three
-    sorted hash arrays + aligned counts — plasma-shareable, probed with
-    searchsorted, no Python in the score path."""
+    pure unigram. Same broadcast shape as :class:`UnigramLM`: two
+    sorted hash arrays (uni/bi) + aligned count arrays —
+    plasma-shareable, probed with searchsorted, no Python in the score
+    path."""
 
     uni_hashes: np.ndarray    # sorted uint64, len <= vocab_size
     uni_counts: np.ndarray    # float64 raw counts aligned
@@ -262,11 +264,16 @@ class BigramLM:
         sh, starts = _batch_shingle_hashes(list(texts), k=1)
         n_docs = len(texts)
         n_tok = np.diff(starts).astype(np.int64)
-        oov = float(np.log((1.0 - self.lam) * self.alpha
-                           / max(self.total_tokens, 1)))
+        # empty docs take the same pure-unigram OOV floor as UnigramLM
+        # (drop-in interchangeability: an empty doc must not score below
+        # a doc of pure OOV garbage)
+        oov = float(np.log(self.alpha / max(self.total_tokens, 1)))
         if len(sh) == 0:
             return n_tok, np.full(n_docs, oov)
-        p_uni = self._p_uni(sh)
+        # ONE vocab probe for the whole batch; the context lookup below
+        # slices it instead of re-probing N-1 of the same hashes
+        c_all, hit_all = self._uni_lookup(sh)
+        p_uni = c_all / float(max(self.total_tokens, 1))
         # token-level interpolated prob; first-token-of-doc = pure uni
         p = (1.0 - self.lam) * p_uni
         if len(sh) > 1:
@@ -274,7 +281,7 @@ class BigramLM:
             # context count c(v): the bigram term only fires when the
             # CONTEXT is in the unigram head (an OOV context has no
             # count — dividing by the alpha floor could yield p > 1)
-            c_prev, prev_hit = self._uni_lookup(sh[:-1])
+            c_prev, prev_hit = c_all[:-1], hit_all[:-1]
             if len(self.bi_hashes):
                 hit, idx = sorted_isin(self.bi_hashes, bh, return_pos=True)
                 c_bi = np.where(hit, self.bi_counts[idx], 0.0)
@@ -374,16 +381,15 @@ def train_bigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
         tt = collect_table(top)
         if tt is None or tt.num_rows == 0:
             return (np.array([], dtype=np.uint64),
-                    np.array([], dtype=np.float64), 0)
+                    np.array([], dtype=np.float64))
         h = (tt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
              ^ np.uint64(1 << 63))
         c = tt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        total = int(c.sum())
         order = np.argsort(h)
-        return h[order], c[order], total
+        return h[order], c[order]
 
-    uh, uc, _ = head(0, vocab_size)
-    bh, bc, _ = head(1, bigram_size)
+    uh, uc = head(0, vocab_size)
+    bh, bc = head(1, bigram_size)
     # total over ALL unigram occurrences (not just the kept head)
     total = int(counts.filter(expr="kind == 0").sum("c") or 0)
     return BigramLM(uni_hashes=uh, uni_counts=uc, bi_hashes=bh,

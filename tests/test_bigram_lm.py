@@ -18,9 +18,9 @@ def _docs():
 
 
 def _tok_hash(word: str) -> int:
-    """The repo's token hash: blake2b-mod-Mersenne via the shingle
-    kernel at k=1 (call the vectorized kernel per word — the mirror
-    must share the hash, not reimplement it)."""
+    """The repo's token hash via the k=1 shingle kernel (vectorized
+    siphash + shingle mix) — the mirror must CALL the kernel, not
+    reimplement the hash."""
     from sagan_ray.stages.dedup import _batch_shingle_hashes
 
     sh, _ = _batch_shingle_hashes([word], k=1)
@@ -56,7 +56,7 @@ def _mirror(train_docs, score_docs, vocab_size, bigram_size, alpha, lam):
     for d in score_docs:
         ws = [_tok_hash(w) for w in d.split()]
         if not ws:
-            out.append(np.log((1 - lam) * alpha / total))
+            out.append(np.log(alpha / total))  # pure-unigram OOV floor
             continue
         lps = [np.log(p_uni(ws[0]))]
         for a, b in zip(ws, ws[1:]):
