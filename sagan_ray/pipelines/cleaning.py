@@ -100,6 +100,9 @@ def _chain_units(
     normalize: bool = False,
     span_min_docs: int | None = None,
     span_k: int = 10,
+    embedding_col: str | None = None,
+    semdedup_eps: float = 0.03,
+    semdedup_clusters: int = 64,
 ) -> list[tuple[str, object]]:
     """The cleaning chain as named (stage, Dataset -> Dataset) units —
     the shared plan behind :func:`clean_corpus` (object-store pins
@@ -179,10 +182,22 @@ def _chain_units(
 
         return cap_per_key(ds, key_col, key_cap, id_col=id_col)
 
+    def sem_dedup(ds):
+        # SemDeDup AFTER the textual dedups: exact/near dedup already
+        # removed literal copies cheaply (hash shuffles); the embedding
+        # pass then only pays its vector exchange for what text-level
+        # dedup cannot see (translations, templated rewrites).
+        # Requires ``embedding_col`` to ride the input schema.
+        return _dedup.semdedup(ds, vec_col=embedding_col, id_col=id_col,
+                               eps=semdedup_eps,
+                               n_clusters=semdedup_clusters)
+
     units: list[tuple[str, object]] = [
         ("gates", gates), ("exact_dedup", exact_dedup)]
     if near_dup_threshold is not None:
         units.append(("near_dedup", near_dedup))
+    if embedding_col is not None:
+        units.append(("sem_dedup", sem_dedup))
     if span_min_docs is not None:
         units.append(("span_mask", span_mask))
     if key_cap is not None:

@@ -334,3 +334,42 @@ def test_clean_corpus_run_rejects_changed_plan(ray_session, tmp_path):
     kw2 = dict(_RUN_KW, min_tokens=6)
     with pytest.raises(ValueError, match="DIFFERENT"):
         clean_corpus_run(files, run_dir, **kw2)
+
+
+def test_clean_corpus_semdedup_stage(ray_session):
+    """embedding_col wires SemDeDup into the chain AFTER the textual
+    dedups: a semantic twin (different text, near-identical embedding)
+    survives exact+minhash dedup but falls to the embedding stage."""
+    import numpy as np
+    import ray.data as rd
+
+    from sagan_ray.pipelines.cleaning import clean_corpus
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(16); base /= np.linalg.norm(base)
+    twin = base + rng.randn(16) * 0.005; twin /= np.linalg.norm(twin)
+    others = rng.randn(3, 16)
+    others /= np.linalg.norm(others, axis=1, keepdims=True)
+    docs = [
+        (0, "the original prose about distributed engines", base),
+        (1, "a paraphrase with wholly different words", twin),
+        (2, "first unrelated document body", others[0]),
+        (3, "second unrelated document body", others[1]),
+        (4, "third unrelated document body", others[2]),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+        "text": [d[1] for d in docs],
+        "vec": pa.array([d[2].tolist() for d in docs],
+                        type=pa.list_(pa.float64())),
+    })
+    out = clean_corpus(
+        rd.from_arrow(t), url_col=None, min_tokens=None,
+        max_dup_line_frac=None, near_dup_threshold=0.8,
+        embedding_col="vec", semdedup_eps=0.02, semdedup_clusters=2,
+    ).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    # one of the semantic twins is gone; everything else survives
+    assert len([i for i in kept if i in (0, 1)]) == 1
+    assert {2, 3, 4} <= set(kept)
+    assert sorted(out.columns) == ["doc_id", "text", "vec"]
