@@ -395,3 +395,140 @@ def train_bigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
     return BigramLM(uni_hashes=uh, uni_counts=uc, bi_hashes=bh,
                     bi_counts=bc, total_tokens=total, alpha=alpha,
                     lam=lam)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document features (same hashed-vocab machinery)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DocFreqTable:
+    """Broadcastable document-frequency head: sorted token hashes +
+    df counts over ``n_docs`` documents. Tokens outside the head score
+    idf as if df = ``df_floor`` (rare -> high idf, capped)."""
+
+    hashes: np.ndarray
+    df: np.ndarray
+    n_docs: int
+    df_floor: float = 1.0
+
+    def idf(self, h: np.ndarray) -> np.ndarray:
+        from ..functions.collect import sorted_isin
+
+        if len(self.hashes):
+            hit, idx = sorted_isin(self.hashes, h, return_pos=True)
+            df = np.where(hit, self.df[idx], self.df_floor)
+        else:
+            df = np.full(len(h), self.df_floor)
+        # smoothed idf: ln((1+N)/(1+df)) + 1 (sklearn's convention)
+        return np.log((1.0 + self.n_docs) / (1.0 + df)) + 1.0
+
+
+def train_doc_freq(ds, text_col: str = "text",
+                   vocab_size: int = 1 << 20,
+                   min_df: int = 1) -> DocFreqTable:
+    """One corpus scan -> per-block (hash, doc-deduped count) partials
+    -> ONE hashes-only exchange -> top-``vocab_size`` head by (df desc,
+    hash asc). Same scale shape as :func:`train_unigram_lm`; counting is
+    DOCUMENT frequency (within-doc repeats dedup before the partial,
+    the frequent-line rule)."""
+    from .correlate import _n_buckets, shuffle_groups
+
+    nb = np.uint64(_n_buckets())
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, starts = _batch_shingle_hashes(t[text_col].to_pylist(), k=1)
+        if len(sh) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "gb": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.arange(len(starts) - 1, dtype=np.int64),
+                           np.diff(starts))
+        order = np.lexsort((sh, doc_of))
+        d_s, h_s = doc_of[order], sh[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        u, c = np.unique(h_s[first], return_counts=True)
+        h_key = (u ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"h": pa.array(h_key),
+                         "c": pa.array(c.astype(np.int64)),
+                         "gb": pa.array((u % nb).astype(np.int64))})
+
+    def sum_fn(t: pa.Table) -> pa.Table:
+        from .correlate import reduceat_sum
+
+        u, sums = reduceat_sum(t["h"].to_numpy(zero_copy_only=False),
+                               t["c"].to_numpy(zero_copy_only=False))
+        keep = sums >= min_df
+        return pa.table({"h": pa.array(u[keep]),
+                         "c": pa.array(sums[keep])})
+
+    counts = shuffle_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), "gb", sum_fn,
+        batch_format="pyarrow").materialize()
+    n_docs = int(ds.count())
+    top = counts.sort(["c", "h"], descending=[True, False]).limit(vocab_size)
+    from ..functions.collect import collect_table
+
+    tt = collect_table(top)
+    if tt is None or tt.num_rows == 0:
+        return DocFreqTable(hashes=np.array([], dtype=np.uint64),
+                            df=np.array([], dtype=np.float64),
+                            n_docs=n_docs)
+    h = (tt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+         ^ np.uint64(1 << 63))
+    c = tt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(h)
+    return DocFreqTable(hashes=h[order], df=c[order], n_docs=n_docs)
+
+
+def tfidf_stage(ds, table: DocFreqTable, text_col: str = "text",
+                keep_text: bool = True):
+    """Append per-doc TF-IDF features: ``tfidf_mean`` / ``tfidf_max``
+    over the doc's DISTINCT terms (tf = in-doc count / doc length) and
+    ``n_distinct_terms``. Map-only; the DF head broadcasts once. The
+    scores feed quality gates or :func:`..stages.pack.select_top_tokens`
+    the same way ``lm_logprob`` does."""
+    import ray
+
+    ref = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        tab = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        sh, starts = _batch_shingle_hashes(texts, k=1)
+        n_docs = len(texts)
+        mean_s = np.zeros(n_docs)
+        max_s = np.zeros(n_docs)
+        n_dist = np.zeros(n_docs, dtype=np.int64)
+        if len(sh):
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                               np.diff(starts))
+            order = np.lexsort((sh, doc_of))
+            d_s, h_s = doc_of[order], sh[order]
+            first = np.ones(len(h_s), dtype=bool)
+            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            st = np.flatnonzero(first)
+            seg_len = np.diff(np.r_[st, len(h_s)])  # tf counts
+            d_u, h_u = d_s[st], h_s[st]
+            doc_len = np.diff(starts).astype(np.float64)
+            tf = seg_len / doc_len[d_u]
+            w = tf * tab.idf(h_u)
+            # per-doc mean/max over distinct terms (reduceat on the
+            # distinct-term segments per doc)
+            dst = np.flatnonzero(np.r_[True, d_u[1:] != d_u[:-1]])
+            sums = np.add.reduceat(w, dst)
+            maxs = np.maximum.reduceat(w, dst)
+            cnts = np.diff(np.r_[dst, len(w)])
+            docs_here = d_u[dst]
+            mean_s[docs_here] = sums / cnts
+            max_s[docs_here] = maxs
+            n_dist[docs_here] = cnts
+        if not keep_text:
+            t = t.drop_columns([text_col])
+        return (t.append_column("n_distinct_terms", pa.array(n_dist))
+                .append_column("tfidf_mean", pa.array(mean_s))
+                .append_column("tfidf_max", pa.array(max_s)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
