@@ -134,3 +134,70 @@ def decode_stage(ds, cls=DecodeImageStub, batch_size: int = 256,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class AudioFeatures:
+    """audio payload binary -> (sample_rate, n_channels, duration_s,
+    energy vector) — a REAL WAV path with zero external deps.
+
+    Unlike the image/video stages (whose real decoders need wheels this
+    container may lack), WAV parsing is stdlib (``wave``): header gives
+    rate/channels/frames, and the PCM body yields an ``n_bins`` RMS
+    energy profile (the MFCC-shaped fixed-width feature layout a real
+    audio frontend would emit) via one numpy pass. Non-WAV / corrupt
+    payloads flag-and-keep as NULLs, same as :class:`DecodeImage` —
+    a bad blob never kills the batch. Only 16-bit PCM bodies get the
+    energy profile (the overwhelmingly common case); other widths keep
+    header metadata with a NULL profile.
+
+    Actor-pool stage (``decode_stage(ds, cls=AudioFeatures)``): small
+    batches for binary payloads, setup once per actor.
+    """
+
+    def __init__(self, payload_col: str = "html", n_bins: int = 16):
+        self.payload_col = payload_col
+        self.n_bins = n_bins
+
+    def _one(self, payload: bytes):
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                sr = w.getframerate()
+                ch = w.getnchannels()
+                nf = w.getnframes()
+                width = w.getsampwidth()
+                dur = nf / sr if sr else 0.0
+                prof = None
+                if width == 2 and nf:
+                    pcm = np.frombuffer(w.readframes(nf), dtype=np.int16)
+                    if ch > 1:
+                        pcm = pcm[: (len(pcm) // ch) * ch].reshape(-1, ch)
+                        pcm = pcm.mean(axis=1)
+                    pcm = pcm.astype(np.float64) / 32768.0
+                    # n_bins RMS windows over the whole clip
+                    edges = np.linspace(0, len(pcm), self.n_bins + 1,
+                                        dtype=np.int64)
+                    prof = [
+                        float(np.sqrt(np.mean(pcm[a:b] ** 2)))
+                        if b > a else 0.0
+                        for a, b in zip(edges[:-1], edges[1:])
+                    ]
+            return sr, ch, dur, prof
+        except Exception:
+            return None, None, None, None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in t[self.payload_col].to_pylist()]
+        rows = [self._one(p) for p in payloads]
+        sr, ch, dur, prof = zip(*rows) if rows else ((), (), (), ())
+        return pa.table({
+            "url": t["url"],
+            "n_bytes": pa.array([len(p) for p in payloads],
+                                type=pa.int64()),
+            "sample_rate": pa.array(list(sr), type=pa.int32()),
+            "n_channels": pa.array(list(ch), type=pa.int32()),
+            "duration_s": pa.array(list(dur), type=pa.float64()),
+            "energy": pa.array(list(prof), type=pa.list_(pa.float32())),
+        })
