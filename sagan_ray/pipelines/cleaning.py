@@ -12,11 +12,16 @@ them (cheapest gate first, so each stage sees fewer rows):
  -> cross-corpus dedup         (drop rows already in a released set)
  -> exact dedup                (128-bit content digest keeper filter)
  -> near-dup dedup             (MinHash-LSH clusters, keeper anti-join)
+ -> semantic dedup             (optional, ``embedding_col``: SemDeDup
+                                over an embedding column — catches what
+                                text-level dedup cannot see)
+ -> duplicate-span masking     (optional, ``span_min_docs``)
  -> per-key cap                (RefinedWeb-style domain cap, post-dedup)
 
-Every stage is map-only except the three dedups (hash-keyed shuffles of
-ids/digests — text never rides an exchange) and the boilerplate count
-(one line-hash groupby). Stages toggle independently; defaults are the
+Every stage is map-only except the dedups (hash-keyed shuffles of
+ids/digests — text never rides an exchange; SemDeDup additionally
+co-locates vectors per cluster) and the boilerplate count (one
+line-hash groupby). Stages toggle independently; defaults are the
 published C4/Gopher-ish settings scaled to the synthetic corpus.
 """
 from __future__ import annotations

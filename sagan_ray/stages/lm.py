@@ -402,6 +402,21 @@ def train_bigram_lm(ds, text_col: str = "text", vocab_size: int = 1 << 16,
 # ---------------------------------------------------------------------------
 
 
+def _doc_term_segments(sh: np.ndarray,
+                       doc_of: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Distinct-(doc, term) segmentation of a flat token-hash array:
+    returns ``(d_u, h_u, tf_counts)`` — one row per distinct term per
+    doc with its in-doc count — via one lexsort. Shared by the DF
+    trainer and the TF-IDF scorer (one convention, one place)."""
+    order = np.lexsort((sh, doc_of))
+    d_s, h_s = doc_of[order], sh[order]
+    first = np.ones(len(h_s), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    st = np.flatnonzero(first)
+    seg_len = np.diff(np.r_[st, len(h_s)])
+    return d_s[st], h_s[st], seg_len
+
+
 @dataclass(frozen=True)
 class DocFreqTable:
     """Broadcastable document-frequency head: sorted token hashes +
@@ -428,46 +443,60 @@ class DocFreqTable:
 def train_doc_freq(ds, text_col: str = "text",
                    vocab_size: int = 1 << 20,
                    min_df: int = 1) -> DocFreqTable:
-    """One corpus scan -> per-block (hash, doc-deduped count) partials
-    -> ONE hashes-only exchange -> top-``vocab_size`` head by (df desc,
-    hash asc). Same scale shape as :func:`train_unigram_lm`; counting is
-    DOCUMENT frequency (within-doc repeats dedup before the partial,
-    the frequent-line rule)."""
+    """TRUE one-corpus-scan train: per-block partials carry both the
+    doc-deduped term counts (kind 0) AND the block's document count
+    (kind 1) through the SAME hashes-only exchange — no second
+    ``ds.count()`` pass re-executing the input lineage. Head =
+    top-``vocab_size`` by (df desc, hash asc); DF counting dedups
+    within-doc repeats first (the frequent-line rule)."""
     from .correlate import _n_buckets, shuffle_groups
 
     nb = np.uint64(_n_buckets())
 
     def partial(t: pa.Table) -> pa.Table:
         sh, starts = _batch_shingle_hashes(t[text_col].to_pylist(), k=1)
+        n_block_docs = len(starts) - 1
+        dc = pa.table({"h": pa.array([0], pa.int64()),
+                       "c": pa.array([n_block_docs], pa.int64()),
+                       "kind": pa.array([1], pa.int8()),
+                       "gb": pa.array([int(nb) - 1], pa.int64())})
         if len(sh) == 0:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64()),
-                             "gb": pa.array([], pa.int64())})
-        doc_of = np.repeat(np.arange(len(starts) - 1, dtype=np.int64),
+            return dc
+        doc_of = np.repeat(np.arange(n_block_docs, dtype=np.int64),
                            np.diff(starts))
-        order = np.lexsort((sh, doc_of))
-        d_s, h_s = doc_of[order], sh[order]
-        first = np.ones(len(h_s), dtype=bool)
-        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        u, c = np.unique(h_s[first], return_counts=True)
+        _d_u, u, c = _doc_term_segments(sh, doc_of)
+        # distinct terms per doc -> per-block DF partial
+        u, c = np.unique(u, return_counts=True)
         h_key = (u ^ np.uint64(1 << 63)).view(np.int64)
-        return pa.table({"h": pa.array(h_key),
-                         "c": pa.array(c.astype(np.int64)),
-                         "gb": pa.array((u % nb).astype(np.int64))})
+        terms = pa.table({
+            "h": pa.array(h_key),
+            "c": pa.array(c.astype(np.int64)),
+            "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
+            "gb": pa.array((u % nb).astype(np.int64)),
+        })
+        return pa.concat_tables([terms, dc])
 
     def sum_fn(t: pa.Table) -> pa.Table:
-        from .correlate import reduceat_sum
-
-        u, sums = reduceat_sum(t["h"].to_numpy(zero_copy_only=False),
-                               t["c"].to_numpy(zero_copy_only=False))
-        keep = sums >= min_df
-        return pa.table({"h": pa.array(u[keep]),
-                         "c": pa.array(sums[keep])})
+        h = t["h"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, k))
+        hk, kk, cc = h[order], k[order], c[order]
+        first = np.ones(len(hk), dtype=bool)
+        first[1:] = (hk[1:] != hk[:-1]) | (kk[1:] != kk[:-1])
+        st = np.flatnonzero(first)
+        sums = np.add.reduceat(cc, st) if len(st) else cc[:0]
+        hk, kk = hk[st], kk[st]
+        keep = (kk == 1) | (sums >= min_df)  # min_df gates TERMS only
+        return pa.table({"h": pa.array(hk[keep]),
+                         "c": pa.array(sums[keep]),
+                         "kind": pa.array(kk[keep].astype(np.int8))})
 
     counts = shuffle_groups(
         ds.map_batches(partial, batch_format="pyarrow"), "gb", sum_fn,
         batch_format="pyarrow").materialize()
-    n_docs = int(ds.count())
+    n_docs = int(counts.filter(expr="kind == 1").sum("c") or 0)
+    counts = counts.filter(expr="kind == 0")
     top = counts.sort(["c", "h"], descending=[True, False]).limit(vocab_size)
     from ..functions.collect import collect_table
 
@@ -505,13 +534,7 @@ def tfidf_stage(ds, table: DocFreqTable, text_col: str = "text",
         if len(sh):
             doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
                                np.diff(starts))
-            order = np.lexsort((sh, doc_of))
-            d_s, h_s = doc_of[order], sh[order]
-            first = np.ones(len(h_s), dtype=bool)
-            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-            st = np.flatnonzero(first)
-            seg_len = np.diff(np.r_[st, len(h_s)])  # tf counts
-            d_u, h_u = d_s[st], h_s[st]
+            d_u, h_u, seg_len = _doc_term_segments(sh, doc_of)
             doc_len = np.diff(starts).astype(np.float64)
             tf = seg_len / doc_len[d_u]
             w = tf * tab.idf(h_u)

@@ -171,19 +171,30 @@ class AudioFeatures:
                 dur = nf / sr if sr else 0.0
                 prof = None
                 if width == 2 and nf:
-                    pcm = np.frombuffer(w.readframes(nf), dtype=np.int16)
-                    if ch > 1:
-                        pcm = pcm[: (len(pcm) // ch) * ch].reshape(-1, ch)
-                        pcm = pcm.mean(axis=1)
-                    pcm = pcm.astype(np.float64) / 32768.0
-                    # n_bins RMS windows over the whole clip
-                    edges = np.linspace(0, len(pcm), self.n_bins + 1,
-                                        dtype=np.int64)
-                    prof = [
-                        float(np.sqrt(np.mean(pcm[a:b] ** 2)))
-                        if b > a else 0.0
-                        for a, b in zip(edges[:-1], edges[1:])
-                    ]
+                    # body decode has its OWN fallback: a valid header
+                    # over a truncated/odd PCM chunk keeps the header
+                    # metadata with a NULL profile (the documented
+                    # contract), instead of nulling the whole row
+                    try:
+                        raw = w.readframes(nf)
+                        pcm = np.frombuffer(
+                            raw[: (len(raw) // 2) * 2], dtype=np.int16)
+                        if ch > 1:
+                            pcm = pcm[: (len(pcm) // ch) * ch].reshape(
+                                -1, ch)
+                            pcm = pcm.mean(axis=1)
+                        pcm = pcm.astype(np.float64) / 32768.0
+                        # n_bins RMS windows over the whole clip
+                        edges = np.linspace(0, len(pcm),
+                                            self.n_bins + 1,
+                                            dtype=np.int64)
+                        prof = [
+                            float(np.sqrt(np.mean(pcm[a:b] ** 2)))
+                            if b > a else 0.0
+                            for a, b in zip(edges[:-1], edges[1:])
+                        ]
+                    except Exception:
+                        prof = None
             return sr, ch, dur, prof
         except Exception:
             return None, None, None, None

@@ -29,7 +29,6 @@ def test_audio_features_real_wav(ray_session):
 
     # half of the clip is silence: the energy profile must see it
     loud = _wav_bytes(seconds=0.25)
-    silent_tail = loud + b""  # build combined manually below
     n = int(8000 * 0.25)
     pcm = np.frombuffer(loud[-n * 2:], dtype=np.int16)
     combined = np.concatenate([pcm, np.zeros(n, dtype=np.int16)])
@@ -61,3 +60,42 @@ def test_audio_features_real_wav(ray_session):
     # corrupt blob: NULLs, row kept
     assert out["d"]["duration_s"] is None
     assert out["d"]["energy"] is None
+
+
+def test_audio_truncated_pcm_keeps_header():
+    """A valid header over a malformed PCM body keeps the header
+    metadata with a NULL profile (the documented flag-and-keep split),
+    instead of nulling the whole row."""
+    from sagan_ray.stages.multimodal import AudioFeatures
+
+    good = _wav_bytes(seconds=0.1)
+    # declare MANY more frames than the body holds, then truncate the
+    # data chunk to an odd byte count: wave yields a short/odd body
+    broken = bytearray(good[:60])  # header + a sliver of data
+    # patch the RIFF size so wave still opens it
+    import struct
+    struct.pack_into("<I", broken, 4, len(broken) - 8)
+    af = AudioFeatures()
+    sr, ch, dur, prof = af._one(bytes(broken))
+    assert sr == 8000 and ch == 1 and dur > 0
+    # body decode may or may not salvage a sliver — but a hard body
+    # failure must never null the header; force one via a monkeypatched
+    # reader to pin the contract exactly
+    class _W:
+        def __enter__(self): return self
+        def __exit__(self, *a): return False
+        def getframerate(self): return 44100
+        def getnchannels(self): return 2
+        def getnframes(self): return 441
+        def getsampwidth(self): return 2
+        def readframes(self, n): raise EOFError("truncated data chunk")
+    import wave as _wave
+    orig = _wave.open
+    _wave.open = lambda *_a, **_k: _W()
+    try:
+        sr2, ch2, dur2, prof2 = af._one(b"xx")
+    finally:
+        _wave.open = orig
+    assert (sr2, ch2) == (44100, 2)
+    assert abs(dur2 - 0.01) < 1e-9
+    assert prof2 is None

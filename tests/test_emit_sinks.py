@@ -158,5 +158,7 @@ def test_engine_config_syslog_re_emit(ray_session, tmp_path):
     # loaded suite can overflow even a large loopback RCVBUF — assert
     # substantial arrival, not exactness
     assert manifest["syslog"] == {"n_ok": n_routed, "n_fail": 0}
-    assert len(got) >= n_routed // 2
+    # upper bound stays exact: loopback UDP never duplicates, so a
+    # double-emitting sink regression still fails here
+    assert n_routed // 2 <= len(got) <= n_routed
     assert all(b"ray-node sagan_ray:" in g for g in got[:20])
