@@ -64,6 +64,9 @@ def _ipv4_u32(col, n: int) -> np.ndarray:
     has no address)."""
     if col is None:
         return np.zeros(n, dtype=np.uint32)
+    typ = col.type
+    if pa.types.is_null(typ):  # all-null column infers `null` type
+        return np.zeros(n, dtype=np.uint32)
     s = pc.fill_null(col, "")
     m = pc.extract_regex(
         s, r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")

@@ -131,3 +131,51 @@ def test_unified2_ns_timestamps_normalize():
     os.unlink(p)
     us = evs[0]["event_second"] * 1_000_000 + evs[0]["event_microsecond"]
     assert us == 1_700_000_000_000_000
+
+
+def test_unified2_pack_read_fuzz():
+    """Property fuzz: arbitrary alert field values survive the binary
+    round-trip (clamps and zero-fills included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sagan_ray.stages.unified2 import pack_unified2, read_unified2
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 2**31 - 1),          # sid
+                  st.integers(-5, 80000),             # src_port (clamped)
+                  st.sampled_from(["tcp", "udp", "icmp", "", "x"]),
+                  st.one_of(st.none(), st.ip_addresses(v=4).map(str),
+                            st.just("bogus"))),
+        min_size=1, max_size=20))
+    def prop(rows):
+        import tempfile
+
+        t = pa.table({
+            "url": [f"u{i}" for i in range(len(rows))],
+            "sid": pa.array([r[0] for r in rows], type=pa.int64()),
+            "src_port": pa.array([r[1] for r in rows], type=pa.int32()),
+            "proto": [r[2] for r in rows],
+            "src_ip": pa.array([r[3] for r in rows],
+                               type=pa.string()),
+        })
+        payload, _ = pack_unified2(t)
+        with tempfile.NamedTemporaryFile(suffix=".log",
+                                         delete=False) as f:
+            f.write(payload)
+            p = f.name
+        evs = read_unified2(p)
+        os.unlink(p)
+        assert len(evs) == len(rows)
+        for ev, r in zip(evs, rows):
+            assert ev["signature_id"] == r[0]
+            assert ev["sport_itype"] == min(max(r[1], 0), 65535)
+            exp_proto = {"tcp": 6, "udp": 17, "icmp": 1}.get(r[2], 0)
+            assert ev["protocol"] == exp_proto
+            if r[3] is None or r[3] == "bogus":
+                assert ev["ip_source"] == "0.0.0.0"
+            else:
+                assert ev["ip_source"] == r[3]
+
+    prop()

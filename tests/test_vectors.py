@@ -49,3 +49,24 @@ def test_vec_matrix_multiple_nulls_pad_nan():
     # all-null column: zero-dim rows, no crash
     allnull = pa.array([None, None], type=pa.list_(pa.float64()))
     assert vec_matrix(allnull).shape == (2, 0)
+
+
+def test_vec_matrix_round_trip_fuzz():
+    """Property fuzz: arbitrary (n, dim) float64 matrices round-trip
+    bit-exactly through matrix_to_list_array -> vec_matrix, including
+    slices of the resulting ListArray."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 37), st.integers(1, 19), st.integers(0, 1000))
+    def prop(n, d, seed):
+        m = np.random.RandomState(seed).randn(n, d)
+        arr = matrix_to_list_array(m)
+        np.testing.assert_array_equal(vec_matrix(arr), m)
+        lo = min(n - 1, seed % max(n, 1))
+        sl = arr.slice(lo, max(1, n - lo - (seed % 2)))
+        np.testing.assert_array_equal(vec_matrix(sl),
+                                      m[lo: lo + len(sl)])
+
+    prop()
