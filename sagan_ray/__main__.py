@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="unicode NFC + control-strip before all gates")
     cl.add_argument("--span-min-docs", type=int, default=None,
                     help="mask token spans duplicated across >= N docs")
+    cl.add_argument("--run-dir", default=None,
+                    help="checkpoint directory: each chain unit writes "
+                         "parquet + a lineage record there and a rerun "
+                         "resumes from the last completed unit")
     cl.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -147,8 +151,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.eval_file:
                 with open(args.eval_file) as f:
                     eval_texts = [ln.rstrip("\n") for ln in f if ln.strip()]
-            out = clean_corpus(
-                ds,
+            kw = dict(
                 url_col=args.url_col,
                 eval_texts=eval_texts,
                 min_tokens=args.min_tokens,
@@ -157,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
                 normalize=args.normalize,
                 span_min_docs=args.span_min_docs,
             )
+            if args.run_dir:
+                from .pipelines.cleaning import clean_corpus_run
+
+                out = clean_corpus_run(files, args.run_dir, **kw)
+            else:
+                out = clean_corpus(ds, **kw)
             out.write_parquet(args.out)
             import pyarrow.parquet as _pq
 

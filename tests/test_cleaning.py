@@ -373,3 +373,39 @@ def test_clean_corpus_semdedup_stage(ray_session):
     assert len([i for i in kept if i in (0, 1)]) == 1
     assert {2, 3, 4} <= set(kept)
     assert sorted(out.columns) == ["doc_id", "text", "vec"]
+
+
+def test_cli_clean_run_dir_resumable(tmp_path):
+    """`--run-dir` routes the CLI through the checkpointed runner: a
+    second identical invocation reuses the stage checkpoints (lineage
+    records present, same output counts)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / "cleaned"
+    rd = tmp_path / "ckpt"
+    cmd = [sys.executable, "-m", "sagan_ray", "clean",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--out", str(out), "--run-dir", str(rd), "--num-cpus", "4"]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows_in"] == 500 and 0 < res["rows_out"] < 500
+    recs = [f for f in os.listdir(rd / "_lineage")
+            if f.startswith("part-")]
+    assert len(recs) >= 2  # one per chain unit
+    mtimes = {f: os.path.getmtime(rd / "stages" / "stage=gates" / f)
+              for f in os.listdir(rd / "stages" / "stage=gates")}
+    import shutil
+    shutil.rmtree(out)
+    r2 = subprocess.run(cmd, capture_output=True, text=True,
+                        cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    res2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res2["rows_out"] == res["rows_out"]
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(
+            rd / "stages" / "stage=gates" / f) == mt  # reused
