@@ -1029,3 +1029,33 @@ def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
         return t.append_column(out_col, pa.array(lab, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
+                      id_col: str = "doc_id"):
+    """Keep (up to) ``k`` rows per logical key, chosen by a
+    deterministic splitmix64(id, seed) order — replay- and
+    layout-stable, unlike ``random_shuffle``-based sampling.
+
+    Scale shape: rows ride ONE coarse-bucket co-location exchange
+    (the window family's grouped_apply) and each partition keeps its
+    per-key top-k with one vectorized sort + cumcount — no per-key
+    Python, no global sort. Equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY splitmix64(id))
+    <= k`` (the differential's oracle shape)."""
+    from .correlate import _n_buckets
+    from .window import grouped_apply
+
+    def fn(g):
+        import pandas as pd
+
+        if g.empty:
+            return g
+        order = _shuffle_key(
+            g[id_col].to_numpy(dtype=np.int64), seed)
+        g = g.assign(_ord=order.astype(np.uint64)).sort_values(
+            keys + ["_ord"], kind="mergesort")
+        rn = g.groupby(keys, sort=False).cumcount()
+        return g[rn < k].drop(columns=["_ord"])
+
+    return grouped_apply(ds, keys, fn)

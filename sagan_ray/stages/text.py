@@ -669,3 +669,61 @@ def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
     return copartition_doc_hits(
         ds, hits, id_col, doc_types, build,
         extra_types={} if dst in doc_types else {dst: pa.string()})
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (Dolma/RefinedWeb-style heuristic)
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_batch(t: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """(doc_id, n_chars, compression_ratio): deflate-compressed bytes /
+    utf-8 bytes per document (stdlib zlib — one C call per doc, no
+    Python-level loop work beyond dispatch).
+
+    The published heuristic (used by Dolma / RefinedWeb-class cleaning):
+    highly repetitive or templated text compresses far below prose
+    (~ratio < 0.3), random/encrypted junk barely compresses (> 1.0 with
+    header overhead). Empty docs report ratio 0."""
+    import zlib
+
+    texts = t[text_col].to_pylist()
+    n = len(texts)
+    ratios = np.zeros(n, dtype=np.float64)
+    n_chars = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(texts):
+        if not s:
+            continue
+        raw = s.encode("utf-8", "replace")
+        n_chars[i] = len(s)
+        ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_chars": pa.array(n_chars),
+        "compression_ratio": pa.array(ratios),
+    })
+
+
+def compression_filter_stage(ds, text_col: str = "text",
+                             min_ratio: float = 0.25,
+                             max_ratio: float = 1.1):
+    """Drop documents whose deflate ratio falls outside
+    [min_ratio, max_ratio] — too repetitive (templated spam) or
+    incompressible (binary junk pasted as text). Map-only gate; empty
+    docs (ratio 0) drop with the repetitive band."""
+    import zlib
+
+    def gate(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        keep = np.empty(len(texts), dtype=bool)
+        for i, s in enumerate(texts):
+            if not s:
+                keep[i] = False
+                continue
+            raw = s.encode("utf-8", "replace")
+            r = len(zlib.compress(raw, 6)) / len(raw)
+            keep[i] = min_ratio <= r <= max_ratio
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
