@@ -554,3 +554,117 @@ def top1_fn(keys: list[str], order_desc: str, tiebreak: str) -> Callable:
         return g.groupby(keys, sort=False).head(1)
 
     return fn
+
+
+def hopping_window_agg(ds, keys: list[str], ts_col: str,
+                       window_s: int, hop_s: int, value_col: str,
+                       agg: str = "sum"):
+    """Overlapping (hopping) event-time windows per key: every row
+    joins the ``window_s / hop_s`` windows covering its timestamp, and
+    each (key, window_start) aggregates ``value_col`` with ``agg``
+    (sum / count / mean / max / min). ``hop_s == window_s`` degenerates
+    to tumbling windows.
+
+    Scale shape: the 1-to-(window/hop) explode PRE-AGGREGATES inside
+    the batch (one lexsort + reduceat per partial), so the shuffle
+    carries at most |distinct (key, window)| rows per block — never the
+    exploded row count; a tiny groupby-style exchange merges partials
+    (mean ships (sum, n) and divides after the merge). Window starts
+    are epoch-aligned (``floor(t/hop)*hop``), matching the SQL
+    restatement ``GROUP BY key, ws`` over a generated window series.
+
+    Output: keys + ``window_start`` (timestamp us) + ``<agg>_value``.
+    """
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    if agg not in ("sum", "count", "mean", "max", "min"):
+        raise ValueError(f"unknown agg {agg!r}")
+    n_win = window_s // hop_s
+    nb = np.uint64(_n_buckets())
+    hop_us = np.int64(hop_s * 1_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                **{k: t[k] for k in keys},
+                "ws": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+                "mx": pa.array([], type=pa.float64()),
+                "mn": pa.array([], type=pa.float64()),
+                "gb": pa.array([], type=pa.int64()),
+            })
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        vals = (t[value_col].to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+        kdf = t.select(keys).to_pandas()
+        # integer codes for this batch's key tuples (exact, local)
+        codes = kdf.groupby(keys, sort=False).ngroup().to_numpy()
+        # windows covering t: starts floor(t/hop)*hop - i*hop,
+        # i in [0, n_win)
+        base_ws = (ts // hop_us) * hop_us
+        rep_codes = np.repeat(codes, n_win)
+        rep_vals = np.repeat(vals, n_win)
+        offs = np.tile(np.arange(n_win, dtype=np.int64) * hop_us, n)
+        rep_ws = np.repeat(base_ws, n_win) - offs
+        # batch-local partial per (key, window): lexsort + reduceat
+        order = np.lexsort((rep_ws, rep_codes))
+        ck, wk, vv = rep_codes[order], rep_ws[order], rep_vals[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = (ck[1:] != ck[:-1]) | (wk[1:] != wk[:-1])
+        st = np.flatnonzero(first)
+        sums = np.add.reduceat(vv, st)
+        maxs = np.maximum.reduceat(vv, st)
+        mins = np.minimum.reduceat(vv, st)
+        cnts = np.diff(np.r_[st, len(vv)])
+        # map each partial segment back to an original row holding its
+        # key tuple (replicated index // n_win)
+        orig_row = order[st] // n_win
+        out_keys = {k: pa.array(kdf[k].to_numpy()[orig_row])
+                    for k in keys}
+        h = pd.util.hash_pandas_object(
+            kdf.iloc[orig_row][keys[0]], index=False).to_numpy()
+        for c in keys[1:]:
+            h = h * np.uint64(31) + pd.util.hash_pandas_object(
+                kdf.iloc[orig_row][c], index=False).to_numpy()
+        h = h * np.uint64(31) + wk[st].view(np.uint64)
+        return pa.table({
+            **out_keys,
+            "ws": pa.array(wk[st]),
+            "s": pa.array(sums),
+            "n": pa.array(cnts.astype(np.int64)),
+            "mx": pa.array(maxs),
+            "mn": pa.array(mins),
+            "gb": pa.array((h % nb).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(keys + ["ws"], sort=False)
+        out = grp.agg(s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"),
+                      mn=("mn", "min")).reset_index()
+        if agg == "sum":
+            out["value"] = out["s"]
+        elif agg == "count":
+            out["value"] = out["n"]
+        elif agg == "mean":
+            out["value"] = out["s"] / out["n"]
+        elif agg == "max":
+            out["value"] = out["mx"]
+        else:
+            out["value"] = out["mn"]
+        return out[keys + ["ws", "value"]]
+
+    from .correlate import shuffle_groups
+
+    out = shuffle_groups(ds.map_batches(explode, batch_format="pyarrow"),
+                         "gb", merge)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = t["ws"].cast(pa.timestamp("us"))
+        t = t.set_column(t.column_names.index("ws"), "window_start", ws)
+        return t.rename_columns(
+            keys + ["window_start", f"{agg}_value"])
+
+    return out.map_batches(finish, batch_format="pyarrow")

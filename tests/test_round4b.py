@@ -97,3 +97,58 @@ def test_stratified_sample_matches_row_number_oracle(ray_session):
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
     # schema preserved
     assert sorted(out.columns) == ["doc_id", "host"]
+
+
+def test_hopping_window_agg_matches_pandas_mirror(ray_session):
+    """Exact vs a brute-force pandas mirror (explode every row into its
+    covering windows, then groupby) for all five aggs, including the
+    tumbling degenerate case."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import hopping_window_agg
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    base = pd.Timestamp("2026-02-01")
+    df = pd.DataFrame({
+        "user": rng.choice([f"u{i}" for i in range(9)], size=n),
+        "ts": base + pd.to_timedelta(rng.randint(0, 7200, n), unit="s"),
+        "v": rng.rand(n).round(6),
+    })
+    t = pa.table({
+        "user": pa.array(df["user"]),
+        "ts": pa.array(df["ts"]).cast(pa.timestamp("us")),
+        "v": pa.array(df["v"]),
+    })
+
+    def mirror(window_s, hop_s, agg):
+        n_win = window_s // hop_s
+        rows = []
+        epoch = df["ts"].astype("int64") // 1000  # us
+        base_ws = (epoch // (hop_s * 1_000_000)) * (hop_s * 1_000_000)
+        for i in range(n_win):
+            sub = df.assign(ws=base_ws - i * hop_s * 1_000_000)
+            rows.append(sub)
+        ex = pd.concat(rows)
+        g = ex.groupby(["user", "ws"])["v"]
+        out = getattr(g, agg)().rename("value").reset_index()
+        return out.sort_values(["user", "ws"]).reset_index(drop=True)
+
+    for window_s, hop_s in [(600, 200), (600, 600)]:
+        for agg in ["sum", "count", "mean", "max", "min"]:
+            got = (hopping_window_agg(
+                rd.from_arrow(t).repartition(4), ["user"], "ts",
+                window_s, hop_s, "v", agg=agg).to_pandas())
+            got["ws"] = (got["window_start"].astype("datetime64[ns]")
+                         .astype("int64") // 1000)
+            got = (got[["user", "ws", f"{agg}_value"]]
+                   .rename(columns={f"{agg}_value": "value"})
+                   .sort_values(["user", "ws"]).reset_index(drop=True))
+            exp = mirror(window_s, hop_s, agg)
+            if agg == "count":
+                exp["value"] = exp["value"].astype("int64")
+                got["value"] = got["value"].astype("int64")
+            pd.testing.assert_frame_equal(got, exp, atol=1e-9,
+                                          check_dtype=False), (window_s,
+                                                               hop_s, agg)
