@@ -11,8 +11,8 @@ sort-based shuffle, and each partition runs a single vectorized
 ``pd.merge`` / ``isin`` over all its keys at once.
 
 Semantics parity with ``Dataset.join`` for ``inner``, ``left_outer``,
-``left_semi`` and ``left_anti`` on equality keys with disjoint payload
-names. Output column types equal the INPUT Arrow types (the
+``right_outer``, ``full_outer``, ``left_semi`` and ``left_anti`` on
+equality keys with disjoint payload names. Output column types equal the INPUT Arrow types (the
 ``_cast_block`` contract shared with asof/range joins); right-payload
 ints are nullable only under ``left_outer`` where genuinely unmatched.
 
@@ -29,7 +29,8 @@ import pyarrow as pa
 
 from .window import grouped_apply
 
-_HOW = ("inner", "left_outer", "left_semi", "left_anti")
+_HOW = ("inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti")
 
 
 def join_types(left_types: dict, right_types: dict,
@@ -160,13 +161,18 @@ def equi_join(left, right, on: list[str] | tuple[str, ...],
             return out[out_cols]
         lg = lg.drop(columns=["side"] + rpay)
         rg = rg.drop(columns=["side"] + lpay)
-        if lg.empty or (rg.empty and how == "inner"):
+        pd_how = {"inner": "inner", "left_outer": "left",
+                  "right_outer": "right", "full_outer": "outer"}[how]
+        provably_empty = (
+            (how == "inner" and (lg.empty or rg.empty))
+            or (how == "left_outer" and lg.empty)
+            or (how == "right_outer" and rg.empty)
+            or (how == "full_outer" and lg.empty and rg.empty))
+        if provably_empty:
             out = g.iloc[0:0][out_cols].copy()
         else:
-            out = pd.merge(
-                lg, rg, on=keys, how="inner" if how == "inner" else "left",
-                sort=False,
-            )[out_cols]
+            out = pd.merge(lg, rg, on=keys, how=pd_how,
+                           sort=False)[out_cols]
         for c, d in pd_dtypes.items():
             if d and c in out.columns:
                 out[c] = out[c].astype(d)

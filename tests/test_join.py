@@ -37,16 +37,23 @@ def _canon(df, cols):
     ("left_outer", "SELECT l.*, r.rv, r.rs FROM l LEFT JOIN r USING (k, k2)"),
     ("left_semi", "SELECT * FROM l SEMI JOIN r USING (k, k2)"),
     ("left_anti", "SELECT * FROM l ANTI JOIN r USING (k, k2)"),
+    ("right_outer",
+     "SELECT coalesce(l.k, r.k) AS k, coalesce(l.k2, r.k2) AS k2, "
+     "l.lv, l.ls, r.rv, r.rs FROM l RIGHT JOIN r USING (k, k2)"),
+    ("full_outer",
+     "SELECT coalesce(l.k, r.k) AS k, coalesce(l.k2, r.k2) AS k2, "
+     "l.lv, l.ls, r.rv, r.rs FROM l FULL JOIN r USING (k, k2)"),
 ])
 def test_equi_join_matches_duckdb(ray_session, how, duck):
     import ray.data as rd
 
     left, right = _mk()
-    out = equi_join(
+    out_ds = equi_join(
         rd.from_pandas(left, override_num_blocks=7),
         rd.from_pandas(right, override_num_blocks=5),
         on=("k", "k2"), how=how,
-    ).to_pandas()
+    ).materialize()
+    out = out_ds.to_pandas()
     con = duckdb.connect()
     con.register("l", left)
     con.register("r", right)
@@ -55,8 +62,13 @@ def test_equi_join_matches_duckdb(ray_session, how, duck):
     got_c, exp_c = _canon(out, cols), _canon(exp, cols)
     assert len(got_c) == len(exp_c), (how, len(got_c), len(exp_c))
     pd.testing.assert_frame_equal(got_c, exp_c, check_dtype=False)
-    # int payload must stay integer (nullable only under left_outer)
-    assert str(out["lv"].dtype) in ("int64", "Int64")
+    # int payload must stay integer ARROW-side; pandas renders
+    # int64-with-nulls as float64, and under right/full outer the LEFT
+    # payload is legitimately nullable — assert the Arrow schema
+    assert pa.types.is_integer(out_ds.schema().base_schema.field("lv").type) \
+        if hasattr(out_ds.schema(), "base_schema") else True
+    if how not in ("right_outer", "full_outer"):
+        assert str(out["lv"].dtype) in ("int64", "Int64")
     if how in ("inner", "left_outer"):
         assert str(out["rv"].dtype) in ("int64", "Int64", "float64") or True
         # arrow-side check: no float degradation for the inner join
@@ -109,7 +121,8 @@ def _frames(draw):
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(_frames(), st.sampled_from(["inner", "left_outer", "left_semi",
+@given(_frames(), st.sampled_from(["inner", "left_outer", "right_outer",
+                                   "full_outer", "left_semi",
                                    "left_anti"]))
 def test_equi_join_property_vs_pandas(ray_session, frames, how):
     import ray.data as rd
@@ -124,6 +137,10 @@ def test_equi_join_property_vs_pandas(ray_session, frames, how):
         exp = left.merge(right, on="k", how="inner")
     elif how == "left_outer":
         exp = left.merge(right, on="k", how="left")
+    elif how == "right_outer":
+        exp = left.merge(right, on="k", how="right")
+    elif how == "full_outer":
+        exp = left.merge(right, on="k", how="outer")
     elif how == "left_semi":
         exp = left[left["k"].isin(right["k"])]
     else:
