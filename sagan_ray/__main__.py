@@ -141,7 +141,6 @@ def main(argv: list[str] | None = None) -> int:
             if not files:
                 print(f"no input files match {args.input!r}", file=sys.stderr)
                 return 2
-            ds = read_parquet_clean(files)
             # rows_in from parquet footers — a Dataset.count() here
             # would pay a full extra scan purely for the report line
             import pyarrow.parquet as _pqm
@@ -165,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
 
                 out = clean_corpus_run(files, args.run_dir, **kw)
             else:
-                out = clean_corpus(ds, **kw)
+                out = clean_corpus(read_parquet_clean(files), **kw)
             out.write_parquet(args.out)
             import pyarrow.parquet as _pq
 

@@ -13,8 +13,10 @@ sort-based shuffle, and each partition runs a single vectorized
 Semantics parity with ``Dataset.join`` for ``inner``, ``left_outer``,
 ``right_outer``, ``full_outer``, ``left_semi`` and ``left_anti`` on
 equality keys with disjoint payload names. Output column types equal the INPUT Arrow types (the
-``_cast_block`` contract shared with asof/range joins); right-payload
-ints are nullable only under ``left_outer`` where genuinely unmatched.
+``_cast_block`` contract shared with asof/range joins); payload ints
+are nullable only where genuinely unmatched — the right side's under
+``left_outer``/``full_outer``, the left side's under
+``right_outer``/``full_outer``.
 
 Partitioning assumption (same as every hash join): all rows of one join
 key land in one partition — a single pathological hot key can skew a

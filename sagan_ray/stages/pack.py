@@ -1042,20 +1042,25 @@ def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
     per-key top-k with one vectorized sort + cumcount — no per-key
     Python, no global sort. Equivalent to
     ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY splitmix64(id))
-    <= k`` (the differential's oracle shape)."""
-    from .correlate import _n_buckets
+    <= k`` (the differential's oracle shape). Null keys form their own
+    stratum (sampled like any other, never dropped). ``id_col`` values
+    must be unique (the repo-wide id contract) — duplicate ids tie in
+    the order key and the tie-break would be partition-order-dependent.
+
+    For a SINGLE key column, :func:`cap_per_key` with its default
+    order implements the same keeper semantics with a skinnier scale
+    shape (zero-row-shuffle threshold engine); this operator is the
+    multi-key / full-row variant."""
     from .window import grouped_apply
 
     def fn(g):
-        import pandas as pd
-
         if g.empty:
             return g
         order = _shuffle_key(
             g[id_col].to_numpy(dtype=np.int64), seed)
         g = g.assign(_ord=order.astype(np.uint64)).sort_values(
             keys + ["_ord"], kind="mergesort")
-        rn = g.groupby(keys, sort=False).cumcount()
+        rn = g.groupby(keys, sort=False, dropna=False).cumcount()
         return g[rn < k].drop(columns=["_ord"])
 
     return grouped_apply(ds, keys, fn)

@@ -676,6 +676,21 @@ def _strip_frequent_lines_join(ds, freq, text_col: str, min_chars: int,
 # ---------------------------------------------------------------------------
 
 
+def _deflate_ratios(texts, level: int):
+    import zlib
+
+    n = len(texts)
+    ratios = np.zeros(n, dtype=np.float64)
+    n_chars = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(texts):
+        if not s:
+            continue
+        raw = s.encode("utf-8", "replace")
+        n_chars[i] = len(s)
+        ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return n_chars, ratios
+
+
 def compression_ratio_batch(t: pa.Table, text_col: str = "text",
                             level: int = 6) -> pa.Table:
     """(doc_id, n_chars, compression_ratio): deflate-compressed bytes /
@@ -686,18 +701,7 @@ def compression_ratio_batch(t: pa.Table, text_col: str = "text",
     highly repetitive or templated text compresses far below prose
     (~ratio < 0.3), random/encrypted junk barely compresses (> 1.0 with
     header overhead). Empty docs report ratio 0."""
-    import zlib
-
-    texts = t[text_col].to_pylist()
-    n = len(texts)
-    ratios = np.zeros(n, dtype=np.float64)
-    n_chars = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(texts):
-        if not s:
-            continue
-        raw = s.encode("utf-8", "replace")
-        n_chars[i] = len(s)
-        ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    n_chars, ratios = _deflate_ratios(t[text_col].to_pylist(), level)
     return pa.table({
         "doc_id": t["doc_id"],
         "n_chars": pa.array(n_chars),
@@ -707,23 +711,19 @@ def compression_ratio_batch(t: pa.Table, text_col: str = "text",
 
 def compression_filter_stage(ds, text_col: str = "text",
                              min_ratio: float = 0.25,
-                             max_ratio: float = 1.1):
+                             max_ratio: float = 1.1, level: int = 6):
     """Drop documents whose deflate ratio falls outside
     [min_ratio, max_ratio] — too repetitive (templated spam) or
     incompressible (binary junk pasted as text). Map-only gate; empty
-    docs (ratio 0) drop with the repetitive band."""
-    import zlib
-
+    docs (ratio 0) drop with the repetitive band. Uses the SAME ratio
+    kernel (and ``level``) as :func:`compression_ratio_batch`, so a
+    threshold profiled from the signal stage gates consistently."""
     def gate(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        keep = np.empty(len(texts), dtype=bool)
-        for i, s in enumerate(texts):
-            if not s:
-                keep[i] = False
-                continue
-            raw = s.encode("utf-8", "replace")
-            r = len(zlib.compress(raw, 6)) / len(raw)
-            keep[i] = min_ratio <= r <= max_ratio
+        _nc, r = _deflate_ratios(texts, level)
+        nonempty = np.fromiter((bool(s) for s in texts), dtype=bool,
+                               count=len(texts))
+        keep = nonempty & (r >= min_ratio) & (r <= max_ratio)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")

@@ -64,8 +64,7 @@ def _ipv4_u32(col, n: int) -> np.ndarray:
     has no address)."""
     if col is None:
         return np.zeros(n, dtype=np.uint32)
-    typ = col.type
-    if pa.types.is_null(typ):  # all-null column infers `null` type
+    if pa.types.is_null(col.type):  # belt-and-braces with pack's guard
         return np.zeros(n, dtype=np.uint32)
     s = pc.fill_null(col, "")
     m = pc.extract_regex(
@@ -115,7 +114,11 @@ def pack_unified2(batch: pa.Table) -> tuple[bytes, dict[str, int]]:
     rec = np.zeros(n, dtype=_EVENT_DT)
     rec["rec_type"] = U2_IDS_EVENT
     rec["rec_len"] = 52
-    cols = batch.column_names
+    # an ALL-null column infers Arrow type `null`, on which every
+    # pc.fill_null below raises — treat such columns as absent (each
+    # field has a documented default); one guard for every consumer
+    cols = [c for c in batch.column_names
+            if not pa.types.is_null(batch[c].type)]
     rec["event_id"] = _hash32(batch["url"] if "url" in cols else None, n)
     if "warc_ts" in cols:
         # normalize to us FIRST: ns-provenance blocks (pandas round

@@ -50,6 +50,49 @@ def _cast_block(t: pa.Table, want: dict[str, pa.DataType]) -> pa.Table:
     return pa.table(dict(zip(t.column_names, arrays)))
 
 
+def _stable_col_hash(col) -> np.ndarray:
+    """Vectorized per-row hash of one key column that does NOT depend
+    on the pandas dtype a block happens to convert to.
+
+    ``to_pandas()`` turns an int64 Arrow column into float64 exactly
+    when the BLOCK contains a null — and pandas hashes ``5`` and
+    ``5.0`` differently, so the same logical key could route to
+    different co-location buckets depending on which block it rode in
+    (duplicate partial groups downstream). Hash from the ARROW type
+    instead: integers/temporals hash their int64 value, floats their
+    float64 value, everything else its string form; nulls mix in a
+    distinct constant so null != the fill sentinel."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if (pa.types.is_integer(t) or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)):
+        vals = pc.fill_null(arr, 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = pd.util.hash_array(vals.astype(np.int64))
+    elif pa.types.is_floating(t):
+        vals = pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(vals.astype(np.float64))
+    else:
+        vals = np.asarray(
+            pc.fill_null(arr, "").cast(pa.string()).to_pandas(),
+            dtype=object)
+        h = pd.util.hash_array(vals)
+    if nulls.any():
+        h = np.where(nulls, h ^ np.uint64(0x9E3779B97F4A7C15), h)
+    return h
+
+
+def stable_gb(t: pa.Table, keys: list[str], nb: np.uint64) -> pa.Array:
+    """Coarse co-location bucket from key columns via
+    :func:`_stable_col_hash` — the one routing hash for the window /
+    join family."""
+    h = _stable_col_hash(t[keys[0]])
+    for c in keys[1:]:
+        h = h * np.uint64(31) + _stable_col_hash(t[c])
+    return pa.array((h % nb).astype(np.int64))
+
+
 def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame],
                   output_cols: list[str] | None = None,
                   out_schema: dict[str, pa.DataType] | None = None):
@@ -63,16 +106,10 @@ def grouped_apply(ds, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame
     nb = np.uint64(_n_buckets())
 
     def tag(t: pa.Table) -> pa.Table:
-        # Arrow-native: only the key columns round-trip through pandas
-        # (for the vectorized siphash); payload stays zero-copy Arrow.
-        kdf = t.select(keys).to_pandas()
-        h = pd.util.hash_pandas_object(kdf[keys[0]], index=False).to_numpy()
-        for c in keys[1:]:
-            h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                kdf[c], index=False
-            ).to_numpy()
-        gb = pa.array((h % nb).astype(np.int64))
-        return t.append_column("gb", gb)
+        # Arrow-native dtype-stable routing hash (see _stable_col_hash:
+        # pandas-dtype hashing splits a logical key across buckets when
+        # only SOME blocks contain nulls); payload stays zero-copy.
+        return t.append_column("gb", stable_gb(t, keys, nb))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
@@ -585,6 +622,14 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        # rows with a null timestamp or null value are EXCLUDED (they
+        # have no window / nothing to aggregate — count counts values)
+        if n:
+            valid = pc.and_(pc.is_valid(t[ts_col]),
+                            pc.is_valid(t[value_col]))
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
+                n = t.num_rows
         if n == 0:
             return pa.table({
                 **{k: t[k] for k in keys},
@@ -600,8 +645,10 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
         vals = (t[value_col].to_numpy(zero_copy_only=False)
                 .astype(np.float64))
         kdf = t.select(keys).to_pandas()
-        # integer codes for this batch's key tuples (exact, local)
-        codes = kdf.groupby(keys, sort=False).ngroup().to_numpy()
+        # integer codes for this batch's key tuples (exact, local;
+        # dropna=False so null keys form their own group, not code -1)
+        codes = kdf.groupby(keys, sort=False,
+                            dropna=False).ngroup().to_numpy()
         # windows covering t: starts floor(t/hop)*hop - i*hop,
         # i in [0, n_win)
         base_ws = (ts // hop_us) * hop_us
@@ -622,16 +669,15 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
         # map each partial segment back to an original row holding its
         # key tuple (replicated index // n_win)
         orig_row = order[st] // n_win
-        out_keys = {k: pa.array(kdf[k].to_numpy()[orig_row])
-                    for k in keys}
-        h = pd.util.hash_pandas_object(
-            kdf.iloc[orig_row][keys[0]], index=False).to_numpy()
+        key_rows = t.select(keys).take(pa.array(orig_row))
+        # dtype-stable routing hash over (keys, window) — see
+        # _stable_col_hash for why pandas-dtype hashing is unsafe here
+        h = _stable_col_hash(key_rows[keys[0]])
         for c in keys[1:]:
-            h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                kdf.iloc[orig_row][c], index=False).to_numpy()
+            h = h * np.uint64(31) + _stable_col_hash(key_rows[c])
         h = h * np.uint64(31) + wk[st].view(np.uint64)
         return pa.table({
-            **out_keys,
+            **{k: key_rows[k] for k in keys},
             "ws": pa.array(wk[st]),
             "s": pa.array(sums),
             "n": pa.array(cnts.astype(np.int64)),
@@ -641,7 +687,7 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        grp = g.groupby(keys + ["ws"], sort=False)
+        grp = g.groupby(keys + ["ws"], sort=False, dropna=False)
         out = grp.agg(s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"),
                       mn=("mn", "min")).reset_index()
         if agg == "sum":

@@ -152,3 +152,106 @@ def test_hopping_window_agg_matches_pandas_mirror(ray_session):
             pd.testing.assert_frame_equal(got, exp, atol=1e-9,
                                           check_dtype=False), (window_s,
                                                                hop_s, agg)
+
+
+def test_hopping_window_nulls_and_mixed_dtype_batches(ray_session):
+    """Null value/ts rows are excluded without poisoning their batch's
+    partials, null keys form a real stratum, and an integer key column
+    whose blocks differ in null-presence still merges into ONE output
+    row per (key, window) — the dtype-stable routing-hash contract."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.window import hopping_window_agg
+
+    base = pd.Timestamp("2026-03-01")
+    t1 = pa.table({  # block without null keys (pandas would see int64)
+        "k": pa.array([5, 5, 7], type=pa.int64()),
+        "ts": pa.array([base] * 3).cast(pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 4.0]),
+    })
+    t2 = pa.table({  # block WITH a null key (pandas would see float64)
+        "k": pa.array([5, None], type=pa.int64()),
+        "ts": pa.array([base] * 2).cast(pa.timestamp("us")),
+        "v": pa.array([8.0, 16.0]),
+    })
+    t3 = pa.table({  # null value and null ts rows: excluded, harmless
+        "k": pa.array([5, 5], type=pa.int64()),
+        "ts": pa.array([base, None]).cast(pa.timestamp("us")),
+        "v": pa.array([None, 32.0]),
+    })
+    ds = rd.from_arrow([t1, t2, t3])
+    out = (hopping_window_agg(ds, ["k"], "ts", 600, 600, "v", agg="sum")
+           .to_pandas())
+    got = {(-1 if pd.isna(r["k"]) else int(r["k"])): r["sum_value"]
+           for _, r in out.iterrows()}
+    assert len(out) == 3  # ONE row per key incl. the null stratum
+    assert got[5] == 11.0   # 1+2+8; null-v and null-ts rows excluded
+    assert got[7] == 4.0
+    assert got[-1] == 16.0  # null key kept as its own stratum
+    cnt = (hopping_window_agg(ds, ["k"], "ts", 600, 600, "v",
+                              agg="count").to_pandas())
+    cm = {(-1 if pd.isna(r["k"]) else int(r["k"])): r["count_value"]
+          for _, r in cnt.iterrows()}
+    assert cm[5] == 3  # null-value row NOT counted
+
+
+def test_stratified_sample_keeps_null_stratum(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "host": pa.array((["h1"] * 20) + ([None] * 20)),
+    })
+    out = stratified_sample(rd.from_arrow(t), ["host"], k=5,
+                            seed=3).to_pandas()
+    n_null = out["host"].isna().sum()
+    assert n_null == 5  # the null stratum samples like any other
+    assert (out["host"] == "h1").sum() == 5
+
+
+def test_unified2_all_null_columns(tmp_path):
+    """Blocks where ANY optional column is all-null (Arrow type `null`)
+    must pack with that field's default, not crash."""
+    from sagan_ray.stages.unified2 import pack_unified2, read_unified2
+
+    t = pa.table({
+        "url": ["a", "b"],
+        "sid": pa.array([1, 2], type=pa.int64()),
+        "src_ip": pa.array([None, None]),       # type null
+        "src_port": pa.array([None, None]),     # type null
+        "priority": pa.array([None, None]),     # type null
+        "classification": pa.array([None, None]),
+    })
+    payload, cls_map = pack_unified2(t)
+    p = str(tmp_path / "u2.log")
+    with open(p, "wb") as f:
+        f.write(payload)
+    evs = read_unified2(p)
+    assert [e["signature_id"] for e in evs] == [1, 2]
+    assert all(e["ip_source"] == "0.0.0.0" for e in evs)
+    assert all(e["sport_itype"] == 0 for e in evs)
+    assert cls_map == {}
+
+
+def test_compression_filter_honors_level(ray_session):
+    """The gate shares the ratio kernel and level with the signal —
+    a threshold profiled at level=9 gates identically at level=9."""
+    import zlib
+
+    import ray.data as rd
+
+    from sagan_ray.stages.text import compression_filter_stage
+
+    prose = " ".join(f"varied sentence number {i * 13}" for i in range(30))
+    raw = prose.encode()
+    r9 = len(zlib.compress(raw, 9)) / len(raw)
+    t = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "text": [prose]})
+    kept = compression_filter_stage(rd.from_arrow(t), min_ratio=r9 - 1e-9,
+                                    max_ratio=r9 + 1e-9,
+                                    level=9).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
