@@ -1032,7 +1032,8 @@ def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
 
 
 def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
-                      id_col: str = "doc_id"):
+                      id_col: str = "doc_id",
+                      types: dict | None = None):
     """Keep (up to) ``k`` rows per logical key, chosen by a
     deterministic splitmix64(id, seed) order — replay- and
     layout-stable, unlike ``random_shuffle``-based sampling.
@@ -1050,7 +1051,13 @@ def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
     For a SINGLE key column, :func:`cap_per_key` with its default
     order implements the same keeper semantics with a skinnier scale
     shape (zero-row-shuffle threshold engine); this operator is the
-    multi-key / full-row variant."""
+    multi-key / full-row variant.
+
+    ``types`` (col -> pa.DataType, ALL columns): pass the input types
+    when any column can hold nulls — partitions containing the null
+    stratum round-trip through pandas (int64+null -> float64) and
+    would otherwise emit a different block schema than null-free
+    partitions."""
     from .window import grouped_apply
 
     def fn(g):
@@ -1063,4 +1070,4 @@ def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
         rn = g.groupby(keys, sort=False, dropna=False).cumcount()
         return g[rn < k].drop(columns=["_ord"])
 
-    return grouped_apply(ds, keys, fn)
+    return grouped_apply(ds, keys, fn, out_schema=types)

@@ -719,11 +719,8 @@ def compression_filter_stage(ds, text_col: str = "text",
     kernel (and ``level``) as :func:`compression_ratio_batch`, so a
     threshold profiled from the signal stage gates consistently."""
     def gate(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        _nc, r = _deflate_ratios(texts, level)
-        nonempty = np.fromiter((bool(s) for s in texts), dtype=bool,
-                               count=len(texts))
-        keep = nonempty & (r >= min_ratio) & (r <= max_ratio)
+        nc, r = _deflate_ratios(t[text_col].to_pylist(), level)
+        keep = (nc > 0) & (r >= min_ratio) & (r <= max_ratio)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")

@@ -129,8 +129,11 @@ def pack_unified2(batch: pa.Table) -> tuple[bytes, dict[str, int]]:
         ts = np.where(np.isnan(ts.astype(np.float64)), 0, ts).astype(np.int64)
         rec["event_second"] = (ts // 1_000_000).astype(np.uint32)
         rec["event_microsecond"] = (ts % 1_000_000).astype(np.uint32)
-    rec["signature_id"] = (batch["sid"].to_numpy(zero_copy_only=False)
-                           .astype(np.uint32) if "sid" in cols else 0)
+    if "sid" in cols:
+        # fill_null BEFORE to_numpy: a partially-null sid column would
+        # surface as float64 + NaN, and NaN.astype(uint32) is undefined
+        rec["signature_id"] = pc.fill_null(batch["sid"], 0).cast(
+            pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint32)
     rec["generator_id"] = 1
     if "rev" in cols:
         rec["signature_revision"] = pc.fill_null(

@@ -64,9 +64,30 @@ def _stable_col_hash(col) -> np.ndarray:
     distinct constant so null != the fill sentinel."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     t = arr.type
+    _NULL_MIX = np.uint64(0x9E3779B97F4A7C15)
+    if pa.types.is_null(t):  # all-null column infers type `null`
+        return np.full(len(arr),
+                       np.uint64(0) ^ _NULL_MIX, dtype=np.uint64)
     nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
-    if (pa.types.is_integer(t) or pa.types.is_temporal(t)
-            or pa.types.is_boolean(t)):
+    if pa.types.is_boolean(t):
+        arr = arr.cast(pa.int8())  # fill_null(bool, 0) raises; int8 ok
+        t = arr.type
+    if pa.types.is_timestamp(t):
+        # normalize the unit BEFORE hashing: us- and ns-provenance
+        # blocks of the same instant must land in the same bucket
+        arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        t = arr.type
+    elif pa.types.is_temporal(t):
+        # date32/time32 can't cast straight to int64; widen via a
+        # 64-bit temporal first (also unit-normalizes date64/time64)
+        if pa.types.is_date(t):
+            arr = arr.cast(pa.date64())
+        elif pa.types.is_time(t):
+            arr = arr.cast(pa.time64("us"))
+        elif pa.types.is_duration(t):
+            arr = arr.cast(pa.duration("us"))
+        t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
         vals = pc.fill_null(arr, 0).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         h = pd.util.hash_array(vals.astype(np.int64))
@@ -74,12 +95,13 @@ def _stable_col_hash(col) -> np.ndarray:
         vals = pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(vals.astype(np.float64))
     else:
+        # cast FIRST, fill after: fill_null('') on e.g. decimal raises
         vals = np.asarray(
-            pc.fill_null(arr, "").cast(pa.string()).to_pandas(),
+            pc.fill_null(arr.cast(pa.string()), "").to_pandas(),
             dtype=object)
         h = pd.util.hash_array(vals)
     if nulls.any():
-        h = np.where(nulls, h ^ np.uint64(0x9E3779B97F4A7C15), h)
+        h = np.where(nulls, h ^ _NULL_MIX, h)
     return h
 
 
@@ -595,7 +617,8 @@ def top1_fn(keys: list[str], order_desc: str, tiebreak: str) -> Callable:
 
 def hopping_window_agg(ds, keys: list[str], ts_col: str,
                        window_s: int, hop_s: int, value_col: str,
-                       agg: str = "sum"):
+                       agg: str = "sum",
+                       key_types: dict | None = None):
     """Overlapping (hopping) event-time windows per key: every row
     joins the ``window_s / hop_s`` windows covering its timestamp, and
     each (key, window_start) aggregates ``value_col`` with ``agg``
@@ -611,6 +634,10 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
     restatement ``GROUP BY key, ws`` over a generated window series.
 
     Output: keys + ``window_start`` (timestamp us) + ``<agg>_value``.
+    ``key_types`` (col -> pa.DataType): pass the INPUT key types when a
+    key column can hold nulls — the merge runs in pandas, where an
+    int64 key with nulls degrades to float64, and without the cast-back
+    the output blocks would mix int64 and double schemas.
     """
     if window_s % hop_s != 0:
         raise ValueError("window_s must be a multiple of hop_s")
@@ -708,6 +735,8 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
                          "gb", merge)
 
     def finish(t: pa.Table) -> pa.Table:
+        if key_types:
+            t = _cast_block(t, key_types)
         ws = t["ws"].cast(pa.timestamp("us"))
         t = t.set_column(t.column_names.index("ws"), "window_start", ws)
         return t.rename_columns(

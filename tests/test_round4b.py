@@ -255,3 +255,66 @@ def test_compression_filter_honors_level(ray_session):
                                     max_ratio=r9 + 1e-9,
                                     level=9).to_pandas()
     assert kept["doc_id"].tolist() == [0]
+
+
+def test_stable_hash_type_coverage():
+    """The routing hash must accept every key type the pandas path
+    handled — bool, date32, time32, decimal, all-null — and must hash
+    timestamp us/ns representations of one instant identically."""
+    import pandas as pd
+
+    from sagan_ray.stages.window import _stable_col_hash
+
+    # bool (with null), date32, time32, decimal, all-null: no crash
+    h_b = _stable_col_hash(pa.array([True, False, None]))
+    assert len(h_b) == 3 and h_b[0] != h_b[1] != h_b[2]
+    import datetime as dt
+    h_d = _stable_col_hash(pa.array([dt.date(2026, 1, 1), None],
+                                    type=pa.date32()))
+    assert len(h_d) == 2
+    h_t = _stable_col_hash(pa.array([dt.time(1, 2, 3)],
+                                    type=pa.time32("s")))
+    assert len(h_t) == 1
+    from decimal import Decimal
+    h_dec = _stable_col_hash(pa.array([Decimal("1.25"), None],
+                                      type=pa.decimal128(10, 2)))
+    assert len(h_dec) == 2
+    h_n = _stable_col_hash(pa.array([None, None]))
+    assert len(h_n) == 2 and h_n[0] == h_n[1]
+    # unit-normalized temporal hashing: same instant, us vs ns blocks
+    ts = pa.array([pd.Timestamp("2026-04-01 12:00:00")])
+    np.testing.assert_array_equal(
+        _stable_col_hash(ts.cast(pa.timestamp("us"))),
+        _stable_col_hash(ts.cast(pa.timestamp("ns"))))
+    # int null-presence stability (the original bug)
+    a = _stable_col_hash(pa.array([5], type=pa.int64()))
+    b = _stable_col_hash(pa.array([5, None], type=pa.int64()))
+    assert a[0] == b[0]
+
+
+def test_hopping_and_stratified_key_types_uniform_schema(ray_session):
+    """With key_types/types passed, null-bearing int64 keys come back
+    int64 in EVERY output block (no int64/double schema mixing)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import stratified_sample
+    from sagan_ray.stages.window import hopping_window_agg
+
+    base = pd.Timestamp("2026-03-01")
+    t = pa.table({
+        "k": pa.array([1, 1, 2, None, None, 3], type=pa.int64()),
+        "ts": pa.array([base] * 6).cast(pa.timestamp("us")),
+        "v": pa.array([1.0] * 6),
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = hopping_window_agg(ds, ["k"], "ts", 600, 600, "v", agg="sum",
+                             key_types={"k": pa.int64()}).materialize()
+    assert pa.types.is_integer(out.schema().base_schema.field("k").type)
+    samp = stratified_sample(
+        ds.drop_columns(["ts", "v"]), ["k"], k=1,
+        types={"k": pa.int64(), "doc_id": pa.int64()}).materialize()
+    assert pa.types.is_integer(
+        samp.schema().base_schema.field("k").type)
+    assert len(samp.take_all()) == 4  # one per stratum incl. null
