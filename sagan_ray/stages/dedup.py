@@ -96,12 +96,16 @@ def grouped_min_count(ds, key_col: str, id_col: str, min_name: str,
 
     def tag(t: pa.Table) -> pa.Table:
         # null keys group under '' (np.lexsort on an object array with
-        # None raises; the same null contract as cap_per_key)
+        # None raises; the same null contract as cap_per_key). Routing
+        # hash straight from the Arrow buffers (functions/strhash) — no
+        # per-row Python strings in the tag pass, matching the
+        # integer-code reduce below.
+        from ..functions.strhash import hash_string_arrow
+
         col = pa.compute.fill_null(t[key_col].combine_chunks(), "")
-        keys = np.asarray(col.to_pylist(), dtype=object)
         return pa.table({
             key_col: col, id_col: t[id_col],
-            "gb": pa.array((_digest64(keys) % nb).astype(np.int64)),
+            "gb": pa.array((hash_string_arrow(col) % nb).astype(np.int64)),
         })
 
     def fn(t: pa.Table) -> pa.Table:

@@ -15,7 +15,9 @@ paragraphs) and keep the unique remainder. Semantics:
    documents are whitespace-normalized (the op feeds a tokenizer — the
    same contract as the pure token-level original).
 
-Scale shape (two corpus passes, like ``strip_frequent_lines``):
+Scale shape (``single_pass=True`` default: ONE tokenize+hash scan
+writes a ``large_list<int64>`` gram checkpoint that feeds both passes;
+``single_pass=False`` streams the lineage twice instead):
 
 - Count pass: documents explode batch-locally to per-doc-deduped uint64
   gram hashes — ONLY 8-byte hashes ride the groupby-count shuffle,
@@ -112,8 +114,33 @@ def _dedup_within_doc(gh: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return h_s[first]
 
 
+_GRAMS = "__grams"  # per-doc gram-hash list column of the checkpoint
+
+
+def _attach_grams(t: pa.Table, text_col: str, k: int,
+                  tokenize=None) -> pa.Table:
+    """Append the per-doc word-k-gram hashes as a ``large_list<int64>``
+    column — the single-tokenize checkpoint payload (~8 B/token)."""
+    gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(starts, type=pa.int64()),
+        pa.array(gh.view(np.int64), type=pa.int64()))
+    return t.append_column(_GRAMS, lst)
+
+
+def _grams_from_list(col) -> tuple[np.ndarray, np.ndarray]:
+    """Recover ``(gh int64, starts)`` zero-copy from the list column —
+    the same shape :func:`_gram_hashes` returns, minus the tokenize."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    return vals[off[0]:off[-1]], off - off[0]
+
+
 def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
-                          min_docs: int = 2, tokenize=None):
+                          min_docs: int = 2, tokenize=None,
+                          grams_col: str | None = None):
     """Dataset of ``(gram_hash, n_docs)`` for word-k-grams occurring in
     >= ``min_docs`` documents. Hashes are int64 VIEWS of the uint64
     siphash (bijective — same convention as frequent_line_hashes).
@@ -124,13 +151,21 @@ def duplicate_gram_hashes(ds, text_col: str = "text", k: int = 10,
     60 s wall — vs 2 s for this shape). Blocks emit per-block
     ``(gram_hash, partial_count)`` (doc-deduped, then block-deduped
     with counts), ride ONE coarse-bucket sort exchange, and each
-    partition sums counts with a vectorized sort + ``reduceat``."""
+    partition sums counts with a vectorized sort + ``reduceat``.
+
+    ``grams_col``: read pre-computed per-doc gram hashes from this
+    ``large_list<int64>`` column instead of tokenizing ``text_col`` —
+    the single-tokenize checkpoint path of mask_duplicate_spans."""
     from .correlate import _n_buckets, shuffle_groups
 
     nb = np.uint64(_n_buckets())
 
     def explode(t: pa.Table) -> pa.Table:
-        gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
+        if grams_col is not None:
+            ghi, starts = _grams_from_list(t[grams_col])
+            gh = ghi.view(np.uint64)
+        else:
+            gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
         uniq = _dedup_within_doc(gh, starts)
         u, c = np.unique(uniq, return_counts=True)
         return pa.table({
@@ -205,7 +240,8 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                          mode: str = "auto", out_col: str | None = None,
                          doc_types: dict | None = None,
                          broadcast_limit: int = 8_000_000,
-                         tokenize=None, detokenize=None):
+                         tokenize=None, detokenize=None,
+                         single_pass: bool = True):
     """Mask corpus-duplicated token spans in every document (see module
     docstring for semantics and the broadcast-vs-join scale trade).
 
@@ -223,18 +259,30 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     100-TB scale-killer — same rationale as ``dedup_against(mode=
     "auto")``.
 
-    Like every two-pass corpus operator here, the input lineage
-    executes twice (count pass + mask pass) — materialize / checkpoint
-    the projected input upstream when the scan is expensive (the
-    cleaning pipeline's checkpoint pattern)."""
+    ``single_pass`` (default): tokenize+hash the corpus ONCE — the
+    per-doc gram hashes ride a ``large_list<int64>`` checkpoint column
+    (``materialize()``d, so the object store holds corpus + ~8 B/token
+    and spills to disk past memory) that feeds BOTH the count pass and
+    the rewrite pass. Gram hashing is the op's dominant linear cost
+    (measured time-ratio 3.54 on a 5x data step — nearly pure linear),
+    so this halves the linear term. ``single_pass=False`` restores the
+    streaming two-scan shape (no checkpoint footprint, input lineage
+    executes twice — tokenizing twice) for memory-constrained runs."""
     import ray
 
     min_span = max(min_span_tokens or k, k)
     min_run = min_span - k + 1
     dst = out_col or text_col
+    src = ds
+    grams_col = None
+    if single_pass:
+        src = ds.map_batches(
+            lambda t: _attach_grams(t, text_col, k, tokenize),
+            batch_format="pyarrow").materialize()
+        grams_col = _GRAMS
     dup = duplicate_gram_hashes(
-        ds, text_col, k, min_docs,
-        tokenize=tokenize).select_columns(["gram_hash"])
+        src, text_col, k, min_docs, tokenize=tokenize,
+        grams_col=grams_col).select_columns(["gram_hash"])
     if mode == "auto":
         # the dup Dataset is consumed twice in broadcast mode (count +
         # collect) and once as a join side — pin it so the gram-count
@@ -259,17 +307,23 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
         def rewrite(t: pa.Table) -> pa.Table:
             arr = ray.get(blk_ref)
-            texts = t[text_col].to_pylist()
             from ..functions.collect import sorted_isin
 
-            gh, starts = _gram_hashes(texts, k, tokenize)
-            hit = sorted_isin(arr, gh.view(np.int64))
+            if grams_col is not None:
+                ghi, starts = _grams_from_list(t[grams_col])
+                t = t.drop_columns([grams_col])
+            else:
+                gh, starts = _gram_hashes(t[text_col].to_pylist(), k,
+                                          tokenize)
+                ghi = gh.view(np.int64)
+            texts = t[text_col].to_pylist()
+            hit = sorted_isin(arr, ghi)
             hit_pos = [np.flatnonzero(hit[starts[d]:starts[d + 1]])
                        for d in range(len(texts))]
             return _emit(t, *_rewrite_batch(texts, hit_pos, k, min_run,
                                             tokenize, detokenize))
 
-        return ds.map_batches(rewrite, batch_format="pyarrow")
+        return src.map_batches(rewrite, batch_format="pyarrow")
 
     if mode != "join":
         raise ValueError(f"unknown mode {mode!r}")
@@ -277,27 +331,36 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     from .join import equi_join
 
     def explode_pos(t: pa.Table) -> pa.Table:
-        gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
+        if grams_col is not None:
+            ghi, starts = _grams_from_list(t[grams_col])
+        else:
+            gh, starts = _gram_hashes(t[text_col].to_pylist(), k, tokenize)
+            ghi = gh.view(np.int64)
         doc_ids = t[id_col].to_numpy(zero_copy_only=False)
         return pa.table({
-            "gram_hash": pa.array(gh.view(np.int64)),
+            "gram_hash": pa.array(ghi),
             id_col: pa.array(np.repeat(doc_ids, np.diff(starts))),
             "pos": pa.array(
-                np.arange(len(gh), dtype=np.int64)
+                np.arange(len(ghi), dtype=np.int64)
                 - np.repeat(starts[:-1], np.diff(starts))),
         })
 
     # doc_types (col -> pa.DataType, ALL input columns) skips the
     # Dataset.schema() limit-probe on a lazy input — the same wasted
     # partial execution / Ray 2.49 cancel-race the asof/range joins'
-    # left_types/right_types avoid (window.py _TypesView)
+    # left_types/right_types avoid (window.py _TypesView). The
+    # single_pass checkpoint is materialized, so its schema is free.
     if doc_types is None:
-        schema = ds.schema()
-        doc_types = dict(zip(schema.names, schema.types))
+        schema = (src if single_pass else ds).schema()
+        doc_types = {n: ty for n, ty in zip(schema.names, schema.types)
+                     if n != _GRAMS}
     id_type = doc_types[id_col]
+    pos_src = (src.select_columns([id_col, grams_col])
+               if grams_col is not None
+               else ds.select_columns([id_col, text_col]))
+    docs_src = src.drop_columns([grams_col]) if grams_col is not None else ds
     hits = equi_join(
-        ds.select_columns([id_col, text_col]).map_batches(
-            explode_pos, batch_format="pyarrow"),
+        pos_src.map_batches(explode_pos, batch_format="pyarrow"),
         dup, on=["gram_hash"], how="left_semi",
         left_types={"gram_hash": pa.int64(), id_col: id_type,
                     "pos": pa.int64()},
@@ -314,7 +377,7 @@ def mask_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     return copartition_doc_hits(
-        ds, hits, id_col, doc_types, build,
+        docs_src, hits, id_col, doc_types, build,
         extra_types={} if dst in doc_types else {dst: pa.string()},
         appended_types={"n_masked_tokens": pa.int64()})
 

@@ -88,8 +88,14 @@ def _stable_col_hash(col) -> np.ndarray:
             arr = arr.cast(pa.duration("us"))
         t = arr.type
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
-        vals = pc.fill_null(arr, 0).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
+        filled = pc.fill_null(arr, 0)
+        if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+            # uint64 values above 2^63 can't cast (checked) to int64 —
+            # reinterpret the bits instead (bijective, dtype-stable)
+            vals = filled.to_numpy(zero_copy_only=False).astype(
+                np.uint64).view(np.int64)
+        else:
+            vals = filled.cast(pa.int64()).to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(vals.astype(np.int64))
     elif pa.types.is_floating(t):
         vals = pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False)

@@ -166,3 +166,44 @@ def test_out_col_preserves_original_text(ray_session, mode):
     assert out["clean_text"][0] == ""            # fully masked
     assert out["clean_text"][2] == "unique words"
     assert out["n_masked_tokens"].tolist() == [5, 5, 0]
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_single_pass_equals_two_scan(ray_session, mode):
+    # the gram-checkpoint path (single_pass=True, default) must be
+    # indistinguishable from the streaming two-scan path
+    import ray.data as rd
+
+    docs = _corpus(seed=23)
+    k, min_docs, min_span = 3, 2, 3
+    outs = []
+    for sp in (True, False):
+        out = mask_duplicate_spans(
+            rd.from_arrow(_table(docs)), k=k, min_docs=min_docs,
+            min_span_tokens=min_span, mode=mode, single_pass=sp,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0]["text"].tolist() == outs[1]["text"].tolist()
+    assert (outs[0]["n_masked_tokens"].tolist()
+            == outs[1]["n_masked_tokens"].tolist())
+    # checkpoint column must not leak into the output
+    assert "__grams" not in outs[0].columns
+
+
+def test_grams_checkpoint_roundtrip():
+    # _attach_grams -> _grams_from_list must reproduce _gram_hashes
+    # exactly (incl. empty/short docs and sliced chunks)
+    from sagan_ray.stages.spans import (_attach_grams, _grams_from_list,
+                                        _gram_hashes)
+
+    docs = ["alpha beta gamma delta", "", "one two",
+            "alpha beta gamma delta epsilon"]
+    t = _attach_grams(_table(docs), "text", 3)
+    gh_ck, starts_ck = _grams_from_list(t["__grams"])
+    gh, starts = _gram_hashes(docs, 3)
+    assert (gh_ck == gh.view(np.int64)).all()
+    assert (starts_ck == starts).all()
+    # sliced table (non-zero Arrow offset) round-trips too
+    gh_s, starts_s = _grams_from_list(t.slice(1)["__grams"])
+    assert (starts_s == starts[1:] - starts[1]).all()
+    assert (gh_s == gh.view(np.int64)[starts[1]:]).all()
