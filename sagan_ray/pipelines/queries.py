@@ -237,7 +237,10 @@ def q_wp_dns_cache(sf_dir):
 def q_wp_sample(sf_dir):
     """Deterministic hash sampling (md5 of the key): ~1/8 of rows, exact
     SQL mirror — the scale-safe stand-in for random_sample (stateless,
-    partition-independent, replay-stable)."""
+    partition-independent, replay-stable) — UNIONed with a STRATIFIED
+    per-host sample (``stratified_sample(order="md5")``, k=3): the
+    §2.8d operator made driver-visible, restating as
+    ``ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(id)) <= 3``."""
     ds = webpages_from_documents(sf_dir, include_html=False)
 
     def sample(t: pa.Table) -> pa.Table:
@@ -248,7 +251,19 @@ def q_wp_sample(sf_dir):
                         value_set=pa.array(["0", "1"]))
         return t.select(["url", "doc_id"]).filter(keep)
 
-    return ds.map_batches(sample, batch_format="pyarrow")
+    base = ds.map_batches(sample, batch_format="pyarrow")
+
+    from ..stages.pack import stratified_sample
+
+    strat = stratified_sample(
+        webpages_from_documents(sf_dir, include_html=False).map_batches(
+            lambda t: t.select(["url", "host", "doc_id"]),
+            batch_format="pyarrow"),
+        ["host"], 3, id_col="doc_id", order="md5",
+        types={"url": pa.string(), "host": pa.string(),
+               "doc_id": pa.int64()},
+    ).select_columns(["url", "doc_id"])
+    return base.union(strat)
 
 
 def q_wp_after(sf_dir):
@@ -490,12 +505,39 @@ def q_ev_sessionize(sf_dir):
 
 
 def q_ev_moving_sum(sf_dir):
-    """Rolling window over an ordered per-key stream (ROWS 2 PRECEDING)."""
-    from ..stages.window import grouped_apply, rolling_sum_fn
+    """Rolling window over an ordered per-key stream (ROWS 2 PRECEDING)
+    UNIONed with a HOPPING-WINDOW aggregate (``hopping_window_agg``:
+    1h windows hopping 15min per user, sum of value) — the §2.8d
+    operator made driver-visible. Each (user, window) row is encoded
+    into the same (event_id, mov_sum) shape: event_id =
+    user_id * 1e8 + floor(epoch(window_start)/900)."""
+    from ..stages.window import (grouped_apply, hopping_window_agg,
+                                 rolling_sum_fn)
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_id", "value"])
     fn = rolling_sum_fn(["user_id"], ["ts", "event_id"], "value", 3, "mov_sum")
-    return grouped_apply(ds, ["user_id"], fn, output_cols=["event_id", "mov_sum"])
+    base = grouped_apply(ds, ["user_id"], fn,
+                         output_cols=["event_id", "mov_sum"])
+
+    hop = hopping_window_agg(
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"]),
+        ["user_id"], "ts", window_s=3600, hop_s=900, value_col="value",
+        agg="sum", key_types={"user_id": pa.int64()})
+
+    def enc(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks() if isinstance(
+            t["user_id"], pa.ChunkedArray) else t["user_id"]
+        ws = pc.cast(t["window_start"], pa.int64())  # epoch micros
+        wk = pc.divide(ws, 900_000_000)
+        eid = pc.add(pc.multiply(pc.cast(uid, pa.int64()),
+                                 pa.scalar(100_000_000, pa.int64())), wk)
+        # np.round, not pc.round: pandas/numpy rounding is what DuckDB's
+        # round() bit-matches (the rolling_sum_fn precedent); pc.round
+        # drifts 1 ulp on some values, which the driver's exact hash sees
+        ms = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({"event_id": eid, "mov_sum": pa.array(ms)})
+
+    return base.union(hop.map_batches(enc, batch_format="pyarrow"))
 
 
 def q_ev_top_per_user(sf_dir):
@@ -1004,24 +1046,37 @@ def q_dedup_embedding(sf_dir):
 def q_doc_textstats(sf_dir):
     """All vectorized per-doc text features in one pass: token count,
     char count, stopword count (quality features) + exact distinct-token
-    count (list-op coverage)."""
+    count (list-op coverage) + the §2.8d TF-IDF features
+    (``train_doc_freq`` + ``tfidf_stage``) made driver-visible: the DF
+    head is trained on the same corpus (vocab_size >> |vocab|, so the
+    head holds EVERY term and the sklearn-smoothed idf
+    ``ln((1+N)/(1+df))+1`` is SQL-restatable exactly)."""
+    from ..stages.lm import tfidf_stage, train_doc_freq
     from ..stages.text import quality_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    dftab = train_doc_freq(ds)
+    scored = tfidf_stage(ds, dftab, keep_text=True)
 
     def stats(t: pa.Table) -> pa.Table:
         from ..stages.text import BPE_TOKEN_RE
 
-        q = quality_batch(t)
+        q = quality_batch(t.select(["doc_id", "text"]))
         toks = pc.split_pattern(t["text"], " ")
         n_uniq = [len(set(x)) for x in toks.to_pylist()]
         q = q.append_column("n_unique", pa.array(n_uniq, type=pa.int64()))
         n_bpe = pc.cast(
             pc.count_substring_regex(t["text"], BPE_TOKEN_RE), pa.int64()
         )
-        return q.append_column("n_bpe_tokens", n_bpe)
+        q = q.append_column("n_bpe_tokens", n_bpe)
+        q = q.append_column("n_distinct_terms", t["n_distinct_terms"])
+        # np.round bit-matches DuckDB round() (see ev_moving_sum note)
+        for c in ("tfidf_mean", "tfidf_max"):
+            q = q.append_column(c, pa.array(np.round(
+                t[c].to_numpy(zero_copy_only=False), 6)))
+        return q
 
-    return ds.map_batches(stats, batch_format="pyarrow")
+    return scored.map_batches(stats, batch_format="pyarrow")
 
 
 def q_doc_langid(sf_dir):
@@ -1283,7 +1338,13 @@ ORACLES = {
         FROM w""",
     "wp_sample": f"""{_W}
         SELECT url, doc_id FROM w
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')""",
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        UNION ALL
+        SELECT url, doc_id FROM (
+          SELECT url, doc_id, row_number() OVER (
+            PARTITION BY host
+            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM w) WHERE rn <= 3""",
     "wp_client_report": f"""{_W}
         SELECT host, CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
@@ -1327,7 +1388,19 @@ ORACLES = {
         SELECT event_id, round(sum(value) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
-        FROM events""",
+        FROM events
+        UNION ALL
+        -- hopping windows: 1h windows every 15min; window index wk
+        -- covers t iff wk in [floor(t/900)-3, floor(t/900)]
+        SELECT user_id * 100000000 + wk AS event_id,
+               round(sum(value), 2) AS mov_sum
+        FROM (
+          SELECT user_id, value,
+                 unnest(generate_series(
+                   CAST(floor(epoch(ts)/900) AS BIGINT) - 3,
+                   CAST(floor(epoch(ts)/900) AS BIGINT), 1)) AS wk
+          FROM events)
+        GROUP BY user_id, wk""",
     "ev_top_per_user": """
         SELECT user_id, event_id, value FROM (
           SELECT user_id, event_id, value, row_number() OVER (
@@ -1436,13 +1509,34 @@ ORACLES = {
         FROM m a JOIN m b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""",
     "doc_textstats": r"""
-        SELECT doc_id,
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        dt AS (SELECT doc_id, term, count(*) AS c FROM toks
+               GROUP BY doc_id, term),
+        dft AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        tw AS (
+          SELECT dt.doc_id,
+                 (dt.c / CAST(dl.n AS DOUBLE)) *
+                 (ln((1.0 + (SELECT count(*) FROM documents))
+                     / (1.0 + dft.df)) + 1.0) AS w
+          FROM dt JOIN dl USING (doc_id) JOIN dft USING (term)),
+        agg AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_distinct_terms,
+                       round(avg(w), 6) AS tfidf_mean,
+                       round(max(w), 6) AS tfidf_max
+                FROM tw GROUP BY doc_id)
+        SELECT d.doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a','the'))) AS BIGINT) AS n_stop,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
-               CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
-        FROM documents""",
+               CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+               coalesce(agg.n_distinct_terms, 0) AS n_distinct_terms,
+               coalesce(agg.tfidf_mean, 0.0) AS tfidf_mean,
+               coalesce(agg.tfidf_max, 0.0) AS tfidf_max
+        FROM documents d LEFT JOIN agg USING (doc_id)""",
     # exact SQL restatement of text.LangId.predict: CJK check on the
     # first 200 chars, else first-max stopword vote over [de,en,es,fr]
     "doc_langid": r"""

@@ -1033,7 +1033,8 @@ def split_by_cluster(ds, pairs=None, fractions: dict | None = None,
 
 def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
                       id_col: str = "doc_id",
-                      types: dict | None = None):
+                      types: dict | None = None,
+                      order: str = "splitmix"):
     """Keep (up to) ``k`` rows per logical key, chosen by a
     deterministic splitmix64(id, seed) order — replay- and
     layout-stable, unlike ``random_shuffle``-based sampling.
@@ -1057,15 +1058,30 @@ def stratified_sample(ds, keys: list[str], k: int, seed: int = 42,
     when any column can hold nulls — partitions containing the null
     stratum round-trip through pandas (int64+null -> float64) and
     would otherwise emit a different block schema than null-free
-    partitions."""
+    partitions.
+
+    ``order``: ``"splitmix"`` (default) ranks by splitmix64(id, seed);
+    ``"md5"`` ranks by ``md5(CAST(id AS VARCHAR))`` — same keeper
+    semantics, but the rank is restatable in ANSI SQL
+    (``ORDER BY md5(CAST(id AS VARCHAR))``), which is what the driver
+    oracle uses. ``seed`` is ignored for ``"md5"``."""
     from .window import grouped_apply
+
+    if order not in ("splitmix", "md5"):
+        raise ValueError(f"unknown order {order!r}")
 
     def fn(g):
         if g.empty:
             return g
-        order = _shuffle_key(
-            g[id_col].to_numpy(dtype=np.int64), seed)
-        g = g.assign(_ord=order.astype(np.uint64)).sort_values(
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        if order == "md5":
+            from ..functions.duck import md5_hex
+
+            ov = np.asarray(
+                md5_hex([str(i) for i in ids]).to_pylist(), dtype=object)
+        else:
+            ov = _shuffle_key(ids, seed).astype(np.uint64)
+        g = g.assign(_ord=ov).sort_values(
             keys + ["_ord"], kind="mergesort")
         rn = g.groupby(keys, sort=False, dropna=False).cumcount()
         return g[rn < k].drop(columns=["_ord"])

@@ -2,6 +2,7 @@
 per-key sampling — each with an exact reference differential."""
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def test_compression_ratio_mirrors_zlib(ray_session):
@@ -318,3 +319,33 @@ def test_hopping_and_stratified_key_types_uniform_schema(ray_session):
     assert pa.types.is_integer(
         samp.schema().base_schema.field("k").type)
     assert len(samp.take_all()) == 4  # one per stratum incl. null
+
+
+def test_stratified_sample_md5_order(ray_session):
+    """order="md5" keeps the DuckDB-restatable rank: ROW_NUMBER() OVER
+    (PARTITION BY host ORDER BY md5(CAST(id AS VARCHAR))) <= k —
+    verified against DuckDB itself (the wp_sample driver-oracle shape)."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.stages.pack import stratified_sample
+
+    rng = np.random.RandomState(7)
+    n = 1500
+    hosts = rng.choice([f"h{i}" for i in range(9)], size=n)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "host": pa.array(hosts),
+    })
+    out = stratified_sample(rd.from_arrow(t).repartition(7), ["host"],
+                            k=11, order="md5").to_pandas()
+    ref = duckdb.connect().execute("""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY host
+            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM t) WHERE rn <= 11""").df()
+    assert sorted(out["doc_id"]) == sorted(ref["doc_id"])
+
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_arrow(t), ["host"], 3, order="bogus")
