@@ -157,14 +157,16 @@ class EngineConfig:
         manifest = route_alerts(self.build_alerts(ds), out_dir,
                                 write_eve=self.write_eve)
         if self.syslog or self.smtp:
-            # re-emit from the authoritative parquet sinks (one extra
-            # read of the SMALL routed set — never a pipeline re-run)
-            import ray.data as rd
+            # re-emit from the authoritative parquet sinks, STREAMED:
+            # ray.data.read_parquet over the hive-partitioned sink dir
+            # feeds the emitter actor pools block by block — the routed
+            # set (~25% of input at flagship rates, with url/msg
+            # payloads) never materializes on the driver
+            import os
 
-            from .stages.route import read_sink
+            from .sources import read_parquet_clean
 
-            routed = rd.from_arrow(
-                read_sink(__import__("os").path.join(out_dir, "sinks")))
+            routed = read_parquet_clean(os.path.join(out_dir, "sinks"))
             if self.syslog:
                 from .stages.emit import syslog_sink
 
@@ -172,5 +174,11 @@ class EngineConfig:
             if self.smtp:
                 from .stages.emit import smtp_sink
 
-                manifest["smtp"] = smtp_sink(routed, **self.smtp)
+                smtp_kwargs = dict(self.smtp)
+                if "email_by_sid" not in smtp_kwargs:
+                    # per-rule `email:` routing straight from the ruleset
+                    smtp_kwargs["email_by_sid"] = {
+                        r.sid: r.email for r in self.load_rules()
+                        if r.email}
+                manifest["smtp"] = smtp_sink(routed, **smtp_kwargs)
         return manifest

@@ -266,9 +266,12 @@ def clean_corpus_run(input_files, run_dir: str, *,
     100-TB cleaning run replays ONE stage, not the chain.
 
     ``input_files`` is a list of parquet paths (or a Dataset for
-    in-session use). The chain parameters are fingerprinted into
-    ``_lineage/plan.json``; resuming with different parameters raises
-    (a changed gate would silently produce a mixed-generation corpus).
+    in-session use). The chain parameters AND the input file set are
+    fingerprinted into ``_lineage/plan.json``; resuming with different
+    parameters or different inputs raises (either would silently
+    produce a mixed/stale-generation corpus from reused checkpoints).
+    Dataset inputs fingerprint by type name only — path lists get the
+    full content hash.
     ``fail_after_stages`` is test-only fault injection: raise after
     checkpointing that many units this session (the resume test kills
     at ~50%). Returns the cleaned Dataset (backed by the final
@@ -284,8 +287,19 @@ def clean_corpus_run(input_files, run_dir: str, *,
 
     units = _chain_units(pin=lambda d: d, **kwargs)
     os.makedirs(lineage.lineage_dir(run_dir), exist_ok=True)
+    # the INPUT SET is part of the plan (ADVICE r4): resuming into a
+    # run_dir with different input files would silently reuse stage
+    # checkpoints computed from the OLD corpus — exactly the
+    # mixed-generation hazard the fingerprint exists to prevent. Paths
+    # ride the strlist content-hash; a Dataset input falls back to its
+    # type name (documented limit, same as ref_corpus contents).
+    inp_fp = _params_fingerprint({"input_files": (
+        [input_files] if isinstance(input_files, str)
+        else list(input_files)
+        if isinstance(input_files, (list, tuple)) else input_files)})
     plan = {"stages": [n for n, _ in units],
-            "params": _params_fingerprint(kwargs)}
+            "params": _params_fingerprint(kwargs),
+            "inputs": inp_fp["input_files"]}
     plan_path = os.path.join(lineage.lineage_dir(run_dir), "plan.json")
     if os.path.exists(plan_path):
         with open(plan_path) as f:

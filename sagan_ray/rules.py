@@ -203,6 +203,9 @@ class Rule:
     after: After | None = None
     xbits: tuple[Xbits, ...] = ()
     noalert: bool = False
+    # per-rule mail routing (upstream smtp.c `email:` option); None =
+    # the sink's default address
+    email: str | None = None
     # compiled artifacts (filled by compile_rule)
     _pcre_compiled: tuple = field(default=(), repr=False)
     _normalize_compiled: object = field(default=None, repr=False)
@@ -442,6 +445,8 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.priority = CLASSIFICATIONS.get(val, 3)
         elif key == "priority":
             r.priority = int(val)
+        elif key == "email":
+            r.email = _unquote(val)
         elif key == "program":
             pats = _unquote(val)
             r.programs = tuple(p.strip() for p in pats.split("|") if p.strip())

@@ -119,11 +119,15 @@ def syslog_sink(alerts_ds, host: str = "127.0.0.1", port: int = 514,
 
 
 def format_alert_mail(batch: pa.Table, mail_from: str,
-                      mail_to: str) -> list[bytes]:
+                      mail_to: str,
+                      email_by_sid: dict | None = None) -> list[bytes]:
     """One RFC822 message per alert (upstream esmtp.c: subject is the
-    rule msg, body carries the alert detail)."""
+    rule msg, body carries the alert detail). ``email_by_sid`` routes
+    per RULE (upstream's per-rule ``email:`` option): an alert whose
+    sid has an entry mails to that address, others to ``mail_to``."""
     from email.message import EmailMessage
 
+    email_by_sid = email_by_sid or {}
     out = []
     sids = batch["sid"].to_pylist()
     msgs = (pc.fill_null(batch["msg"], "").to_pylist()
@@ -137,7 +141,7 @@ def format_alert_mail(batch: pa.Table, mail_from: str,
     for i in range(batch.num_rows):
         m = EmailMessage()
         m["From"] = mail_from
-        m["To"] = mail_to
+        m["To"] = email_by_sid.get(sids[i], mail_to)
         m["Subject"] = f"[sagan_ray] [{sids[i]}] {msgs[i]}"
         m.set_content(
             f"sid: {sids[i]}\nclassification: {cls[i]}\n"
@@ -156,11 +160,17 @@ def make_smtp_transport(host: str, port: int = 25,
     actor)."""
     def send(messages: list[bytes]) -> int:
         import smtplib
+        from email.parser import BytesHeaderParser
 
+        # envelope rcpt comes from each message's To header, so
+        # per-rule `email:` routing rides the same transport contract
+        # (list[bytes] -> n_sent) the injectable fakes use
+        parser = BytesHeaderParser()
         n = 0
         with smtplib.SMTP(host, port, timeout=timeout_s) as s:
             for msg in messages:
-                s.sendmail(mail_from, [mail_to], msg)
+                rcpt = parser.parsebytes(msg)["To"] or mail_to
+                s.sendmail(mail_from, [rcpt], msg)
                 n += 1
         return n
 
@@ -171,10 +181,12 @@ class SmtpEmitter:
     """Actor-pool mail emitter over an injectable transport."""
 
     def __init__(self, transport, mail_from: str, mail_to: str,
-                 min_priority: int | None = None):
+                 min_priority: int | None = None,
+                 email_by_sid: dict | None = None):
         self.transport = transport
         self.mail_from, self.mail_to = mail_from, mail_to
         self.min_priority = min_priority
+        self.email_by_sid = email_by_sid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.min_priority is not None and "priority" in batch.column_names:
@@ -182,7 +194,8 @@ class SmtpEmitter:
             # (priority 1 is highest, so keep <= min_priority)
             batch = batch.filter(pc.less_equal(
                 pc.fill_null(batch["priority"], 99), self.min_priority))
-        msgs = format_alert_mail(batch, self.mail_from, self.mail_to)
+        msgs = format_alert_mail(batch, self.mail_from, self.mail_to,
+                                 self.email_by_sid)
         n_ok = n_fail = 0
         if msgs:
             try:
@@ -197,10 +210,14 @@ class SmtpEmitter:
 def smtp_sink(alerts_ds, transport=None, host: str = "127.0.0.1",
               port: int = 25, mail_from: str = "sagan@localhost",
               mail_to: str = "root@localhost",
-              min_priority: int | None = 1, concurrency: int = 2) -> dict:
+              min_priority: int | None = 1, concurrency: int = 2,
+              email_by_sid: dict | None = None) -> dict:
     """Mail each alert at or above ``min_priority`` (1 = highest; None
     = all); returns {'n_ok': ..., 'n_fail': ...}. Pass ``transport``
     (callable: list[bytes] -> n_sent) to use anything but a real MTA.
+    ``email_by_sid`` (sid -> address) implements the per-rule
+    ``email:`` option: those alerts mail to the rule's address, the
+    rest to ``mail_to``; the engine builds it from the parsed ruleset.
     Keep ``min_priority`` tight — mailing 10^12 alerts is a self-DoS;
     upstream gates the same way."""
     transport = transport or make_smtp_transport(host, port, mail_from,
@@ -209,6 +226,7 @@ def smtp_sink(alerts_ds, transport=None, host: str = "127.0.0.1",
         SmtpEmitter, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs=dict(transport=transport,
                                    mail_from=mail_from, mail_to=mail_to,
-                                   min_priority=min_priority),
+                                   min_priority=min_priority,
+                                   email_by_sid=email_by_sid),
     ).to_pandas().sum()
     return {"n_ok": int(stats["n_ok"]), "n_fail": int(stats["n_fail"])}

@@ -6,7 +6,11 @@ so codecs load once per actor. The decode libraries (PIL, ffmpeg, …) are
 NOT in this container, so each decoder tries the real import in
 ``__init__`` and otherwise falls back to a DETERMINISTIC fake (features
 derived from payload bytes) — the Ray-side plumbing (schema, batch size,
-actor signature, output layout) is real and tested either way.
+actor signature, output layout) is real and tested either way. All
+three modalities now have real decode paths behind the try-import:
+image (:class:`DecodeImage`, PIL), audio (:class:`AudioFeatures`,
+stdlib ``wave``), video/animation (:class:`FrameSample`, PIL
+``ImageSequence``).
 
 Keep batches SMALL for wide binary rows (see batch_size defaults): a
 batch × pool-size must fit the worker heap; blocks of big binaries
@@ -98,7 +102,10 @@ DecodeImageStub = DecodeImage
 class FrameSampleStub:
     """video payload -> every Nth frame's fake feature vector (list<float>).
 
-    Demonstrates the 1-row -> N-rows explode layout for frame sampling."""
+    Demonstrates the 1-row -> N-rows explode layout for frame sampling.
+    The REAL decode path lives in :class:`FrameSample` (PIL
+    ImageSequence); this stub is its no-PIL fallback and the
+    oracle-facing deterministic choice."""
 
     def __init__(self, every_n: int = 10, payload_col: str = "html"):
         self.every_n = every_n
@@ -121,6 +128,86 @@ class FrameSampleStub:
                 "feature": pa.array(feats, type=pa.list_(pa.float32())),
             }
         )
+
+
+class FrameSample:
+    """video/animation payload -> every Nth frame's feature vector —
+    the REAL frame-sampling path.
+
+    ``mode`` works exactly like :class:`DecodeImage`:
+
+    * ``"auto"`` (default): PIL ``ImageSequence`` when PIL imports
+      (animated GIF / multi-page TIFF / APNG — the formats PIL's
+      sequence iterator handles without ffmpeg), else the
+      :class:`FrameSampleStub` fake.
+    * ``"real"``: require PIL (ImportError at actor construction).
+    * ``"stub"``: always the deterministic fake (SQL-mirrorable).
+
+    Real path per payload: iterate frames, keep every ``every_n``-th
+    (0, N, 2N, … — the stub's sampling grid), emit one row per kept
+    frame with a 16-bin normalized grayscale histogram as the feature
+    vector (the fixed-width per-frame layout a real video frontend
+    would emit). Payloads PIL cannot open — or with zero decodable
+    frames — yield ONE row with NULL frame_id/feature (flag-and-keep:
+    a corrupt blob never kills the batch, and the row count preserves
+    lineage). PIL resolves ONCE per actor in ``__init__``."""
+
+    def __init__(self, every_n: int = 10, payload_col: str = "html",
+                 mode: str = "auto", n_bins: int = 16):
+        self.every_n = every_n
+        self.payload_col = payload_col
+        self.n_bins = n_bins
+        self._pil = None
+        self._seq = None
+        if mode in ("auto", "real"):
+            try:
+                from PIL import Image, ImageSequence
+
+                self._pil = Image
+                self._seq = ImageSequence
+            except ImportError:
+                if mode == "real":
+                    raise
+        self.real = self._pil is not None
+        self._stub = FrameSampleStub(every_n, payload_col)
+
+    def _frame_feature(self, frame) -> list[float]:
+        g = np.asarray(frame.convert("L"), dtype=np.uint8)
+        if g.size == 0:
+            return [0.0] * self.n_bins
+        # n_bins-bin grayscale histogram, normalized to sum 1
+        bins = (g.reshape(-1).astype(np.int64) * self.n_bins) >> 8
+        hist = np.bincount(bins, minlength=self.n_bins).astype(np.float64)
+        return (hist / g.size).astype(np.float32).tolist()
+
+    def _real_rows(self, url: str, payload: bytes) -> list[tuple]:
+        import io
+
+        try:
+            rows = []
+            with self._pil.open(io.BytesIO(payload)) as im:
+                for f, frame in enumerate(self._seq.Iterator(im)):
+                    if f % self.every_n:
+                        continue
+                    rows.append((url, f, self._frame_feature(frame)))
+            return rows or [(url, None, None)]
+        except Exception:
+            return [(url, None, None)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.real:
+            return self._stub(t)
+        rows: list[tuple] = []
+        for url, p in zip(t["url"].to_pylist(),
+                          t[self.payload_col].to_pylist()):
+            rows.extend(self._real_rows(url, p or b""))
+        urls, frame_ids, feats = zip(*rows) if rows else ((), (), ())
+        return pa.table({
+            "url": pa.array(list(urls), type=pa.string()),
+            "frame_id": pa.array(list(frame_ids), type=pa.int32()),
+            "feature": pa.array(list(feats),
+                                type=pa.list_(pa.float32())),
+        })
 
 
 def decode_stage(ds, cls=DecodeImageStub, batch_size: int = 256,

@@ -336,6 +336,27 @@ def test_clean_corpus_run_rejects_changed_plan(ray_session, tmp_path):
         clean_corpus_run(files, run_dir, **kw2)
 
 
+def test_clean_corpus_run_rejects_changed_inputs(ray_session, tmp_path):
+    """Resuming a run_dir with a DIFFERENT input file set raises (r4
+    ADVICE): reused stage checkpoints would otherwise return output
+    computed from the old corpus while silently ignoring the new
+    files."""
+    import pytest
+
+    from sagan_ray.pipelines.cleaning import clean_corpus_run
+
+    files = _write_corpus_parquet(tmp_path)
+    run_dir = str(tmp_path / "ri")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        clean_corpus_run(files, run_dir, fail_after_stages=1, **_RUN_KW)
+    # dropping one shard changes the input fingerprint -> must raise
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        clean_corpus_run(files[:-1], run_dir, **_RUN_KW)
+    # the unchanged set still resumes fine
+    out = clean_corpus_run(files, run_dir, **_RUN_KW).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 6]
+
+
 def test_clean_corpus_semdedup_stage(ray_session):
     """embedding_col wires SemDeDup into the chain AFTER the textual
     dedups: a semantic twin (different text, near-identical embedding)

@@ -162,3 +162,58 @@ def test_engine_config_syslog_re_emit(ray_session, tmp_path):
     # double-emitting sink regression still fails here
     assert n_routed // 2 <= len(got) <= n_routed
     assert all(b"ray-node sagan_ray:" in g for g in got[:20])
+
+
+def test_per_rule_email_routing(ray_session):
+    """Two rules with distinct `email:` options fan their alerts to two
+    addresses; sids without an entry fall back to mail_to — verified
+    through the injected transport's To headers."""
+    import ray
+    import ray.data as rd
+
+    from sagan_ray.rules import parse_rule
+    from sagan_ray.stages.emit import smtp_sink
+
+    r1 = parse_rule(
+        'alert any any any -> any any (msg:"one"; content:"x"; '
+        'email:"soc@example.com"; sid:1000001; rev:1;)')
+    r2 = parse_rule(
+        'alert any any any -> any any (msg:"two"; content:"y"; '
+        'email:ops@example.com; sid:1000002; rev:1;)')
+    assert r1.email == "soc@example.com"
+    assert r2.email == "ops@example.com"
+    email_by_sid = {r.sid: r.email for r in (r1, r2) if r.email}
+
+    @ray.remote
+    class Box:
+        def __init__(self):
+            self.msgs = []
+
+        def add(self, ms):
+            self.msgs.extend(ms)
+            return len(ms)
+
+        def all(self):
+            return self.msgs
+
+    box = Box.options(name="smtp_email_box").remote()
+
+    def transport(messages):
+        return ray.get(box.add.remote(messages))
+
+    alerts = pa.table({
+        "url": ["u1", "u2", "u3"],
+        "sid": pa.array([1000001, 1000002, 9999999], type=pa.int64()),
+        "msg": ["a", "b", "c"],
+        "classification": ["misc-activity"] * 3,
+        "priority": pa.array([1, 1, 1], type=pa.int32()),
+    })
+    stats = smtp_sink(rd.from_arrow(alerts), transport=transport,
+                      min_priority=1, concurrency=1,
+                      email_by_sid=email_by_sid)
+    msgs = ray.get(box.all.remote())
+    ray.kill(box)
+    assert stats == {"n_ok": 3, "n_fail": 0}
+    tos = sorted(re.search(rb"^To: (.+)$", m, re.M).group(1) for m in msgs)
+    assert tos == [b"ops@example.com", b"root@localhost",
+                   b"soc@example.com"]

@@ -13,8 +13,9 @@ from sagan_ray.sources.webpages import webpages_from_documents
 SF = "/root/testdata/sf0.001"
 
 # Frozen golden per-sink counts for the sf0.001-derived webpages run.
-# Independently cross-checked against the DuckDB oracle (see
-# .claude/skills/verify/SKILL.md). Any change here is a semantics change.
+# Independently cross-checked against the DuckDB oracle (run
+# `python tools/check_oracles.py /root/testdata/sf0.001 wp_route_counts`).
+# Any change here is a semantics change.
 GOLDEN = {
     "attempted-recon": 58,
     "bad-unknown": 465,

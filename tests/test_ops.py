@@ -205,6 +205,16 @@ def test_multimodal_stub_plumbing(ray_session):
     assert len(frames) >= 500  # explode: >= 1 frame per row
     assert frames["feature"].iloc[0] is not None
 
+    # FrameSample(mode="auto") in a PIL-less container must be
+    # indistinguishable from the stub (same rows, same schema)
+    from sagan_ray.stages.multimodal import FrameSample
+
+    frames2 = decode_stage(ds, FrameSample, batch_size=64,
+                           concurrency=2, mode="auto").to_pandas()
+    a = frames.sort_values(["url", "frame_id"]).reset_index(drop=True)
+    b = frames2.sort_values(["url", "frame_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
 
 def test_exact_dedup_finds_duplicates(ray_session):
     import ray.data as rd

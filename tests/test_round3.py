@@ -666,3 +666,78 @@ def test_cc_kernels_partition_simulation():
         labels = simulate(jump, seekers, labels2)
     got = dict(zip(labels["k"].to_pylist(), labels["v"].to_pylist()))
     assert got == {n: 5 for n in range(5, 10)}
+
+
+def test_frame_sample_real_branch_with_fake_pil(monkeypatch):
+    """FrameSample's real path via an injected PIL exposing the
+    Image.open + ImageSequence.Iterator contract over synthesized
+    'animated' payloads: b'VID' + one gray byte per frame."""
+    import sys
+    import types
+
+    class FakeFrame:
+        def __init__(self, val):
+            self.val = val
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((4, 4), self.val, dtype=np.uint8)
+
+    class FakeAnim:
+        def __init__(self, payload):
+            self.frames = [FakeFrame(b) for b in payload[3:]]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImage:
+        @staticmethod
+        def open(bio):
+            data = bio.read()
+            if not data.startswith(b"VID"):
+                raise ValueError("not a video")
+            return FakeAnim(data)
+
+    class FakeImageSequence:
+        @staticmethod
+        def Iterator(im):
+            return iter(im.frames)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = FakeImage
+    fake_pil.ImageSequence = FakeImageSequence
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    from sagan_ray.stages.multimodal import FrameSample
+
+    fs = FrameSample(every_n=10, payload_col="payload", mode="real")
+    assert fs.real
+    t = pa.table({
+        "url": pa.array(["anim", "junk", "empty"]),
+        "payload": pa.array(
+            [b"VID" + bytes(range(25)), b"nope!", b"VID"],
+            type=pa.binary()),
+    })
+    out = fs(t)
+    # 25 frames sampled every 10 -> frames 0, 10, 20; corrupt and
+    # zero-frame payloads each yield ONE NULL row (flag-and-keep)
+    assert out["url"].to_pylist() == ["anim", "anim", "anim",
+                                      "junk", "empty"]
+    assert out["frame_id"].to_pylist() == [0, 10, 20, None, None]
+    feats = out["feature"].to_pylist()
+    assert feats[3] is None and feats[4] is None
+    # uniform-gray frame: whole histogram mass in one 16-bin bucket
+    for f, frame_val in zip(feats[:3], (0, 10, 20)):
+        assert len(f) == 16
+        assert abs(sum(f) - 1.0) < 1e-6
+        assert max(f) == 1.0
+        assert f.index(1.0) == (frame_val * 16) >> 8
+
+    # auto mode without PIL falls back to the stub; real mode raises
+    monkeypatch.delitem(sys.modules, "PIL")
+    assert not FrameSample(mode="auto").real
+    with pytest.raises(ImportError):
+        FrameSample(mode="real")
