@@ -189,13 +189,29 @@ def llm_ops_r4_timings(inp: str, n_rows: int, rec: Recorder) -> None:
         return f
 
     # hopping windows over the FULL table: 1h windows hopping 15min per
-    # host — the explode pre-aggregates in-batch, shuffle ships only
-    # distinct (host, window) partials
+    # host. The synthetic warc_ts spans ~925 years (flagship's
+    # correlation stressor), which would put every row in its own
+    # 15-min pane — a groupby-cardinality stress with a 4x-input-sized
+    # OUTPUT, not a windowing benchmark — so fold the timestamps into
+    # one day first (deterministic modulo) to run the op in its design
+    # regime: many rows per (host, window), pane partials collapse
+    # in-batch, the shuffle ships ~200 hosts x 96 panes x <=2 spans
     from sagan_ray.stages.window import hopping_window_agg
+
+    day_us = np.int64(86_400_000_000)
+
+    def _fold_day(t: pa.Table) -> pa.Table:
+        ts = (_pc.cast(_pc.cast(t["warc_ts"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False))
+        folded = pa.array(ts % day_us).cast(pa.timestamp("us"))
+        return t.set_column(t.column_names.index("warc_ts"),
+                            "warc_ts", folded)
 
     t0 = time.perf_counter()
     hopping_window_agg(
-        _corpus(["host", "warc_ts", "doc_id"]), ["host"], "warc_ts",
+        _corpus(["host", "warc_ts", "doc_id"]).map_batches(
+            _fold_day, batch_format="pyarrow"),
+        ["host"], "warc_ts",
         window_s=3600, hop_s=900, value_col="doc_id",
         agg="count").count()
     rec.add("hopping_window", time.perf_counter() - t0)

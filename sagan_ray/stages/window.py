@@ -631,13 +631,22 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
     (sum / count / mean / max / min). ``hop_s == window_s`` degenerates
     to tumbling windows.
 
-    Scale shape: the 1-to-(window/hop) explode PRE-AGGREGATES inside
-    the batch (one lexsort + reduceat per partial), so the shuffle
-    carries at most |distinct (key, window)| rows per block — never the
-    exploded row count; a tiny groupby-style exchange merges partials
-    (mean ships (sum, n) and divides after the merge). Window starts
-    are epoch-aligned (``floor(t/hop)*hop``), matching the SQL
-    restatement ``GROUP BY key, ws`` over a generated window series.
+    Scale shape (pane decomposition, the public "No Pane, No Gain"
+    trick — Li et al., SIGMOD Record 2005): rows are NEVER exploded
+    into their ``n_win`` covering windows before the shuffle. Each
+    batch pre-aggregates per (key, hop-sized pane) — one lexsort +
+    reduceat, no replication — and every pane partial ships at most
+    TWICE, routed by (key, window-aligned span): the ``n_win`` windows
+    covering a pane span a range of ``window_s - hop_s`` so they fall
+    in at most two window-aligned spans, and each span copy serves
+    exactly the windows inside that span (no double counting). The
+    merge expands panes into windows LOCALLY, after cross-batch pane
+    merging, so shuffle volume is bounded by 2x|distinct (key, pane)|
+    per block — not rows, and never rows x n_win. All five aggs are
+    pane-decomposable (mean ships (sum, n) and divides after the
+    merge). Window starts are epoch-aligned (``floor(t/hop)*hop``),
+    matching the SQL restatement ``GROUP BY key, ws`` over a generated
+    window series.
 
     Output: keys + ``window_start`` (timestamp us) + ``<agg>_value``.
     ``key_types`` (col -> pa.DataType): pass the INPUT key types when a
@@ -652,8 +661,9 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
     n_win = window_s // hop_s
     nb = np.uint64(_n_buckets())
     hop_us = np.int64(hop_s * 1_000_000)
+    window_us = np.int64(window_s * 1_000_000)
 
-    def explode(t: pa.Table) -> pa.Table:
+    def pane_partials(t: pa.Table) -> pa.Table:
         n = t.num_rows
         # rows with a null timestamp or null value are EXCLUDED (they
         # have no window / nothing to aggregate — count counts values)
@@ -666,7 +676,8 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
         if n == 0:
             return pa.table({
                 **{k: t[k] for k in keys},
-                "ws": pa.array([], type=pa.int64()),
+                "pane": pa.array([], type=pa.int64()),
+                "span": pa.array([], type=pa.int64()),
                 "s": pa.array([], type=pa.float64()),
                 "n": pa.array([], type=pa.int64()),
                 "mx": pa.array([], type=pa.float64()),
@@ -682,47 +693,76 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
         # dropna=False so null keys form their own group, not code -1)
         codes = kdf.groupby(keys, sort=False,
                             dropna=False).ngroup().to_numpy()
-        # windows covering t: starts floor(t/hop)*hop - i*hop,
-        # i in [0, n_win)
-        base_ws = (ts // hop_us) * hop_us
-        rep_codes = np.repeat(codes, n_win)
-        rep_vals = np.repeat(vals, n_win)
-        offs = np.tile(np.arange(n_win, dtype=np.int64) * hop_us, n)
-        rep_ws = np.repeat(base_ws, n_win) - offs
-        # batch-local partial per (key, window): lexsort + reduceat
-        order = np.lexsort((rep_ws, rep_codes))
-        ck, wk, vv = rep_codes[order], rep_ws[order], rep_vals[order]
+        # batch-local partial per (key, hop-pane): lexsort + reduceat —
+        # NO n_win replication; panes expand into windows in the merge
+        pane = (ts // hop_us) * hop_us
+        order = np.lexsort((pane, codes))
+        ck, pk, vv = codes[order], pane[order], vals[order]
         first = np.ones(len(ck), dtype=bool)
-        first[1:] = (ck[1:] != ck[:-1]) | (wk[1:] != wk[:-1])
+        first[1:] = (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1])
         st = np.flatnonzero(first)
         sums = np.add.reduceat(vv, st)
         maxs = np.maximum.reduceat(vv, st)
         mins = np.minimum.reduceat(vv, st)
-        cnts = np.diff(np.r_[st, len(vv)])
+        cnts = np.diff(np.r_[st, len(vv)]).astype(np.int64)
+        pane_st = pk[st]
+        # windows covering pane p start in [p - window + hop, p] — a
+        # range of width window - hop, so at most TWO window-aligned
+        # spans; ship one copy per span and let each span's merge keep
+        # only the windows inside it (each window counted exactly once)
+        span_hi = pane_st // window_us
+        span_lo = (pane_st - window_us + hop_us) // window_us
+        dup_idx = np.flatnonzero(span_lo != span_hi)
+        all_idx = np.concatenate([np.arange(len(st)), dup_idx])
+        all_span = np.concatenate([span_hi, span_lo[dup_idx]])
         # map each partial segment back to an original row holding its
-        # key tuple (replicated index // n_win)
-        orig_row = order[st] // n_win
-        key_rows = t.select(keys).take(pa.array(orig_row))
-        # dtype-stable routing hash over (keys, window) — see
+        # key tuple
+        orig_row = order[st]
+        key_rows = (t.select(keys).take(pa.array(orig_row))
+                    .take(pa.array(all_idx)))
+        # dtype-stable routing hash over (keys, span) — see
         # _stable_col_hash for why pandas-dtype hashing is unsafe here
         h = _stable_col_hash(key_rows[keys[0]])
         for c in keys[1:]:
             h = h * np.uint64(31) + _stable_col_hash(key_rows[c])
-        h = h * np.uint64(31) + wk[st].view(np.uint64)
+        h = h * np.uint64(31) + all_span.view(np.uint64)
         return pa.table({
             **{k: key_rows[k] for k in keys},
-            "ws": pa.array(wk[st]),
-            "s": pa.array(sums),
-            "n": pa.array(cnts.astype(np.int64)),
-            "mx": pa.array(maxs),
-            "mn": pa.array(mins),
+            "pane": pa.array(pane_st[all_idx]),
+            "span": pa.array(all_span),
+            "s": pa.array(sums[all_idx]),
+            "n": pa.array(cnts[all_idx]),
+            "mx": pa.array(maxs[all_idx]),
+            "mn": pa.array(mins[all_idx]),
             "gb": pa.array((h % nb).astype(np.int64)),
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        grp = g.groupby(keys + ["ws"], sort=False, dropna=False)
-        out = grp.agg(s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"),
-                      mn=("mn", "min")).reset_index()
+        # 1) merge pane partials across batches
+        grp = (g.groupby(keys + ["pane", "span"], sort=False,
+                         dropna=False)
+               .agg(s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"),
+                    mn=("mn", "min")).reset_index())
+        # 2) expand each merged pane into the covering windows that
+        #    live in its routed span (local, post-merge, never shuffled)
+        if n_win == 1:
+            e = grp
+            e["ws"] = e["pane"].to_numpy(dtype=np.int64)
+        else:
+            m = len(grp)
+            p = grp["pane"].to_numpy(dtype=np.int64)
+            sp = grp["span"].to_numpy(dtype=np.int64)
+            idx = np.repeat(np.arange(m), n_win)
+            ws = (np.repeat(p, n_win)
+                  - np.tile(np.arange(n_win, dtype=np.int64) * hop_us,
+                            m))
+            keep = (ws // window_us) == np.repeat(sp, n_win)
+            idx, ws = idx[keep], ws[keep]
+            e = grp.iloc[idx].reset_index(drop=True)
+            e["ws"] = ws
+        out = (e.groupby(keys + ["ws"], sort=False, dropna=False)
+               .agg(s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"),
+                    mn=("mn", "min")).reset_index())
         if agg == "sum":
             out["value"] = out["s"]
         elif agg == "count":
@@ -737,7 +777,8 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
 
     from .correlate import shuffle_groups
 
-    out = shuffle_groups(ds.map_batches(explode, batch_format="pyarrow"),
+    out = shuffle_groups(ds.map_batches(pane_partials,
+                                        batch_format="pyarrow"),
                          "gb", merge)
 
     def finish(t: pa.Table) -> pa.Table:
