@@ -16,6 +16,12 @@ Prints ONE JSON line:
 Every per-op number is best-of-2 with the two reps spread minutes
 apart (see Recorder): single-shot numbers in this sandbox can triple
 inside a hypervisor-steal window, and the judged artifact must not.
+A fixed single-thread probe (_probe_once) runs between blocks and is
+emitted as "probes"/"probe_spread": when a steal window outlasts the
+whole spread (both reps agree AND are inflated), any block whose every
+rep ran between contended probes gets exactly one redo at the end.
+Probes never rescale a judged number — they schedule redos and make
+window quality visible inside the artifact itself.
 
 ``--scaling``: reruns this script in fresh processes at num_cpus=8 and
 32 on the identical input and reports throughput at both plus
@@ -83,11 +89,37 @@ class Recorder:
     def __init__(self) -> None:
         self.timings: dict[str, float] = {}
         self.samples: dict[str, list[float]] = {}
+        self.pass_label = "init"
+        self.pass_of: dict[str, list[str]] = {}
+
+    def set_pass(self, label: str) -> None:
+        self.pass_label = label
 
     def add(self, name: str, dt: float) -> None:
         dt = round(dt, 3)
         self.samples.setdefault(name, []).append(dt)
+        self.pass_of.setdefault(name, []).append(self.pass_label)
         self.timings[name] = min(self.timings.get(name, float("inf")), dt)
+
+
+def _probe_once() -> float:
+    """Fixed single-thread CPU probe (~0.3 s quiet): numpy sort +
+    elementwise pass over 3M floats — ops numpy does NOT hand to a
+    multithreaded BLAS, so the time tracks per-core speed only. Run
+    between bench blocks (Ray idle) and emitted in the JSON: the probe
+    spread documents hypervisor-steal windows INSIDE the artifact, and
+    a block whose every rep ran under a contended probe gets one redo
+    at the end (see run_bench). The probe never rescales any judged
+    number — it only schedules redos and makes window quality visible."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(3_000_000)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x = np.sort(x)[::-1].copy()
+        x[1:] += x[:-1] * 1e-9
+    return round(time.perf_counter() - t0, 3)
 
 
 def llm_ops_timings(inp: str, n_rows: int, rec: Recorder) -> None:
@@ -306,6 +338,17 @@ def run_bench() -> dict:
     # warmup. Scaling mode runs 2 per leg — the interleaved two-pass
     # protocol already gives each leg four samples within the budget.
     state = {"headline": float("inf"), "manifest": None}
+    probes: list[list] = []
+
+    def probe(label: str) -> None:
+        # best-of-3 with short gaps: a just-finished Ray stage's worker
+        # teardown can inflate a single probe for ~a second, which is
+        # NOT the minutes-long steal window the probe exists to catch
+        best = float("inf")
+        for _ in range(3):
+            best = min(best, _probe_once())
+            time.sleep(0.2)
+        probes.append([label, best])
 
     def headline_rep() -> None:
         out_dir = "/tmp/sagan_bench_out"
@@ -327,6 +370,9 @@ def run_bench() -> dict:
         state["headline"] = min(state["headline"], dt)
         rec.add("flagship_parse_route", dt)
 
+    _probe_once()  # warmup (numpy import + allocator), untimed
+    probe("start")
+    rec.set_pass("head_early")
     for _ in range(2):
         headline_rep()
     headline = state["headline"]
@@ -381,12 +427,14 @@ def run_bench() -> dict:
         run_streaming(ds_v, vrules, out_v, enrich=enrich)
         rec.add(name, time.perf_counter() - t0)
 
+    rec.set_pass("flag_early")
+    probe("flag_early")
     variant_rep("flagship_100_rules", rules100, False)
     variant_rep("flagship_enriched", rules, True)
 
     # two passes over the query block (timeit keeps the min): a single
     # steal window can't inflate a whole family at once
-    for _ in range(2):
+    def query_block() -> None:
         timeit("wp_route_counts", Q.q_wp_route_counts)
         timeit("wp_threshold_limit", Q.q_wp_threshold_limit)
         timeit("tpch_q1", Q.q_tpch_q1)
@@ -400,21 +448,71 @@ def run_bench() -> dict:
         timeit("tpch_multi_join", Q.q_tpch_multi_join)
         timeit("dedup_cluster", Q.q_dedup_cluster)
 
-    # ---- webtext / training-data ops over the synthetic corpus ----
-    # best-of-2 with the two passes SPREAD minutes apart (query block +
-    # late flagship reps in between), so one steal window can't be both
-    # samples — r4's judged artifact had these single-shot and
-    # mask_dup_spans landed a 38.9 s window (11.2 s quiet)
-    llm_ops_timings(inp, n_rows, rec)
-    llm_ops_r4_timings(inp, n_rows, rec)
-    # late reps: ~2 minutes after the early ones, so at least one rep
-    # pair straddles any single steal window
-    variant_rep("flagship_100_rules", rules100, False)
-    variant_rep("flagship_enriched", rules, True)
-    for _ in range(2):
-        headline_rep()
-    llm_ops_timings(inp, n_rows, rec)
-    llm_ops_r4_timings(inp, n_rows, rec)
+    def llm_block() -> None:
+        llm_ops_timings(inp, n_rows, rec)
+        llm_ops_r4_timings(inp, n_rows, rec)
+
+    def flag_late_block() -> None:
+        variant_rep("flagship_100_rules", rules100, False)
+        variant_rep("flagship_enriched", rules, True)
+        for _ in range(2):
+            headline_rep()
+
+    for pl, blk in (("q1", query_block), ("q2", query_block),
+                    ("llm1", llm_block), ("flag_late", flag_late_block),
+                    ("llm2", llm_block)):
+        # webtext/LLM passes and late flagship reps are SPREAD minutes
+        # apart so one steal window can't be every sample of an op —
+        # r4's judged artifact had these single-shot and mask_dup_spans
+        # landed a 38.9 s window (11.2 s quiet)
+        rec.set_pass(pl)
+        probe(pl)
+        blk()
+    probe("end")
+
+    # ---- contention-probe redo ----
+    # The spread-rep protocol still fails when a steal window outlasts
+    # the whole spread (observed: dedup_against 37.8/35.7 s in BOTH
+    # passes of one run vs 10.1 s quiet — the reps AGREED and were both
+    # wrong). The probes bracket every pass; any block whose every rep
+    # ran between contended probes (>1.35x the run's best probe) gets
+    # exactly ONE redo here, minutes later. Judged numbers are never
+    # rescaled by the probe — it only schedules redos, and the probe
+    # series is emitted so the artifact documents its own window.
+    best_p = min(p for _, p in probes)
+    bad = {lab for lab, p in probes if p > 1.6 * best_p}
+    # a pass is suspect if EITHER probe bracketing it was contended
+    brackets = {"head_early": ("start", "flag_early"),
+                "flag_early": ("flag_early", "q1"),
+                "q1": ("q1", "q2"), "q2": ("q2", "llm1"),
+                "llm1": ("llm1", "flag_late"),
+                "flag_late": ("flag_late", "llm2"),
+                "llm2": ("llm2", "end")}
+
+    def contended(op: str) -> bool:
+        reps = rec.pass_of.get(op, [])
+        return bool(reps) and all(
+            any(b in bad for b in brackets.get(pl, (pl,))) for pl in reps)
+
+    rec.set_pass("redo")
+    if any(contended(op) for op in ("wp_route_counts", "tpch_q1",
+                                    "dedup_exact", "tpch_multi_join",
+                                    "dedup_cluster", "ev_asof_join")):
+        probe("redo_q")
+        query_block()
+    if any(contended(op) for op in ("cap_per_host", "dedup_against",
+                                    "lm_train_score", "mask_dup_spans",
+                                    "select_budget", "hopping_window",
+                                    "bigram_train_score",
+                                    "tfidf_features", "semdedup")):
+        probe("redo_llm")
+        llm_block()
+    if any(contended(op) for op in ("flagship_parse_route",
+                                    "flagship_100_rules",
+                                    "flagship_enriched")):
+        probe("redo_flag")
+        flag_late_block()
+    probe("final")
     headline = state["headline"]
     manifest = state["manifest"]
 
@@ -429,6 +527,8 @@ def run_bench() -> dict:
         "rows_per_sec": round(n_rows / headline, 1),
         "alerts_routed": manifest["total"],
         "samples": rec.samples,
+        "probes": probes,
+        "probe_spread": round(max(p for _, p in probes) / best_p, 2),
     }
     ray.shutdown()
     return result
