@@ -122,6 +122,34 @@ def _probe_once() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+# run_bench's pass layout: each timed pass is bracketed by the probe
+# taken just before it and the one taken just after (labels differ for
+# the first pass; redo passes map to themselves).
+_PASS_BRACKETS = {
+    "head_early": ("start", "flag_early"),
+    "flag_early": ("flag_early", "q1"),
+    "q1": ("q1", "q2"),
+    "q2": ("q2", "llm1"),
+    "llm1": ("llm1", "flag_late"),
+    "flag_late": ("flag_late", "llm2"),
+    "llm2": ("llm2", "end"),
+}
+
+
+def _fully_shadowed(op: str, pass_of: dict, probes: list,
+                    ratio: float = 1.6) -> bool:
+    """Redo trigger: True when EVERY rep of ``op`` ran in a pass with a
+    contended bracketing probe (> ``ratio`` x the run's best probe).
+    One clean rep anywhere means the min is trustworthy — no redo.
+    Module-level so the decision rule is unit-testable without Ray."""
+    best_p = min(p for _, p in probes)
+    bad = {lab for lab, p in probes if p > ratio * best_p}
+    reps = pass_of.get(op, [])
+    return bool(reps) and all(
+        any(b in bad for b in _PASS_BRACKETS.get(pl, (pl,)))
+        for pl in reps)
+
+
 def llm_ops_timings(inp: str, n_rows: int, rec: Recorder) -> None:
     """The LLM-data-op block (cap / cross-corpus dedup / LM score /
     span mask / budget selection) over the synthetic corpus at ``inp``
@@ -480,19 +508,9 @@ def run_bench() -> dict:
     # rescaled by the probe — it only schedules redos, and the probe
     # series is emitted so the artifact documents its own window.
     best_p = min(p for _, p in probes)
-    bad = {lab for lab, p in probes if p > 1.6 * best_p}
-    # a pass is suspect if EITHER probe bracketing it was contended
-    brackets = {"head_early": ("start", "flag_early"),
-                "flag_early": ("flag_early", "q1"),
-                "q1": ("q1", "q2"), "q2": ("q2", "llm1"),
-                "llm1": ("llm1", "flag_late"),
-                "flag_late": ("flag_late", "llm2"),
-                "llm2": ("llm2", "end")}
 
     def contended(op: str) -> bool:
-        reps = rec.pass_of.get(op, [])
-        return bool(reps) and all(
-            any(b in bad for b in brackets.get(pl, (pl,))) for pl in reps)
+        return _fully_shadowed(op, rec.pass_of, probes)
 
     rec.set_pass("redo")
     if any(contended(op) for op in ("wp_route_counts", "tpch_q1",
@@ -657,3 +675,11 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
+    # skip interpreter teardown: after a 32M-row run, Ray's atexit /
+    # destructor chain has been observed to hang the already-finished
+    # process for 10-20 min after the JSON line was printed (the driver
+    # and the --scaling/--llm-scale subprocess waits pay that wall
+    # time). ray.shutdown() has already run inside each run_* function.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
