@@ -366,6 +366,17 @@ def follow_directory(
     A reload that fails to parse logs and keeps the old set — a typo'd
     edit must not kill a running daemon.
 
+    At-detection ``dynamic_load`` (upstream dynamic-rules.c: a meta
+    rule whose firing loads a named rules file immediately): quantized
+    to wave boundaries — after each wave, any rule carrying
+    ``dynamic_load:`` whose sid appears in the stage-A checkpoint has
+    its file loaded ONCE (new sids only), and the expanded set applies
+    from the next wave on. Mid-wave mutation stays out by design: a Ray
+    retry replays a block, and a replay under a different rule set than
+    the first attempt breaks exactly-once checkpoint semantics. A file
+    that fails to parse is logged, skipped, and never retried (the
+    upstream, too, loads per detection at most once per trigger).
+
     ``on_wave(iteration, manifest)`` (optional) fires after every wave
     — metrics hooks, or test choreography."""
     import glob as _glob
@@ -393,6 +404,46 @@ def follow_directory(
         rules = (reload_rules or _load_from_paths)()
     rules = rules or load_default_rules()
     rules_fp = _fingerprint()
+    dyn_loaded: set[str] = set()
+
+    def _dynamic_reload(current: list[Rule]) -> list[Rule]:
+        # wave-end dynamic_load: checkpoint sids are the fired-set
+        # (stage A keeps noalert matches too, so a silent meta rule
+        # still triggers). The sid probe reads ONE column filtered by
+        # the handful of dynamic sids — parquet statistics prune row
+        # groups, no alert payload moves.
+        dyn = {r.sid: r.dynamic_load for r in current
+               if r.dynamic_load and r.dynamic_load not in dyn_loaded}
+        ckpt_root = os.path.join(run_dir, "ckpt")
+        if not dyn or not os.path.isdir(ckpt_root):
+            return current
+        import logging
+
+        import pyarrow.dataset as pads
+
+        from ..rules import load_rules_file
+
+        fired = set(
+            pads.dataset(ckpt_root, format="parquet", partitioning="hive")
+            .to_table(columns=["sid"],
+                      filter=pads.field("sid").isin(list(dyn)))["sid"]
+            .to_pylist())
+        out, have = list(current), {r.sid for r in current}
+        for sid, path in dyn.items():
+            if sid not in fired:
+                continue
+            dyn_loaded.add(path)  # at most once, even on a parse error
+            try:
+                new = [r for r in load_rules_file(path)
+                       if r.sid not in have]
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "dynamic_load of %s (sid %d) failed: %s",
+                    path, sid, e)
+                continue
+            out.extend(new)
+            have.update(r.sid for r in new)
+        return out
     manifest: dict = {}
     it = 0
     while True:
@@ -416,6 +467,7 @@ def follow_directory(
                 derive_from_documents=derive_from_documents,
                 pre_stage=pre_stage,
             )
+            rules = _dynamic_reload(rules)
         it += 1
         if on_wave is not None:
             on_wave(it, manifest)

@@ -206,6 +206,13 @@ class Rule:
     # per-rule mail routing (upstream smtp.c `email:` option); None =
     # the sink's default address
     email: str | None = None
+    # at-detection rule loading (upstream dynamic-rules.c
+    # `dynamic_load: /path.rules`): when this rule fires, the engine
+    # loads the named rules file. Batch analogue: follow_directory
+    # loads it at wave END, once — never mid-wave, because a retried
+    # block must re-match under the exact rule set its wave started
+    # with (Ray task retries are replays, not continuations).
+    dynamic_load: str | None = None
     # compiled artifacts (filled by compile_rule)
     _pcre_compiled: tuple = field(default=(), repr=False)
     _normalize_compiled: object = field(default=None, repr=False)
@@ -447,6 +454,8 @@ def parse_rule(line: str, var_table: dict[str, list[str]] | None = None) -> Rule
             r.priority = int(val)
         elif key == "email":
             r.email = _unquote(val)
+        elif key == "dynamic_load":
+            r.dynamic_load = _unquote(val)
         elif key == "program":
             pats = _unquote(val)
             r.programs = tuple(p.strip() for p in pats.split("|") if p.strip())

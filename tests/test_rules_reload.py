@@ -88,3 +88,102 @@ def test_reload_failure_keeps_old_rules(ray_session, tmp_path):
                          on_wave=choreograph)
     # the broken edit was ignored: wave2 still matched with the OLD set
     assert m["total"] == 2
+
+
+_META = ('alert any any any -> any any (msg:"new source seen"; '
+         'content:"deploy"; classtype:misc-activity; sid:9200001; rev:1; '
+         "dynamic_load:{path};)\n")
+_EXTRA = ('alert any any any -> any any (msg:"dyn table"; content:"table"; '
+          "classtype:policy-violation; sid:9200002; rev:1;)\n")
+
+
+def test_dynamic_load_fires_at_wave_end(ray_session, tmp_path):
+    """Upstream dynamic-rules.c at-detection semantics, quantized to
+    wave boundaries: the meta rule fires in wave 1, its rules file
+    loads at wave end, and the loaded sid matches from wave 2 on."""
+    from sagan_ray.pipelines.flagship import follow_directory
+    from sagan_ray.rules import parse_rules
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text(_EXTRA)
+    rules, _ = parse_rules(_R1 + _META.format(path=extra))
+    assert any(r.dynamic_load == str(extra) for r in rules)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    # wave1: the meta trigger fires; 'table' has NO rule yet
+    pq.write_table(_docs([(1, "deploy of spark"),
+                          (2, "a table of contents")]),
+                   str(inp / "wave1.parquet"))
+
+    def choreograph(it, _manifest):
+        if it == 1:
+            pq.write_table(_docs([(3, "another table mention")]),
+                           str(inp / "wave2.parquet"))
+
+    m = follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
+                         max_iterations=2, on_wave=choreograph)
+    routed = pads.dataset(os.path.join(run_dir, "sinks"),
+                          partitioning="hive").to_table().to_pandas()
+    routed["doc"] = routed["url"].str.rsplit("/", n=1).str[-1].astype(int)
+    by_sid = routed.groupby("sid")["doc"].apply(
+        lambda s: sorted(s.tolist())).to_dict()
+    # wave1: meta (9200001 on doc 1) + base spark rule (doc 1) fired;
+    # doc 2's 'table' did not (rule not yet loaded, partition completed)
+    assert by_sid.get(9200001) == [1]
+    # wave2: the dynamically-loaded sid fired on the NEW file only
+    assert by_sid.get(9200002) == [3]
+    assert m["total"] == 3  # spark(1), meta(1), dyn-table(3)
+
+
+def test_dynamic_load_not_triggered_without_detection(ray_session,
+                                                      tmp_path):
+    from sagan_ray.pipelines.flagship import follow_directory
+    from sagan_ray.rules import parse_rules
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text(_EXTRA)
+    rules, _ = parse_rules(_R1 + _META.format(path=extra))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    # no 'deploy' anywhere: the meta rule never fires
+    pq.write_table(_docs([(1, "spark only"), (2, "a table here")]),
+                   str(inp / "w1.parquet"))
+
+    def choreograph(it, _m):
+        if it == 1:
+            pq.write_table(_docs([(3, "table again")]),
+                           str(inp / "w2.parquet"))
+
+    m = follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
+                         max_iterations=2, on_wave=choreograph)
+    routed = pads.dataset(os.path.join(run_dir, "sinks"),
+                          partitioning="hive").to_table().to_pandas()
+    # 9200002 never loaded -> 'table' docs never matched
+    assert 9200002 not in set(routed["sid"])
+    assert m["total"] == 1  # spark doc 1 only
+
+
+def test_dynamic_load_parse_error_skipped_once(ray_session, tmp_path):
+    from sagan_ray.pipelines.flagship import follow_directory
+    from sagan_ray.rules import parse_rules
+
+    extra = tmp_path / "broken.rules"
+    extra.write_text("this is : not ; a rule (")
+    rules, _ = parse_rules(_R1 + _META.format(path=extra))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    pq.write_table(_docs([(1, "deploy spark")]), str(inp / "w1.parquet"))
+
+    def choreograph(it, _m):
+        if it == 1:
+            pq.write_table(_docs([(2, "spark two")]),
+                           str(inp / "w2.parquet"))
+
+    # broken dynamic file: logged + skipped, daemon keeps serving
+    m = follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
+                         max_iterations=2, on_wave=choreograph)
+    assert m["total"] == 3  # spark(1,2) + meta(1); no crash
