@@ -503,7 +503,8 @@ def run_bench() -> dict:
     # the whole spread (observed: dedup_against 37.8/35.7 s in BOTH
     # passes of one run vs 10.1 s quiet — the reps AGREED and were both
     # wrong). The probes bracket every pass; any block whose every rep
-    # ran between contended probes (>1.35x the run's best probe) gets
+    # ran between contended probes (>1.6x the run's best probe — the
+    # _fully_shadowed default, the single stated threshold) gets
     # exactly ONE redo here, minutes later. Judged numbers are never
     # rescaled by the probe — it only schedules redos, and the probe
     # series is emitted so the artifact documents its own window.

@@ -123,12 +123,12 @@ class EngineConfig:
             rules = load_default_rules()
         return rules
 
-    def build_alerts(self, ds):
+    def build_alerts(self, ds, rules=None):
         from .stages.enrich import enrich_stage
         from .stages.ignore import ignore_stage
         from .stages.match import match_alerts
 
-        rules = self.load_rules()
+        rules = rules if rules is not None else self.load_rules()
         if self.ignore_patterns:
             ds = ignore_stage(ds, self.ignore_patterns)
         from .pipelines.flagship import gate_alerts, rules_need_enrichment
@@ -154,8 +154,12 @@ class EngineConfig:
     def run(self, ds, out_dir: str) -> dict:
         from .stages.route import route_alerts
 
-        manifest = route_alerts(self.build_alerts(ds), out_dir,
-                                write_eve=self.write_eve)
+        # parse the ruleset ONCE: the re-emit phase's sid->email map
+        # must come from the SAME rules that produced the alerts (an
+        # edit between phases would otherwise desynchronize them)
+        rules = self.load_rules()
+        manifest = route_alerts(self.build_alerts(ds, rules=rules),
+                                out_dir, write_eve=self.write_eve)
         if self.syslog or self.smtp:
             # re-emit from the authoritative parquet sinks, STREAMED:
             # ray.data.read_parquet over the hive-partitioned sink dir
@@ -178,7 +182,6 @@ class EngineConfig:
                 if "email_by_sid" not in smtp_kwargs:
                     # per-rule `email:` routing straight from the ruleset
                     smtp_kwargs["email_by_sid"] = {
-                        r.sid: r.email for r in self.load_rules()
-                        if r.email}
+                        r.sid: r.email for r in rules if r.email}
                 manifest["smtp"] = smtp_sink(routed, **smtp_kwargs)
         return manifest

@@ -304,6 +304,16 @@ def clean_corpus_run(input_files, run_dir: str, *,
     if os.path.exists(plan_path):
         with open(plan_path) as f:
             prev = json.load(f)
+        if "inputs" not in prev:
+            # migration: run_dirs checkpointed before the inputs key
+            # existed must stay resumable with identical params — treat
+            # the missing key as matching (it can't be reconstructed)
+            # and record it for subsequent resumes.
+            prev["inputs"] = plan["inputs"]
+            tmp = plan_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(prev, f, indent=2, sort_keys=True)
+            os.replace(tmp, plan_path)
         if prev != plan:
             raise ValueError(
                 f"run_dir {run_dir!r} holds checkpoints for a DIFFERENT "

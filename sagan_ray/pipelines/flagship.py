@@ -417,33 +417,39 @@ def follow_directory(
         ckpt_root = os.path.join(run_dir, "ckpt")
         if not dyn or not os.path.isdir(ckpt_root):
             return current
-        import logging
-
         import pyarrow.dataset as pads
 
-        from ..rules import load_rules_file
-
+        dset = pads.dataset(ckpt_root, format="parquet",
+                            partitioning="hive")
+        # a wave where nothing ever fired leaves only EMPTY part_id
+        # dirs: the discovered schema then has no 'sid' to filter on
+        if "sid" not in dset.schema.names:
+            return current
         fired = set(
-            pads.dataset(ckpt_root, format="parquet", partitioning="hive")
-            .to_table(columns=["sid"],
-                      filter=pads.field("sid").isin(list(dyn)))["sid"]
+            dset.to_table(columns=["sid"],
+                          filter=pads.field("sid").isin(list(dyn)))["sid"]
             .to_pylist())
-        out, have = list(current), {r.sid for r in current}
+        out = list(current)
         for sid, path in dyn.items():
             if sid not in fired:
                 continue
             dyn_loaded.add(path)  # at most once, even on a parse error
-            try:
-                new = [r for r in load_rules_file(path)
-                       if r.sid not in have]
-            except Exception as e:
-                logging.getLogger(__name__).warning(
-                    "dynamic_load of %s (sid %d) failed: %s",
-                    path, sid, e)
-                continue
-            out.extend(new)
-            have.update(r.sid for r in new)
+            out = _extend_from(out, path)
         return out
+
+    def _extend_from(current: list[Rule], path: str) -> list[Rule]:
+        import logging
+
+        from ..rules import load_rules_file
+
+        have = {r.sid for r in current}
+        try:
+            return current + [r for r in load_rules_file(path)
+                              if r.sid not in have]
+        except Exception as e:
+            logging.getLogger(__name__).warning(
+                "dynamic_load of %s failed: %s", path, e)
+            return current
     manifest: dict = {}
     it = 0
     while True:
@@ -452,6 +458,13 @@ def follow_directory(
             if nfp != rules_fp:
                 try:
                     rules = (reload_rules or _load_from_paths)()
+                    # an edit to the BASE files must not discard rules a
+                    # fired dynamic_load already brought in: re-apply
+                    # every triggered dynamic file on top of the fresh
+                    # base set (sid-deduped; a now-broken file logs and
+                    # contributes nothing)
+                    for p in sorted(dyn_loaded):
+                        rules = _extend_from(rules, p)
                     rules_fp = nfp
                 except Exception as e:  # keep serving with the old set
                     import logging

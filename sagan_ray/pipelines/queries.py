@@ -1510,7 +1510,14 @@ ORACLES = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""",
     "doc_textstats": r"""
         WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          -- the TF-IDF trio tokenizes like Python str.split(): split on
+          -- WHITESPACE RUNS, empties dropped (string_split(text,' ')
+          -- would keep '' terms and split differently on tabs/newlines
+          -- and double spaces). The other columns keep the
+          -- single-space convention their Python kernels use.
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                 AS term
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         dt AS (SELECT doc_id, term, count(*) AS c FROM toks

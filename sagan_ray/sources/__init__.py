@@ -30,9 +30,17 @@ def read_parquet_clean(paths, **kwargs):
 
             first = paths if isinstance(paths, str) else paths[0]
             if os.path.isdir(first):
+                root = first
                 found = sorted(glob.glob(os.path.join(first, "**", "*.parquet"),
                                          recursive=True))
                 first = found[0] if found else None
+                if first and "=" in os.path.relpath(first, root):
+                    # hive-partitioned layout: the file footer does NOT
+                    # carry the partition columns, so a footer-derived
+                    # schema would disagree with the blocks Ray builds
+                    # (declared schema missing e.g. 'classification').
+                    # Fall through to the post-read strip-map instead.
+                    first = None
             if first:
                 full = pq.read_schema(first).remove_metadata()
                 cols = kwargs.get("columns")

@@ -1390,6 +1390,13 @@ def semdedup_losers(ds, vec_col: str = "vec", id_col: str = "id",
     modulus = max(1, n_total // max(1, sample_size))
 
     def hash_sample(t: pa.Table) -> pa.Table:
+        if t[id_col].null_count:
+            # a null id would round-trip through float64 NaN into an
+            # arbitrary int64 here and silently corrupt the sample /
+            # loser matching — fail loudly like the old object path did
+            raise TypeError(
+                f"semdedup: {id_col!r} contains nulls; ids must be "
+                "non-null integers")
         ids = (t[id_col].to_numpy(zero_copy_only=False)
                .astype(np.int64).view(np.uint64))
         keep = ((ids * knuth) % np.uint64(modulus) == 0 if modulus > 1

@@ -430,3 +430,33 @@ def test_cli_clean_run_dir_resumable(tmp_path):
     for f, mt in mtimes.items():
         assert os.path.getmtime(
             rd / "stages" / "stage=gates" / f) == mt  # reused
+
+
+def test_clean_corpus_run_migrates_pre_inputs_plan(ray_session, tmp_path):
+    """Review finding (r5): a run_dir checkpointed BEFORE plan.json
+    carried the 'inputs' key must stay resumable with identical params
+    — the missing key is treated as matching and recorded."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from sagan_ray.pipelines.cleaning import clean_corpus_run
+    from sagan_ray.state import lineage
+
+    files = _write_corpus_parquet(tmp_path)
+    run_dir = str(tmp_path / "rm")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        clean_corpus_run(files, run_dir, fail_after_stages=1, **_RUN_KW)
+    # simulate the pre-upgrade plan file (no 'inputs' key)
+    plan_path = os.path.join(lineage.lineage_dir(run_dir), "plan.json")
+    with open(plan_path) as f:
+        plan = _json.load(f)
+    del plan["inputs"]
+    with open(plan_path, "w") as f:
+        _json.dump(plan, f)
+    # identical resume works, and the key is backfilled for next time
+    out = clean_corpus_run(files, run_dir, **_RUN_KW).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 6]
+    with open(plan_path) as f:
+        assert "inputs" in _json.load(f)

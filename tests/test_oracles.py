@@ -92,3 +92,37 @@ def test_query_matches_oracle(ray_session, duck, name):
             ), f"{name}.{c}"
         else:
             assert a.astype(str).equals(b.astype(str)), f"{name}.{c}"
+
+
+def test_doc_textstats_irregular_whitespace(ray_session, tmp_path):
+    """Review finding (r5): the TF-IDF trio tokenizes like Python
+    str.split() (whitespace RUNS, empties dropped); the oracle's toks
+    CTE must mirror that exactly — double spaces, tabs, newlines,
+    leading/trailing space and empty docs all agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sagan_ray.pipelines.queries import ORACLES, q_doc_textstats
+
+    docs = [
+        (0, "a  b"),                      # double space
+        (1, " leading and trailing "),    # edge spaces
+        (2, "tab\tsep\nand newline"),     # tabs + newlines
+        (3, ""),                          # empty doc
+        (4, "   "),                       # whitespace-only doc
+        (5, "a the the a unique terms"),  # repeats + stopwords
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([s for _, s in docs]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "documents.parquet"))
+
+    got = canon(q_doc_textstats(str(sf)).to_pandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = canon(con.sql(ORACLES["doc_textstats"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -161,3 +161,29 @@ def test_eve_tee_filenames_are_content_addressed(ray_session, tmp_path):
     assert l1 == l2 and len(l1) == 2
     route_alerts(rd.from_arrow(t), d1, write_eve=True)  # re-route
     assert lines(d1) == l1
+
+
+def test_read_parquet_clean_hive_partition_schema(ray_session, tmp_path):
+    """Round-5 review finding: over a hive-partitioned dir the footer-
+    derived schema hint omitted the partition column, so the declared
+    schema disagreed with the blocks (the exact divergence the helper
+    exists to prevent). The hint is skipped for hive layouts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sagan_ray.sources import read_parquet_clean
+
+    root = tmp_path / "sinks"
+    for cls in ("alpha", "beta"):
+        d = root / f"classification={cls}"
+        os.makedirs(d)
+        pq.write_table(pa.table({"sid": pa.array([1, 2], pa.int64()),
+                                 "msg": pa.array(["a", "b"])}),
+                       str(d / "part.parquet"))
+    ds = read_parquet_clean(str(root))
+    names = set(ds.schema().names)
+    assert "classification" in names  # declared schema == block schema
+    out = ds.to_pandas()
+    assert set(out["classification"]) == {"alpha", "beta"}
+    assert len(out) == 4

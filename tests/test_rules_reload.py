@@ -187,3 +187,58 @@ def test_dynamic_load_parse_error_skipped_once(ray_session, tmp_path):
     m = follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
                          max_iterations=2, on_wave=choreograph)
     assert m["total"] == 3  # spark(1,2) + meta(1); no crash
+
+
+def test_dynamic_load_survives_empty_checkpoint(ray_session, tmp_path):
+    """Review finding (r5): a wave where NOTHING fires leaves only
+    empty part_id dirs under ckpt — the sid probe must not crash the
+    daemon (pads.dataset then has no 'sid' field to filter on)."""
+    from sagan_ray.pipelines.flagship import follow_directory
+    from sagan_ray.rules import parse_rules
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text(_EXTRA)
+    rules, _ = parse_rules(_META.format(path=extra))  # dynamic rule ONLY
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    # nothing matches anything: ckpt holds only empty partition dirs
+    pq.write_table(_docs([(1, "no trigger here")]),
+                   str(inp / "w1.parquet"))
+    m = follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
+                         max_iterations=2)
+    assert m["total"] == 0  # and no ArrowInvalid from the sid probe
+
+
+def test_mtime_reload_keeps_dynamic_rules(ray_session, tmp_path):
+    """Review finding (r5): editing the BASE rules file after a
+    dynamic_load fired must NOT discard the dynamically-loaded rules —
+    the reload re-applies every triggered dynamic file on top."""
+    from sagan_ray.pipelines.flagship import follow_directory
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text(_EXTRA)
+    base = tmp_path / "live.rules"
+    base.write_text(_R1 + _META.format(path=extra))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    # wave1 fires the meta rule -> extra.rules loads at wave end
+    pq.write_table(_docs([(1, "deploy of spark")]),
+                   str(inp / "w1.parquet"))
+
+    def choreograph(it, _m):
+        if it == 1:
+            # touch the BASE file (unrelated edit) -> mtime reload
+            base.write_text(_R1 + _META.format(path=extra) + "\n# edit\n")
+            os.utime(base)
+            pq.write_table(_docs([(2, "another table mention")]),
+                           str(inp / "w2.parquet"))
+
+    follow_directory(str(inp), run_dir, rules=None, poll_s=0.05,
+                     max_iterations=2, rules_paths=[str(base)],
+                     on_wave=choreograph)
+    routed = pads.dataset(os.path.join(run_dir, "sinks"),
+                          partitioning="hive").to_table().to_pandas()
+    # the dynamically-loaded sid still matched AFTER the base reload
+    assert 9200002 in set(routed["sid"])

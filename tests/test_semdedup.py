@@ -155,3 +155,26 @@ def test_semdedup_survives_empty_blocks(ray_session):
         batch_format="pyarrow")
     out = semdedup(ds, vec_col="vec", id_col="id", **_KW).to_pandas()
     assert 0 < len(out) < 26
+
+
+def test_semdedup_null_id_raises(ray_session):
+    """Review finding (r5): a null id would round-trip through float64
+    NaN into an arbitrary int64 in the zero-copy sample hash and
+    silently corrupt the output — it must raise instead."""
+    import ray
+    import ray.data as rd
+
+    from sagan_ray.stages.dedup import semdedup_losers
+
+    vecs, ids = _corpus()
+    id_list = ids.tolist()
+    id_list[3] = None
+    t = pa.table({
+        "id": pa.array(id_list, type=pa.int64()),
+        "vec": pa.array([v.tolist() for v in vecs],
+                        type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    with pytest.raises((TypeError, ray.exceptions.RayTaskError),
+                       match="null"):
+        semdedup_losers(ds, vec_col="vec", id_col="id", **_KW).count()
