@@ -118,15 +118,21 @@ class RedisClient:
 
 def drain_list(key: str, max_items: int, host: str = "127.0.0.1",
                port: int = 6379, block_s: float = 0.2,
-               password: str | None = None, connect=None) -> pa.Table:
+               password: str | None = None, connect=None,
+               timeout: float | None = None) -> pa.Table:
     """Drain up to ``max_items`` lines from list ``key`` via BLPOP —
     stops early when the queue stays empty ``block_s`` seconds (the
     bounded-batch form of upstream's endless BLPOP loop). Returns an
     Arrow table ``(text: string)`` — the FIFO line-batch shape, ready
-    for ``parse_fifo_batch`` / ``parse_syslog_batch``."""
+    for ``parse_fifo_batch`` / ``parse_syslog_batch``.
+
+    The socket timeout must OUTLAST the server-side BLPOP block, else
+    the recv times out mid-pop and desyncs the connection — default:
+    ``block_s`` plus a 5 s network margin."""
     lines: list[str] = []
-    with RedisClient(host, port, password=password,
-                     connect=connect) as cli:
+    with RedisClient(host, port, password=password, connect=connect,
+                     timeout=(timeout if timeout is not None
+                              else block_s + 5.0)) as cli:
         while len(lines) < max_items:
             item = cli.blpop(key, block_s)
             if item is None:

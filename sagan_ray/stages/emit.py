@@ -138,11 +138,17 @@ def format_alert_mail(batch: pa.Table, mail_from: str,
     urls = pc.fill_null(batch["url"], "").to_pylist()
     ts = (batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names
           else [None] * batch.num_rows)
+    def hdr(s: str) -> str:
+        # EmailMessage raises ValueError on CR/LF in header values — a
+        # rule msg with an embedded newline must degrade to a space,
+        # not kill the batch (flag-and-keep contract)
+        return s.replace("\r", " ").replace("\n", " ")
+
     for i in range(batch.num_rows):
         m = EmailMessage()
         m["From"] = mail_from
-        m["To"] = email_by_sid.get(sids[i], mail_to)
-        m["Subject"] = f"[sagan_ray] [{sids[i]}] {msgs[i]}"
+        m["To"] = hdr(email_by_sid.get(sids[i], mail_to))
+        m["Subject"] = hdr(f"[sagan_ray] [{sids[i]}] {msgs[i]}")
         m.set_content(
             f"sid: {sids[i]}\nclassification: {cls[i]}\n"
             f"event_time: {ts[i]}\nurl: {urls[i]}\n")
@@ -169,9 +175,17 @@ def make_smtp_transport(host: str, port: int = 25,
         n = 0
         with smtplib.SMTP(host, port, timeout=timeout_s) as s:
             for msg in messages:
-                rcpt = parser.parsebytes(msg)["To"] or mail_to
-                s.sendmail(mail_from, [rcpt], msg)
-                n += 1
+                # per-message failure isolation: one rejected recipient
+                # must not abort the rest of the block nor zero the
+                # count of mails already delivered
+                try:
+                    rcpt = parser.parsebytes(msg)["To"] or mail_to
+                    s.sendmail(mail_from, [rcpt], msg)
+                    n += 1
+                except smtplib.SMTPServerDisconnected:
+                    break  # session dead: nothing further can send
+                except smtplib.SMTPException:
+                    continue
         return n
 
     return send

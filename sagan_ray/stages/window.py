@@ -74,18 +74,22 @@ def _stable_col_hash(col) -> np.ndarray:
         t = arr.type
     if pa.types.is_timestamp(t):
         # normalize the unit BEFORE hashing: us- and ns-provenance
-        # blocks of the same instant must land in the same bucket
-        arr = arr.cast(pa.timestamp("us", tz=t.tz))
+        # blocks of the same instant must land in the same bucket.
+        # safe=False floors sub-us components instead of raising on
+        # genuine ns-precision values — for a ROUTING hash, colliding
+        # two sub-us-apart instants is fine; crashing is not
+        arr = arr.cast(pa.timestamp("us", tz=t.tz), safe=False)
         t = arr.type
     elif pa.types.is_temporal(t):
         # date32/time32 can't cast straight to int64; widen via a
-        # 64-bit temporal first (also unit-normalizes date64/time64)
+        # 64-bit temporal first (also unit-normalizes date64/time64;
+        # safe=False for the same ns-flooring reason as timestamps)
         if pa.types.is_date(t):
             arr = arr.cast(pa.date64())
         elif pa.types.is_time(t):
-            arr = arr.cast(pa.time64("us"))
+            arr = arr.cast(pa.time64("us"), safe=False)
         elif pa.types.is_duration(t):
-            arr = arr.cast(pa.duration("us"))
+            arr = arr.cast(pa.duration("us"), safe=False)
         t = arr.type
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
         filled = pc.fill_null(arr, 0)
@@ -365,23 +369,47 @@ def asof_join(left, right, keys: list[str], ts_col: str,
             # block->pandas conversion yields ns or us depending on the
             # block's provenance; merge_asof requires one unit
             g[ts_col] = g[ts_col].astype("datetime64[ns]")
+
+            def fill_right_na(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                for c, _t in rtypes:
+                    d = pd_dtypes.get(c)
+                    if d == "float64":
+                        # pd.array([pd.NA]*n, dtype="float64") raises —
+                        # numpy float NA is NaN
+                        df[c] = np.full(len(df), np.nan)
+                    else:
+                        df[c] = pd.array([pd.NA] * len(df),
+                                         dtype=d or "object")
+                return df[out_cols]
+
+            # DuckDB ASOF parity on nulls: a NULL ts or NULL by-key
+            # never matches. merge_asof instead RAISES on null merge
+            # keys and EQUATES null by-keys — so unmatchable left rows
+            # bypass the merge (kept, right payload null) and
+            # unmatchable right rows are dropped before it.
+            unmatchable = g[ts_col].isna()
+            for k in gkeys:
+                unmatchable |= g[k].isna()
+            lun = g[(g["side"] == 0) & unmatchable].drop(
+                columns=["side"] + rpay)
+            g = g[~unmatchable]
             lg = g[g["side"] == 0].drop(columns=["side"] + rpay)
             rg = g[g["side"] == 1].drop(columns=["side"] + lpay)
             if lg.empty:
                 out = g.iloc[0:0][out_cols].copy()
             elif rg.empty:
-                out = lg.sort_values([ts_col] + gkeys,
-                                     kind="mergesort").copy()
-                for c, t in rtypes:
-                    out[c] = pd.array([pd.NA] * len(out),
-                                      dtype=pd_dtypes.get(c) or "object")
-                out = out[out_cols]
+                out = fill_right_na(
+                    lg.sort_values([ts_col] + gkeys, kind="mergesort"))
             else:
                 lg = lg.sort_values([ts_col] + gkeys, kind="mergesort")
                 rg = rg.sort_values([ts_col] + gkeys + rpay,
                                     kind="mergesort")
                 out = pd.merge_asof(lg, rg, on=ts_col, by=gkeys,
                                     direction=direction)[out_cols]
+            if len(lun):
+                out = pd.concat([out, fill_right_na(lun)],
+                                ignore_index=True)
             for c, d in pd_dtypes.items():
                 if d:
                     out[c] = out[c].astype(d)
@@ -483,6 +511,9 @@ def range_join(left, right, keys: list[str], ts_col: str,
             g = g.copy()
             # one timestamp unit regardless of block provenance (ns vs us)
             g[ts_col] = g[ts_col].astype("datetime64[ns]")
+            # inner semantics: a NULL ts can pair with nothing, and
+            # left NaT + hi = NaT would crash the merge_asof probe
+            g = g[g[ts_col].notna()]
             g["_kc"] = g.groupby(gkeys, sort=True).ngroup()
             lg = g[g["side"] == 0]
             rg = g[g["side"] == 1]
@@ -566,7 +597,9 @@ def windowed_rank_filter(keys: list[str], order: list[str], count: int,
         if g.empty:
             return g
         g = g.sort_values(keys + order, kind="mergesort")
-        rn = g.groupby(keys, sort=False).cumcount()
+        # dropna=False: null keys form a real group (SQL GROUP BY
+        # semantics) instead of silently vanishing from the output
+        rn = g.groupby(keys, sort=False, dropna=False).cumcount()
         return g[rn < count] if mode == "limit" else g[rn >= count]
 
     return fn
@@ -580,9 +613,10 @@ def sessionize_fn(keys: list[str], ts_col: str, order: list[str],
         if g.empty:
             return g[keys].iloc[0:0].assign(n_sessions=pd.Series(dtype="int64"))
         g = g.sort_values(keys + order, kind="mergesort")
-        grp = g.groupby(keys, sort=False)
+        grp = g.groupby(keys, sort=False, dropna=False)
         new_sess = (grp[ts_col].diff() > gap).astype("int64")
-        out = new_sess.groupby([g[k] for k in keys], sort=False).sum() + 1
+        out = new_sess.groupby([g[k] for k in keys], sort=False,
+                               dropna=False).sum() + 1
         out = out.rename("n_sessions").reset_index()
         return out
 
@@ -596,8 +630,11 @@ def rolling_sum_fn(keys: list[str], order: list[str], value_col: str,
         if g.empty:
             return g.assign(**{out_col: pd.Series(dtype="float64")})
         g = g.sort_values(keys + order, kind="mergesort")
+        # dropna=False: with the default, null-key rows are excluded
+        # from the rolling result and the column assignment raises a
+        # length mismatch on any partition containing them
         g[out_col] = (
-            g.groupby(keys, sort=False)[value_col]
+            g.groupby(keys, sort=False, dropna=False)[value_col]
             .rolling(window, min_periods=1)
             .sum()
             .round(round_to)
@@ -616,7 +653,7 @@ def top1_fn(keys: list[str], order_desc: str, tiebreak: str) -> Callable:
         g = g.sort_values([*keys, order_desc, tiebreak],
                           ascending=[True] * len(keys) + [False, True],
                           kind="mergesort")
-        return g.groupby(keys, sort=False).head(1)
+        return g.groupby(keys, sort=False, dropna=False).head(1)
 
     return fn
 
@@ -684,7 +721,7 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
                 "mn": pa.array([], type=pa.float64()),
                 "gb": pa.array([], type=pa.int64()),
             })
-        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us"), safe=False),
                      pa.int64()).to_numpy(zero_copy_only=False)
         vals = (t[value_col].to_numpy(zero_copy_only=False)
                 .astype(np.float64))

@@ -187,3 +187,159 @@ def test_read_parquet_clean_hive_partition_schema(ray_session, tmp_path):
     out = ds.to_pandas()
     assert set(out["classification"]) == {"alpha", "beta"}
     assert len(out) == 4
+
+
+# ---- round-5 second review pass ----
+
+
+def test_asof_join_nulls_and_float_payload_match_duckdb(ray_session):
+    """Round-5 review findings: (a) a partition with left rows but no
+    right rows crashed on the float-payload NA fill; (b) null ts rows
+    crashed merge_asof; (c) null by-keys MATCHED each other (merge_asof
+    equates NaN) where DuckDB ASOF LEFT JOIN never matches NULL."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.stages.window import asof_join
+
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = pd.DataFrame({
+        "k": pd.array([1, 1, None, 2, 9], dtype="Int64"),
+        "ts": [ts(5), pd.NaT, ts(3), ts(4), ts(7)],
+        "lv": [10, 11, 12, 20, 30],
+    })
+    right = pd.DataFrame({
+        "k": pd.array([1, None, 2], dtype="Int64"),
+        "ts": [ts(2), ts(1), pd.NaT],
+        "rv": [0.5, 0.25, 0.125],  # float payload -> NaN fill path
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    keys=["k"], ts_col="ts").to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    # the SCALAR restatement, not the ASOF operator: DuckDB's ASOF
+    # operator matches a NULL left ts to the LAST right row (sort
+    # artifact), diverging from SQL NULL-comparison semantics; the
+    # correlated subquery encodes the standard (NULL never matches),
+    # which is the contract asof_join pins
+    ref = con.execute(
+        "SELECT l.lv, (SELECT r.rv FROM r WHERE r.k = l.k "
+        "AND r.ts <= l.ts ORDER BY r.ts DESC LIMIT 1) AS rv "
+        "FROM l").df()
+    got = {int(a): (None if pd.isna(b) else float(b))
+           for a, b in zip(out["lv"], out["rv"])}
+    want = {int(a): (None if pd.isna(b) else float(b))
+            for a, b in zip(ref["lv"], ref["rv"])}
+    assert len(out) == len(left)  # every left row survives exactly once
+    assert got == want  # null ts / null key rows unmatched, 1->0.5 only
+
+
+def test_range_join_null_ts_matches_duckdb(ray_session):
+    """A null timestamp on either side pairs with nothing (inner
+    semantics) instead of crashing the merge_asof probe."""
+    import duckdb
+    import ray.data as rd
+
+    from sagan_ray.stages.window import range_join
+
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = pd.DataFrame({
+        "k": [1, 1, 2], "ts": [ts(1), pd.NaT, ts(2)],
+        "lv": [10, 11, 20],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2], "ts": [ts(2), pd.NaT, ts(3)],
+        "rv": [100, 101, 200],
+    })
+    lo, hi = pd.Timedelta(seconds=0), pd.Timedelta(seconds=5)
+    out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     keys=["k"], ts_col="ts", lo=lo, hi=hi).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.execute(
+        "SELECT l.lv, r.rv FROM l JOIN r ON l.k = r.k "
+        "AND r.ts > l.ts + INTERVAL 0 SECOND "
+        "AND r.ts <= l.ts + INTERVAL 5 SECOND").df()
+    assert (sorted(zip(out["lv"], out["rv"]))
+            == sorted(zip(ref["lv"], ref["rv"])))
+
+
+def test_window_kernels_keep_null_keys():
+    """groupby(dropna=False) everywhere: null-key rows form a real
+    group (SQL GROUP BY semantics) — rolling crashed with a length
+    mismatch, rank/sessionize/top1 silently dropped them."""
+    from sagan_ray.stages.window import (rolling_sum_fn, sessionize_fn,
+                                         top1_fn, windowed_rank_filter)
+
+    ts = pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02",
+                         "2024-01-01 00:00:03"])
+    g = pd.DataFrame({"k": [1.0, None, None], "ts": ts,
+                      "v": [1.0, 2.0, 3.0]})
+    out = rolling_sum_fn(["k"], ["ts"], "v", 2, "s")(g.copy())
+    assert len(out) == 3  # null-key rows kept, no length mismatch
+    assert sorted(out.loc[out["k"].isna(), "s"]) == [2.0, 5.0]
+    out = windowed_rank_filter(["k"], ["ts"], 1, "limit")(g.copy())
+    assert out["k"].isna().sum() == 1  # first null-key row kept
+    out = sessionize_fn(["k"], "ts", ["ts"],
+                        pd.Timedelta(seconds=10))(g.copy())
+    assert len(out) == 2  # the null key is a group with n_sessions
+    out = top1_fn(["k"], "v", "ts")(g.copy())
+    assert out["k"].isna().sum() == 1
+
+
+def test_stable_col_hash_ns_precision(ray_session):
+    """ns-precision temporals hash via a flooring cast instead of
+    raising ArrowInvalid; sub-us-apart instants may collide (fine for
+    a routing hash) but equal instants from us/ns blocks agree."""
+    from sagan_ray.stages.window import _stable_col_hash
+
+    ns = pa.array([1001, 2_000_000_000], type=pa.timestamp("ns"))
+    us = pa.array([1, 2_000_000], type=pa.timestamp("us"))
+    h_ns = _stable_col_hash(ns)
+    h_us = _stable_col_hash(us)
+    assert list(h_ns) == list(h_us)  # 1001ns floors to 1us
+    _stable_col_hash(pa.array([1001], type=pa.time64("ns")))
+    _stable_col_hash(pa.array([1001], type=pa.duration("ns")))
+
+
+def test_hopping_window_ns_timestamps(ray_session):
+    import ray.data as rd
+
+    from sagan_ray.stages.window import hopping_window_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([1001, 30_000_000_001, 1],
+                       type=pa.timestamp("ns")),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = hopping_window_agg(rd.from_arrow(t), keys=["k"], ts_col="ts",
+                             window_s=60, hop_s=15,
+                             value_col="v").to_pandas()
+    assert len(out) > 0  # no ArrowInvalid from the pane cast
+
+
+def test_alert_mail_newline_headers():
+    """A rule msg with CR/LF must not kill the batch: header values
+    sanitize to spaces (EmailMessage raises on raw newlines)."""
+    from sagan_ray.stages.emit import SmtpEmitter, format_alert_mail
+
+    batch = pa.table({
+        "sid": pa.array([1], type=pa.int64()),
+        "msg": pa.array(["evil\r\nX-Injected: gotcha"]),
+        "classification": pa.array(["c\nd"]),
+        "url": pa.array(["https://x/y"]),
+    })
+    msgs = format_alert_mail(batch, "f@x", "t@x")
+    assert len(msgs) == 1
+    # the newline is now a space INSIDE the Subject value — no line of
+    # the message starts with the injected header name
+    assert not any(ln.startswith(b"X-Injected:")
+                   for ln in msgs[0].splitlines())
+    sent = []
+    em = SmtpEmitter(transport=lambda ms: sent.extend(ms) or len(ms),
+                     mail_from="f@x", mail_to="t@x")
+    stats = em(batch)
+    assert stats["n_ok"][0].as_py() == 1 and len(sent) == 1
