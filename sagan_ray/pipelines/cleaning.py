@@ -304,12 +304,16 @@ def clean_corpus_run(input_files, run_dir: str, *,
     if os.path.exists(plan_path):
         with open(plan_path) as f:
             prev = json.load(f)
-        if "inputs" not in prev:
+        migrate = "inputs" not in prev
+        if migrate:
             # migration: run_dirs checkpointed before the inputs key
             # existed must stay resumable with identical params — treat
-            # the missing key as matching (it can't be reconstructed)
-            # and record it for subsequent resumes.
-            prev["inputs"] = plan["inputs"]
+            # the missing key as matching (it can't be reconstructed).
+            # COMPARE first, write after: backfilling before validation
+            # would stamp a REJECTED attempt's inputs into the legacy
+            # plan and lock out the legitimately identical resume.
+            prev = dict(prev, inputs=plan["inputs"])
+        if prev == plan and migrate:
             tmp = plan_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(prev, f, indent=2, sort_keys=True)

@@ -405,13 +405,18 @@ def follow_directory(
     rules = rules or load_default_rules()
     rules_fp = _fingerprint()
     dyn_loaded: set[str] = set()
+    probed_pids: set[str] = set()
+    fired_sids: set[int] = set()
 
     def _dynamic_reload(current: list[Rule]) -> list[Rule]:
         # wave-end dynamic_load: checkpoint sids are the fired-set
         # (stage A keeps noalert matches too, so a silent meta rule
-        # still triggers). The sid probe reads ONE column filtered by
-        # the handful of dynamic sids — parquet statistics prune row
-        # groups, no alert payload moves.
+        # still triggers). INCREMENTAL probe: only partition dirs not
+        # yet scanned are read (one sid column per NEW wave, never the
+        # whole run history again — a long-lived daemon's probe cost
+        # stays proportional to the wave, not to its lifetime), and the
+        # distinct sids accumulate so rules loaded later still see
+        # triggers that fired earlier.
         dyn = {r.sid: r.dynamic_load for r in current
                if r.dynamic_load and r.dynamic_load not in dyn_loaded}
         ckpt_root = os.path.join(run_dir, "ckpt")
@@ -419,19 +424,25 @@ def follow_directory(
             return current
         import pyarrow.dataset as pads
 
-        dset = pads.dataset(ckpt_root, format="parquet",
-                            partitioning="hive")
-        # a wave where nothing ever fired leaves only EMPTY part_id
-        # dirs: the discovered schema then has no 'sid' to filter on
-        if "sid" not in dset.schema.names:
-            return current
-        fired = set(
-            dset.to_table(columns=["sid"],
-                          filter=pads.field("sid").isin(list(dyn)))["sid"]
-            .to_pylist())
+        new_dirs = [d for d in sorted(os.listdir(ckpt_root))
+                    if d.startswith("part_id=") and d not in probed_pids]
+        if new_dirs:
+            # pads.dataset takes FILE paths when given a list; a wave
+            # where nothing fired leaves empty part dirs (no files)
+            files = []
+            for d in new_dirs:
+                pdir = os.path.join(ckpt_root, d)
+                files += [os.path.join(pdir, f)
+                          for f in sorted(os.listdir(pdir))
+                          if f.endswith(".parquet")]
+            if files:
+                fired_sids.update(
+                    pads.dataset(files, format="parquet")
+                    .to_table(columns=["sid"])["sid"].to_pylist())
+            probed_pids.update(new_dirs)
         out = list(current)
         for sid, path in dyn.items():
-            if sid not in fired:
+            if sid not in fired_sids:
                 continue
             dyn_loaded.add(path)  # at most once, even on a parse error
             out = _extend_from(out, path)
@@ -450,6 +461,12 @@ def follow_directory(
             logging.getLogger(__name__).warning(
                 "dynamic_load of %s failed: %s", path, e)
             return current
+    # restart probe: a daemon resuming into an existing run_dir must
+    # re-apply dynamic files whose triggers fired in PREVIOUS runs
+    # before the first wave — otherwise the first post-restart wave
+    # matches with base rules only and its partitions checkpoint as
+    # complete, making the missed matches permanent.
+    rules = _dynamic_reload(rules)
     manifest: dict = {}
     it = 0
     while True:

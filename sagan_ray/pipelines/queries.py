@@ -1513,11 +1513,17 @@ ORACLES = {
           -- the TF-IDF trio tokenizes like Python str.split(): split on
           -- WHITESPACE RUNS, empties dropped (string_split(text,' ')
           -- would keep '' terms and split differently on tabs/newlines
-          -- and double spaces). The other columns keep the
-          -- single-space convention their Python kernels use.
+          -- and double spaces). RE2's \s is ASCII-only, so the class
+          -- spells out Python's isspace() set exactly: \p{Z} (all
+          -- Unicode separators incl. U+2028/29) + the control-range
+          -- whitespace (\x09-\x0d, \x1c-\x1f, \x85) — verified
+          -- char-for-char against str.isspace() over the full BMP+.
+          -- The other columns keep the single-space convention their
+          -- Python kernels use.
           SELECT doc_id, unnest(list_filter(
-                   regexp_split_to_array(text, '\s+'), x -> x <> ''))
-                 AS term
+                   regexp_split_to_array(
+                     text, '[\p{Z}\x09-\x0d\x1c-\x1f\x85]+'),
+                   x -> x <> '')) AS term
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         dt AS (SELECT doc_id, term, count(*) AS c FROM toks

@@ -685,6 +685,15 @@ def parse_rules(
 
 
 def load_rules_file(path: str, var_table: dict[str, list[str]] | None = None) -> list[Rule]:
+    import os
+
     with open(path) as f:
         rules, _ = parse_rules(f.read(), var_table)
+    # a relative dynamic_load: resolves against the DECLARING rules
+    # file, not the daemon's cwd (same convention as the engine's
+    # blacklist_file/intel_file _resolve)
+    base = os.path.dirname(os.path.abspath(path))
+    for r in rules:
+        if r.dynamic_load and not os.path.isabs(r.dynamic_load):
+            r.dynamic_load = os.path.join(base, r.dynamic_load)
     return rules

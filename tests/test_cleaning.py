@@ -460,3 +460,36 @@ def test_clean_corpus_run_migrates_pre_inputs_plan(ray_session, tmp_path):
     assert sorted(out["doc_id"].tolist()) == [0, 6]
     with open(plan_path) as f:
         assert "inputs" in _json.load(f)
+
+
+def test_plan_migration_rejected_resume_does_not_stamp(ray_session,
+                                                       tmp_path):
+    """Review finding (r5): a REJECTED resume into a legacy (pre-
+    'inputs') run_dir must not backfill the wrong inputs fingerprint —
+    the legitimately identical retry must still succeed."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from sagan_ray.pipelines.cleaning import clean_corpus_run
+    from sagan_ray.state import lineage
+
+    files = _write_corpus_parquet(tmp_path)
+    run_dir = str(tmp_path / "rs")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        clean_corpus_run(files, run_dir, fail_after_stages=1, **_RUN_KW)
+    plan_path = os.path.join(lineage.lineage_dir(run_dir), "plan.json")
+    with open(plan_path) as f:
+        plan = _json.load(f)
+    del plan["inputs"]
+    with open(plan_path, "w") as f:
+        _json.dump(plan, f)
+    # mistaken resume: wrong params AND wrong inputs -> rejected...
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        clean_corpus_run(files[:-1], run_dir,
+                         **dict(_RUN_KW, min_tokens=6))
+    # ...and must NOT have stamped the wrong inputs into the plan:
+    # the correct retry still resumes
+    out = clean_corpus_run(files, run_dir, **_RUN_KW).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 6]

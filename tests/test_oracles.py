@@ -111,6 +111,8 @@ def test_doc_textstats_irregular_whitespace(ray_session, tmp_path):
         (3, ""),                          # empty doc
         (4, "   "),                       # whitespace-only doc
         (5, "a the the a unique terms"),  # repeats + stopwords
+        (6, "vt\x0bsep and nbsp\xa0sep"),  # non-ASCII-\s whitespace
+        (7, "ideo　graphic line"),  # Zs/Zl separators
     ]
     t = pa.table({
         "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),

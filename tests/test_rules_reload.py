@@ -242,3 +242,49 @@ def test_mtime_reload_keeps_dynamic_rules(ray_session, tmp_path):
                           partitioning="hive").to_table().to_pandas()
     # the dynamically-loaded sid still matched AFTER the base reload
     assert 9200002 in set(routed["sid"])
+
+
+def test_dynamic_load_reapplied_after_restart(ray_session, tmp_path):
+    """Review finding (r5): a daemon restarted into an existing run_dir
+    must re-apply dynamic files whose triggers fired in PREVIOUS runs
+    BEFORE the first wave — otherwise that wave checkpoints its
+    partitions with base rules only, permanently."""
+    from sagan_ray.pipelines.flagship import follow_directory
+    from sagan_ray.rules import parse_rules
+
+    extra = tmp_path / "extra.rules"
+    extra.write_text(_EXTRA)
+    rules, _ = parse_rules(_R1 + _META.format(path=extra))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    run_dir = str(tmp_path / "run")
+    # first daemon run: meta fires in wave 1
+    pq.write_table(_docs([(1, "deploy of spark")]),
+                   str(inp / "w1.parquet"))
+    follow_directory(str(inp), run_dir, rules=rules, poll_s=0.05,
+                     max_iterations=1)
+    # RESTART (fresh rule objects, dyn_loaded empty) with a new file
+    # landing in the FIRST post-restart wave
+    pq.write_table(_docs([(2, "a table of contents")]),
+                   str(inp / "w2.parquet"))
+    rules2, _ = parse_rules(_R1 + _META.format(path=extra))
+    follow_directory(str(inp), run_dir, rules=rules2, poll_s=0.05,
+                     max_iterations=1)
+    routed = pads.dataset(os.path.join(run_dir, "sinks"),
+                          partitioning="hive").to_table().to_pandas()
+    # the dynamically-loaded sid matched the first post-restart wave
+    assert 9200002 in set(routed["sid"])
+
+
+def test_dynamic_load_relative_path_resolves_to_rules_file(tmp_path):
+    """A relative dynamic_load: resolves against the declaring rules
+    file, not the process cwd."""
+    from sagan_ray.rules import load_rules_file
+
+    sub = tmp_path / "rulesdir"
+    sub.mkdir()
+    (sub / "base.rules").write_text(_META.format(path="extra.rules"))
+    (sub / "extra.rules").write_text(_EXTRA)
+    rules = load_rules_file(str(sub / "base.rules"))
+    dyn = [r for r in rules if r.dynamic_load][0]
+    assert dyn.dynamic_load == str(sub / "extra.rules")
